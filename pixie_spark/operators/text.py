@@ -1,0 +1,135 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are native Spark SQL functions (JVM-side,
+whole-stage-codegen'd) — no Python UDFs — so they scale linearly over a
+100 TB documents table with zero shuffle (pure map stage).
+
+Operators: token counting, word/char stats, punctuation & stopword
+ratios, quality scoring, n-gram language ID, rolling-hash fingerprints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A small multilingual stopword inventory for the language-ID heuristic.
+# (Heuristic n-gram/stopword language ID — the standard fasttext-style
+# fallback when no model is available.)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "des", "est"],
+}
+
+EN_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+# BPE-ish tokenizer regex: word pieces, numbers, punctuation runs.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+FINGERPRINT_MOD = 1_000_000_007
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokenization; empty string → empty array."""
+    return F.filter(F.split(text, r"\s+"), lambda w: w != "")
+
+
+def token_count(text: Column) -> Column:
+    """Count of BPE-ish regex tokens (word pieces / numbers / punct)."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), F.lit(0)))
+
+
+def word_count(text: Column) -> Column:
+    return F.size(words(text))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of non-alnum, non-space characters."""
+    stripped = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+    return F.when(F.length(text) > 0, F.length(stripped) / F.length(text)).otherwise(F.lit(0.0))
+
+
+def stopword_count(text: Column, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or EN_STOPWORDS
+    pattern = r"\b(" + "|".join(sw) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pattern), F.lit(0)))
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    wc = word_count(text)
+    return F.when(wc > 0, stopword_count(text, stopwords) / wc).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text: Column) -> Column:
+    wc = word_count(text)
+    total = F.length(F.regexp_replace(text, r"\s+", ""))
+    return F.when(wc > 0, total / wc).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence +
+    sane mean word length + low punctuation noise. Mirrors the C4/Gopher
+    style rule-based filters used in LLM data pipelines."""
+    wc = word_count(text)
+    len_ok = F.when((wc >= 10) & (wc <= 10000), 1.0).otherwise(0.0)
+    sw_ok = F.when(stopword_ratio(text) > 0.01, 1.0).otherwise(0.0)
+    mwl = mean_word_length(text)
+    mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(text) < 0.2, 1.0).otherwise(0.0)
+    return (len_ok + sw_ok + mwl_ok + punct_ok) / 4.0
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker-word hit counts."""
+    lowered = F.lower(text)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        pattern = r"\b(" + "|".join(markers) + r")\b"
+        out[lang] = F.size(F.regexp_extract_all(lowered, F.lit(pattern), F.lit(0)))
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax of marker hits; 'und' when nothing matches. Deterministic
+    tie-break: language order en > es > de > fr (strictly-greater chain)."""
+    scores = lang_scores(text)
+    langs = list(scores)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in reversed(langs):
+        s = scores[lang]
+        best_lang = F.when(s >= best_score, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(s >= best_score, s).otherwise(best_score)
+    # reversed + >= gives priority to earlier languages on ties
+    return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic polynomial rolling hash of the full string:
+    fold(acc*31 + codepoint) mod 1e9+7. Pure integer arithmetic → identical
+    in any engine; used for cheap exact-dup detection and sharding."""
+    chars = F.split(text, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % FINGERPRINT_MOD,
+    )
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass map stage computing all text statistics."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_words": word_count(t),
+            "n_tokens": token_count(t),
+            "punct_ratio": punct_ratio(t),
+            "stopword_ratio": stopword_ratio(t),
+            "mean_word_len": mean_word_length(t),
+            "quality": quality_score(t),
+            "lang_pred": lang_id(t),
+            "fingerprint": fingerprint(t),
+        }
+    )

@@ -1,0 +1,811 @@
+"""Query registry backing ``__spark_entry__.py``.
+
+One entry per implemented operator/function-family from SURVEY.md §2 —
+each with a Spark implementation (``fn(spark, sf_dir) -> DataFrame``) and,
+where SQL-expressible, an equivalent ANSI-SQL oracle for DuckDB.
+
+Conventions that make the driver's order-insensitive value-hash stable:
+- every computed DOUBLE column is rounded via the engine-independent
+  ``floor(x*10^n + 0.5)/10^n`` (``dround`` here, the same spelled-out form
+  in the SQL oracles) — Spark's and DuckDB's ``round()`` disagree on
+  half-way doubles;
+- float folds (cosine, fingerprints) use identical left-fold order in
+  both engines so the doubles are bit-identical before rounding;
+- every computed column carries the SAME alias on both sides;
+- queries that need a deterministic row SET (limit/top-n) sort with a
+  unique-key tiebreak.
+
+DuckDB dialect notes encoded in the oracles: natural log is ``ln`` (DuckDB
+``log`` is base-10), ``strpos`` ≈ Spark ``instr``, ``string_split_regex``
+≈ ``split``, ``epoch_us`` ≈ ``unix_micros``, ``json_extract_string`` ≈
+``get_json_object``; events.ts is TIMESTAMP(NANOS) parquet — Spark reads
+it as long ns (TIME64NS convention), DuckDB truncates to µs, so event
+times are always compared at µs via exact integer division.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pixie_spark.operators import dedup as dd
+from pixie_spark.operators import similarity as sim
+from pixie_spark.operators import text as tx
+from pixie_spark.sources import load_table
+
+
+def dround(col: Column | str, n: int) -> Column:
+    """Engine-deterministic rounding: floor(x*10^n + 0.5)/10^n."""
+    if isinstance(col, str):
+        col = F.col(col)
+    s = float(10**n)
+    return F.floor(col * F.lit(s) + F.lit(0.5)) / F.lit(s)
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # ANSI SQL for DuckDB; None → rows-only check
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: Optional[str], doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+# =============================================================================
+# Physical operators (SURVEY §2.1)
+# =============================================================================
+
+
+@query(
+    "memory_source_scan",
+    """
+    SELECT event_id, epoch_us(ts) AS ts_us, event_type,
+           floor(value * 1e4 + 0.5) / 1e4 AS value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+    """,
+    doc="MemorySource: time-range scan + column projection "
+    "(ref: src/carnot/exec/memory_source_node.cc). Projection and the time "
+    "predicate reach the parquet reader via Catalyst pushdown; at scale the "
+    "table is partitioned by a time bucket so the range prunes partitions.",
+)
+def q_memory_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")  # ts: long ns
+    lo = 1_704_412_800 * 1_000_000_000  # 2024-01-05 UTC
+    hi = 1_705_708_800 * 1_000_000_000  # 2024-01-20 UTC
+    return ev.where((F.col("ts") >= lo) & (F.col("ts") < hi)).select(
+        "event_id",
+        F.expr("ts DIV 1000").alias("ts_us"),
+        "event_type",
+        dround("value", 4).alias("value"),
+    )
+
+
+@query(
+    "map_project",
+    """
+    SELECT l_orderkey, l_linenumber,
+           floor(l_extendedprice * (1 - l_discount) * 1e4 + 0.5) / 1e4 AS net_price,
+           floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1e4 + 0.5) / 1e4 AS charged,
+           CAST(l_quantity AS BIGINT) AS qty_int
+    FROM lineitem
+    """,
+    doc="Map: N scalar expressions → N columns (ref: src/carnot/exec/map_node.cc).",
+)
+def q_map_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        dround(net, 4).alias("net_price"),
+        dround(net * (1 + F.col("l_tax")), 4).alias("charged"),
+        F.col("l_quantity").cast("long").alias("qty_int"),
+    )
+
+
+@query(
+    "filter_compound",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           floor(l_quantity * 1e4 + 0.5) / 1e4 AS l_quantity
+    FROM lineitem
+    WHERE l_quantity > 30 AND l_returnflag = 'R' AND l_discount BETWEEN 0.02 AND 0.08
+    """,
+    doc="Filter: boolean scalar expression (ref: src/carnot/exec/filter_node.cc).",
+)
+def q_filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_quantity") > 30)
+        & (F.col("l_returnflag") == "R")
+        & F.col("l_discount").between(0.02, 0.08)
+    ).select("l_orderkey", "l_linenumber", "l_returnflag", dround("l_quantity", 4).alias("l_quantity"))
+
+
+@query(
+    "agg_groupby",
+    """
+    SELECT l_returnflag, l_linestatus,
+           floor(sum(l_quantity) * 1e4 + 0.5) / 1e4 AS sum_qty,
+           floor(sum(l_extendedprice) * 1e2 + 0.5) / 1e2 AS sum_base_price,
+           floor(sum(l_extendedprice * (1 - l_discount)) * 1e2 + 0.5) / 1e2 AS sum_disc_price,
+           floor(avg(l_quantity) * 1e6 + 0.5) / 1e6 AS avg_qty,
+           floor(min(l_extendedprice) * 1e4 + 0.5) / 1e4 AS min_price,
+           floor(max(l_extendedprice) * 1e4 + 0.5) / 1e4 AS max_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Aggregate (hash agg, grouped) — the flagship TPC-H-Q1-shaped query "
+    "(ref: src/carnot/exec/agg_node.cc). Catalyst emits partial+final "
+    "HashAggregate — the Spark analogue of the reference's PEM/Kelvin "
+    "partial/finalize split (plan.proto:244-266).",
+)
+def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dround(F.sum("l_quantity"), 4).alias("sum_qty"),
+            dround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            dround(F.avg("l_quantity"), 6).alias("avg_qty"),
+            dround(F.min("l_extendedprice"), 4).alias("min_price"),
+            dround(F.max("l_extendedprice"), 4).alias("max_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_global",
+    """
+    SELECT count(*) AS n_rows,
+           count(DISTINCT l_orderkey) AS n_orders,
+           floor(sum(l_extendedprice) * 1e2 + 0.5) / 1e2 AS total_price,
+           floor(avg(l_discount) * 1e6 + 0.5) / 1e6 AS avg_discount
+    FROM lineitem
+    """,
+    doc="Aggregate, group-by-none path (ref: src/carnot/exec/agg_node.h:77).",
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        dround(F.sum("l_extendedprice"), 2).alias("total_price"),
+        dround(F.avg("l_discount"), 6).alias("avg_discount"),
+    )
+
+
+@query(
+    "limit_topn",
+    """
+    SELECT o_orderkey, o_custkey, floor(o_totalprice * 1e4 + 0.5) / 1e4 AS o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    doc="Limit with deterministic order (ref: src/carnot/exec/limit_node.cc; "
+    "Spark short-circuits via TakeOrderedAndProject — the analogue of the "
+    "reference's source-abort on satisfied limit, limit_node.cc:91-96).",
+)
+def q_limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        od.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", "o_custkey", dround("o_totalprice", 4).alias("o_totalprice"))
+    )
+
+
+@query(
+    "union_append",
+    """
+    SELECT l_orderkey, l_linenumber,
+           floor(l_quantity * 1e4 + 0.5) / 1e4 AS l_quantity, 'low' AS bucket
+    FROM lineitem WHERE l_quantity < 3
+    UNION ALL
+    SELECT l_orderkey, l_linenumber,
+           floor(l_quantity * 1e4 + 0.5) / 1e4 AS l_quantity, 'high' AS bucket
+    FROM lineitem WHERE l_quantity > 48
+    """,
+    doc="Union (df.append) with per-input column alignment "
+    "(ref: src/carnot/exec/union_node.cc; unionByName handles reordering).",
+)
+def q_union_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    low = li.where(F.col("l_quantity") < 3).select(
+        "l_orderkey",
+        "l_linenumber",
+        dround("l_quantity", 4).alias("l_quantity"),
+        F.lit("low").alias("bucket"),
+    )
+    high = li.where(F.col("l_quantity") > 48).select(
+        "l_orderkey",
+        "l_linenumber",
+        dround("l_quantity", 4).alias("l_quantity"),
+        F.lit("high").alias("bucket"),
+    )
+    return low.unionByName(high)
+
+
+@query(
+    "join_inner",
+    """
+    SELECT n.n_name, floor(sum(o.o_totalprice) * 1e2 + 0.5) / 1e2 AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="Equijoin INNER (ref: src/carnot/exec/equijoin_node.cc). customer and "
+    "nation are dimension-sized → broadcast joins; the fact side never "
+    "shuffles for the join on a cluster.",
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    return (
+        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            dround(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    """
+    SELECT c.c_custkey, c.c_name, count(o.o_orderkey) AS n_orders,
+           floor(coalesce(sum(o.o_totalprice), 0) * 1e2 + 0.5) / 1e2 AS total_spent
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    doc="Equijoin LEFT_OUTER (ref: plan.proto:314-325; RIGHT_OUTER is "
+    "rewritten to LEFT by the reference compiler — Catalyst does the same).",
+)
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        cu.join(od, od.o_custkey == cu.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dround(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "join_full_outer",
+    """
+    WITH c AS (SELECT c_nationkey, count(*) AS n_customers FROM customer GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey, count(*) AS n_suppliers FROM supplier GROUP BY s_nationkey)
+    SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+           coalesce(c.n_customers, 0) AS n_customers,
+           coalesce(s.n_suppliers, 0) AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.c_nationkey = s.s_nationkey
+    """,
+    doc="Equijoin FULL_OUTER (ref: plan.proto:314-325).",
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    c = cu.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_customers"))
+    s = su.groupBy("s_nationkey").agg(F.count(F.lit(1)).alias("n_suppliers"))
+    return c.join(s, c.c_nationkey == s.s_nationkey, "full").select(
+        F.coalesce(c.c_nationkey, s.s_nationkey).alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@query(
+    "join_semi_anti",
+    """
+    SELECT c_custkey, c_name,
+           CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+                THEN 'active' ELSE 'inactive' END AS status
+    FROM customer c
+    """,
+    doc="Semi/anti join surface — absent from the reference algebra "
+    "(SURVEY §2.3); Spark left_semi/left_anti.",
+)
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").select("o_custkey")
+    active = (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .withColumn("status", F.lit("active"))
+    )
+    inactive = (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .withColumn("status", F.lit("inactive"))
+    )
+    return active.unionByName(inactive)
+
+
+@query(
+    "distinct_rows",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+    doc="Distinct — absent from the reference algebra (SURVEY §2.3), native "
+    "in Spark.",
+)
+def q_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "rolling_time_bin",
+    """
+    SELECT (epoch_us(ts) // 600000000) * 600000000 AS window_start_us,
+           event_type,
+           count(*) AS n_events,
+           floor(sum(value) * 1e4 + 0.5) / 1e4 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Rolling/tumbling window as time-bin groupBy (ref: "
+    "src/carnot/planner/ir/rolling_ir.h:44-57; bin UDF "
+    "src/carnot/funcs/builtins/math_ops.cc:209-216). 10-minute windows; "
+    "streaming equivalent is groupBy(window('time_', ...)) — see "
+    "pixie_spark.streaming.",
+)
+def q_rolling_time_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    win_us = 600_000_000
+    return (
+        ev.withColumn("ts_us", F.expr("ts DIV 1000"))
+        .withColumn("window_start_us", F.expr(f"(ts_us DIV {win_us}) * {win_us}"))
+        .groupBy("window_start_us", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "window_rank_topn_per_group",
+    """
+    SELECT c_custkey, o_orderkey, floor(o_totalprice * 1e4 + 0.5) / 1e4 AS o_totalprice, rn
+    FROM (
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY c.c_custkey
+                                  ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    ) t
+    WHERE rn <= 3
+    """,
+    doc="Ranking window function (absent from the reference — SURVEY §2.3; "
+    "the PxL idiom is agg → client sort → head). Top-3 orders per customer.",
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        cu.join(od, od.o_custkey == cu.c_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("c_custkey", "o_orderkey", dround("o_totalprice", 4).alias("o_totalprice"), "rn")
+    )
+
+
+# =============================================================================
+# Scalar function families (SURVEY §2.4)
+# =============================================================================
+
+
+@query(
+    "math_ops",
+    """
+    SELECT l_orderkey, l_linenumber,
+           floor(ln(l_extendedprice) * 1e6 + 0.5) / 1e6 AS ln_price,
+           floor(log(l_extendedprice) * 1e6 + 0.5) / 1e6 AS log10_price,
+           floor(pow(l_discount, 2) * 1e6 + 0.5) / 1e6 AS disc_sq,
+           floor(sqrt(l_quantity) * 1e6 + 0.5) / 1e6 AS sqrt_qty,
+           abs(CAST(l_partkey AS BIGINT) - 100) AS abs_diff,
+           ceil(l_quantity) AS ceil_qty,
+           floor(l_quantity) AS floor_qty,
+           CAST(l_orderkey % 7 AS BIGINT) AS mod7,
+           floor(l_extendedprice / 1000) * 1000 AS price_bin
+    FROM lineitem
+    """,
+    doc="Math UDFs → native functions (ref: src/carnot/funcs/builtins/"
+    "math_ops.cc:58-225). bin(x,w) = floor(x/w)*w (math_ops.cc:209-216).",
+)
+def q_math_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        dround(F.log("l_extendedprice"), 6).alias("ln_price"),
+        dround(F.log10("l_extendedprice"), 6).alias("log10_price"),
+        dround(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+        dround(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.abs(F.col("l_partkey").cast("long") - 100).alias("abs_diff"),
+        F.ceil("l_quantity").alias("ceil_qty"),
+        F.floor("l_quantity").alias("floor_qty"),
+        (F.col("l_orderkey") % 7).cast("long").alias("mod7"),
+        (F.floor(F.col("l_extendedprice") / 1000) * 1000).alias("price_bin"),
+    )
+
+
+@query(
+    "string_ops",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           lower(p_brand) AS brand_lower,
+           length(p_name) AS name_len,
+           substring(p_name, 1, 5) AS name_prefix,
+           contains(p_name, 'widget') AS has_widget,
+           strpos(p_name, 'bolt') AS bolt_pos,
+           trim(concat('  ', p_name, '  ')) AS trimmed,
+           replace(p_type, 'ECONOMY', 'ECO') AS type_short
+    FROM part
+    """,
+    doc="String UDFs → native functions (ref: src/carnot/funcs/builtins/"
+    "string_ops.cc:33-44): contains, length, find→instr, substring, "
+    "tolower, toupper, trim.",
+)
+def q_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pt = load_table(spark, sf_dir, "part")
+    return pt.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.contains("p_name", F.lit("widget")).alias("has_widget"),
+        F.instr("p_name", "bolt").alias("bolt_pos"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+        F.replace("p_type", F.lit("ECONOMY"), F.lit("ECO")).alias("type_short"),
+    )
+
+
+@query(
+    "json_ops",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    """,
+    doc="JSON UDFs: pluck/pluck_int64 → get_json_object "
+    "(ref: src/carnot/funcs/builtins/json_ops.cc:30-69).",
+)
+def q_json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_id", k.alias("k_val"), (k % 10).alias("k_mod")).where(
+        F.col("k_val") > 50
+    )
+
+
+@query(
+    "regex_ops",
+    """
+    SELECT p_partkey, p_type,
+           regexp_matches(p_type, '^(ECONOMY|PROMO)') AS is_cheap,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+    FROM part
+    """,
+    doc="Regex UDFs: regex_match → rlike, regex_replace → regexp_replace "
+    "(ref: src/carnot/funcs/builtins/regex_ops.cc:33-35). DuckDB "
+    "regexp_replace needs the 'g' flag to match Spark's replace-all.",
+)
+def q_regex_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pt = load_table(spark, sf_dir, "part")
+    return pt.select(
+        "p_partkey",
+        "p_type",
+        F.col("p_type").rlike("^(ECONOMY|PROMO)").alias("is_cheap"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+    )
+
+
+@query(
+    "conditionals",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'large'
+                WHEN o_totalprice > 100000 THEN 'medium'
+                ELSE 'small' END AS size_class,
+           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_finished
+    FROM orders
+    """,
+    doc="Conditional UDFs: select(cond,a,b) → when/otherwise "
+    "(ref: src/carnot/funcs/builtins/conditionals.cc:27-31).",
+)
+def q_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    return od.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "large")
+        .when(F.col("o_totalprice") > 100000, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("is_finished"),
+    )
+
+
+@query(
+    "quantiles",
+    """
+    SELECT event_type,
+           floor(quantile_cont(value, 0.5) * 1e6 + 0.5) / 1e6 AS p50,
+           floor(quantile_cont(value, 0.9) * 1e6 + 0.5) / 1e6 AS p90,
+           floor(quantile_cont(value, 0.99) * 1e6 + 0.5) / 1e6 AS p99,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="quantiles UDA (t-digest sketch in the reference, "
+    "src/carnot/funcs/builtins/math_sketches.h:92-129). Exact interpolated "
+    "percentile here for oracle parity; the 100 TB path is "
+    "approx_percentile (mergeable sketch — same partial/finalize shape as "
+    "the reference's serialized t-digest state).",
+)
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        dround(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        dround(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        dround(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# =============================================================================
+# Training-data pipeline operators (BASELINE.json north star)
+# =============================================================================
+
+
+@query(
+    "text_stats",
+    """
+    WITH base AS (
+        SELECT doc_id, text,
+               len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_words,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens,
+               len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                   / len(text) AS praw,
+               len(regexp_extract_all(lower(text),
+                   '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS n_stop,
+               len(regexp_replace(text, '\\s+', '', 'g')) AS n_chars_nospace
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_tokens,
+           floor(praw * 1e6 + 0.5) / 1e6 AS punct_ratio,
+           floor((n_stop::DOUBLE / n_words) * 1e6 + 0.5) / 1e6 AS stopword_ratio,
+           floor((n_chars_nospace::DOUBLE / n_words) * 1e6 + 0.5) / 1e6 AS mean_word_len
+    FROM base
+    """,
+    doc="Text analysis: token counting (BPE-ish regex), word/punct/stopword "
+    "stats — all native column expressions, zero-shuffle map stage.",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return doc.select(
+        "doc_id",
+        tx.word_count(t).alias("n_words"),
+        tx.token_count(t).alias("n_tokens"),
+        dround(tx.punct_ratio(t), 6).alias("punct_ratio"),
+        dround(tx.stopword_ratio(t), 6).alias("stopword_ratio"),
+        dround(tx.mean_word_length(t), 6).alias("mean_word_len"),
+    )
+
+
+@query(
+    "lang_id",
+    """
+    WITH scores AS (
+        SELECT doc_id, lang,
+               len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS s_en,
+               len(regexp_extract_all(lower(text), '\\b(el|la|de|que|los)\\b')) AS s_es,
+               len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist)\\b')) AS s_de,
+               len(regexp_extract_all(lower(text), '\\b(le|la|les|des|est)\\b')) AS s_fr
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS lang_pred
+    FROM scores
+    """,
+    doc="Language-ID heuristic: marker-word argmax with deterministic "
+    "tie-break (en > es > de > fr). Native regexp counts, no UDF.",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.select("doc_id", "lang", tx.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@query(
+    "fingerprint",
+    """
+    SELECT doc_id,
+           list_reduce(
+               list_concat([0::BIGINT],
+                           list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+               (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+    doc="Document fingerprinting: polynomial rolling hash fold((acc*31 + "
+    "codepoint) mod 1e9+7) — identical left-fold in both engines, pure "
+    "integer arithmetic.",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.select("doc_id", tx.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+    FROM documents
+    GROUP BY text
+    """,
+    doc="Exact deduplication: hash-groupBy on content. The Spark side "
+    "shuffles an 8-byte xxhash64 of the text, never the text itself — the "
+    "100 TB-friendly form; the oracle groups by raw text (same result "
+    "absent hash collisions).",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    return dd.exact_dedup(doc, "doc_id", ["text"]).select("keep_id", "dup_count")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    """
+    WITH w AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(ws) - 2, 0) + 1),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+        FROM w
+    ),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           floor((n_common::DOUBLE / (x.sz + y.sz - n_common)) * 1e6 + 0.5) / 1e6 AS jaccard
+    FROM inter
+    JOIN sz x ON inter.doc_a = x.doc_id
+    JOIN sz y ON inter.doc_b = y.doc_id
+    WHERE n_common::DOUBLE / (x.sz + y.sz - n_common) >= 0.5
+    """,
+    doc="Near-dup detection: exact word-3-gram Jaccard over a shingle "
+    "inverted-index self-join (explode → equijoin on shingle → pair "
+    "counts). The quadratic blow-up is bounded per posting list, not the "
+    "corpus; the LSH variant (dedup_minhash_lsh) is the 100 TB path.",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(doc, "doc_id", "text", n=3, threshold=0.5)
+    return pairs.select("doc_a", "doc_b", dround("jaccard", 6).alias("jaccard"))
+
+
+@query(
+    "dedup_minhash_lsh",
+    None,  # xxhash64-based — not expressible in DuckDB; rows-only check.
+    doc="Near-dup candidates via MinHash (64 hashes) + banded LSH (16 "
+    "bands): docs only meet inside an LSH bucket, so the candidate join "
+    "shuffles (band, bucket) keys, never the cross-product. Verified "
+    "against exact Jaccard in tests/test_dedup.py.",
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(doc, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.5)
+
+
+@query(
+    "dedup_simhash",
+    None,  # xxhash64-based — rows-only check; validated in tests.
+    doc="64-bit SimHash signatures (sign-sum of word hashes, 64 integer "
+    "aggregates, one shuffle on doc_id). Hamming-close signatures ≈ "
+    "near-dups; tests assert near-dup pairs are hamming-close.",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    return dd.simhash(doc, "doc_id", "text")
+
+
+@query(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 8),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               list_reduce(
+                   list_transform(range(1, len(e.embedding) + 1),
+                                  i -> e.embedding[i]::DOUBLE * q.q_vec[i]::DOUBLE),
+                   (acc, v) -> acc + v)
+               / (sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                                                  i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE),
+                                   (acc, v) -> acc + v))
+                  * sqrt(list_reduce(list_transform(range(1, len(q.q_vec) + 1),
+                                                    i -> q.q_vec[i]::DOUBLE * q.q_vec[i]::DOUBLE),
+                                     (acc, v) -> acc + v))) AS score
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, floor(score * 1e6 + 0.5) / 1e6 AS score, rank
+    FROM ranked WHERE rank <= 10
+    """,
+    doc="Similarity search: exact brute-force cosine top-k (query batch "
+    "broadcast, corpus map-scored, per-query TakeOrdered). The cosine fold "
+    "is zip_with+aggregate — JVM codegen, no UDF — with left-fold order "
+    "matching the oracle so doubles are bit-identical. LSH-bucketed "
+    "variant: ann_lsh_topk.",
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 8)
+    out = sim.brute_force_topk(emb, queries_df, "vec_id", "embedding", k=10)
+    return out.select("query_id", "vec_id", dround("score", 6).alias("score"), "rank")
+
+
+@query(
+    "ann_lsh_topk",
+    None,  # approximate by construction — rows-only; recall vs brute force in tests.
+    doc="ANN scale path: random-hyperplane LSH bucketing (deterministic "
+    "planes, seed=42); a query scores only its own bucket. At 100 TB the "
+    "corpus is pre-partitioned by bucket at write time → a query reads "
+    "1/2^n_planes of the data. Recall measured against brute force in "
+    "tests/test_similarity.py.",
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 8)
+    return sim.lsh_topk(emb, queries_df, "vec_id", "embedding", k=10, n_planes=6, dim=64)

@@ -1,0 +1,105 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
+at the given sf dir, compares row count, column names, and values
+(order-insensitive; floats to 1e-9 relative). Exits nonzero on mismatch.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from pixie_spark.session import get_spark
+from pixie_spark.sources import TESTDATA_TABLES
+
+
+def normalize(rows, colnames):
+    out = []
+    for row in rows:
+        vals = []
+        for c in sorted(colnames):
+            v = row[c]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = round(v, 9)
+            vals.append((c, v))
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("check_oracle")
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failed, passed, rows_only = [], [], []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"rows-only {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            rows_only.append(name)
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            failed.append(name)
+            continue
+        ok = True
+        if len(sdf) != len(odf):
+            print(f"FAIL {name}: row count spark={len(sdf)} duckdb={len(odf)}")
+            ok = False
+        elif sorted(sdf.columns) != sorted(odf.columns):
+            print(f"FAIL {name}: columns spark={sorted(sdf.columns)} duckdb={sorted(odf.columns)}")
+            ok = False
+        else:
+            s_rows = normalize(sdf.to_dict("records"), list(sdf.columns))
+            o_rows = normalize(odf.to_dict("records"), list(odf.columns))
+            if s_rows != o_rows:
+                diffs = [i for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b]
+                print(f"FAIL {name}: {len(diffs)} differing rows of {len(s_rows)}")
+                for i in diffs[:3]:
+                    print(f"  spark : {s_rows[i]}")
+                    print(f"  duckdb: {o_rows[i]}")
+                ok = False
+        if ok:
+            print(f"PASS {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            passed.append(name)
+        else:
+            failed.append(name)
+
+    print(f"\n{len(passed)} passed, {len(rows_only)} rows-only, {len(failed)} failed")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
