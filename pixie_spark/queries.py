@@ -703,8 +703,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh AS (
         SELECT doc_id,
                unnest(list_distinct(list_transform(
-                   range(1, greatest(len(ws) - 2, 0) + 1),
-                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+                   range(1, greatest(len(ws) - 4, 0) + 1),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                             || ' ' || ws[i+3] || ' ' || ws[i+4]))) AS shingle
         FROM w
     ),
     sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
@@ -720,14 +721,14 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sz y ON inter.doc_b = y.doc_id
     WHERE n_common::DOUBLE / (x.sz + y.sz - n_common) >= 0.5
     """,
-    doc="Near-dup detection: exact word-3-gram Jaccard over a shingle "
-    "inverted-index self-join (explode → equijoin on shingle → pair "
-    "counts). The quadratic blow-up is bounded per posting list, not the "
-    "corpus; the LSH variant (dedup_minhash_lsh) is the 100 TB path.",
+    doc="Near-dup detection: exact word-5-gram Jaccard via PPJoin-style "
+    "prefix filtering (rarity-first global shingle order; lossless). "
+    "5-gram shingles keep posting lists selective; the LSH variant "
+    "(dedup_minhash_lsh) is the 100 TB path.",
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = load_table(spark, sf_dir, "documents")
-    pairs = dd.jaccard_pairs(doc, "doc_id", "text", n=3, threshold=0.5)
+    pairs = dd.jaccard_pairs(doc, "doc_id", "text", n=5, threshold=0.5)
     return pairs.select("doc_a", "doc_b", dround("jaccard", 6).alias("jaccard"))
 
 
@@ -741,7 +742,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = load_table(spark, sf_dir, "documents")
-    return dd.minhash_lsh_pairs(doc, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.5)
+    return dd.minhash_lsh_pairs(doc, "doc_id", "text", n=5, num_hashes=64, bands=16, threshold=0.5)
 
 
 @query(
