@@ -1,0 +1,214 @@
+"""PxL-flavored DataFrame facade over PySpark.
+
+Reference surface: src/carnot/planner/objects/dataframe.h (method ids and
+docstrings cited per method below). The facade builds a lazy Spark plan;
+Catalyst replaces the reference's analyzer/optimizer stack (SURVEY §3).
+
+Semantics choices:
+- column assignment (``df.col = expr`` / ``df['col'] = expr``) → withColumn
+  (Map operator, dataframe.h:118)
+- ``df[df.x > 1]`` filter, ``df[['a','b']]`` keep (dataframe.h:184-206)
+- ``df.agg(out=('col', 'px.mean'))`` tuple syntax resolved through the
+  function registry (dataframe.h:230)
+- ``df.ctx['service']`` resolves via broadcast metadata joins
+  (dataframe.h:422, convert_metadata_rule.cc)
+- ``df.rolling(w)`` bins time_ into tumbling windows for the next agg
+  (dataframe.h:381, rolling_ir.h:44-57)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import Column
+from pyspark.sql import DataFrame as SparkDataFrame
+from pyspark.sql import functions as F
+
+from pixie_spark.functions import lookup
+from pixie_spark.functions.math_ops import bin as _bin
+
+_INTERNAL = ("_sdf", "_rolling_ns", "_streaming", "_groups")
+
+
+class MetadataExpr:
+    """Sentinel returned by df.ctx[attr]; realized on assignment."""
+
+    def __init__(self, attr: str):
+        self.attr = attr
+
+
+class CtxAccessor:
+    def __init__(self, owner: "PxDataFrame"):
+        self._owner = owner
+
+    def __getitem__(self, attr: str) -> MetadataExpr:
+        return MetadataExpr(attr)
+
+
+class PxDataFrame:
+    """A PxL DataFrame. Wraps a Spark DataFrame; all methods lazy."""
+
+    def __init__(self, sdf: SparkDataFrame, streaming: bool = False):
+        object.__setattr__(self, "_sdf", sdf)
+        object.__setattr__(self, "_rolling_ns", None)
+        object.__setattr__(self, "_streaming", streaming)
+
+    # --- plumbing -----------------------------------------------------------
+
+    def to_spark(self) -> SparkDataFrame:
+        return self._sdf
+
+    def _wrap(self, sdf: SparkDataFrame) -> "PxDataFrame":
+        out = PxDataFrame(sdf, streaming=self._streaming)
+        object.__setattr__(out, "_rolling_ns", self._rolling_ns)
+        return out
+
+    @property
+    def columns(self) -> list[str]:
+        return self._sdf.columns
+
+    @property
+    def ctx(self) -> CtxAccessor:
+        """K8s metadata accessor (dataframe.h:422). df.svc = df.ctx['service']."""
+        return CtxAccessor(self)
+
+    # --- column access / assignment (Map operator) --------------------------
+
+    def __getattr__(self, name: str) -> Column:
+        if name in _INTERNAL:
+            raise AttributeError(name)
+        if name in self._sdf.columns:
+            return self._sdf[name]
+        raise AttributeError(f"no column {name!r}; have {self._sdf.columns}")
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        if name in _INTERNAL:
+            object.__setattr__(self, name, value)
+            return
+        self._assign(name, value)
+
+    def __setitem__(self, name: str, value: Any) -> None:
+        self._assign(name, value)
+
+    def _assign(self, name: str, value: Any) -> None:
+        if isinstance(value, MetadataExpr):
+            from pixie_spark.api import _get_metadata_resolver
+
+            resolver = _get_metadata_resolver()
+            attr = value.attr
+            resolved = resolver.resolve_upid(self._sdf, [attr])
+            if attr != name:
+                resolved = resolved.withColumnRenamed(attr, name)
+            object.__setattr__(self, "_sdf", resolved)
+            return
+        col = value if isinstance(value, Column) else F.lit(value)
+        object.__setattr__(self, "_sdf", self._sdf.withColumn(name, col))
+
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return self._sdf[key]
+        if isinstance(key, list):
+            return self._wrap(self._sdf.select(*key))  # keep (dataframe.h:184)
+        if isinstance(key, Column):
+            return self._wrap(self._sdf.where(key))  # filter (dataframe.h:206)
+        raise TypeError(f"unsupported indexer {type(key)}")
+
+    # --- operators ----------------------------------------------------------
+
+    def drop(self, cols: list[str] | str) -> "PxDataFrame":
+        """dataframe.h:157 (DropIR → Map in the reference)."""
+        cols = [cols] if isinstance(cols, str) else cols
+        return self._wrap(self._sdf.drop(*cols))
+
+    def head(self, n: int = 5) -> "PxDataFrame":
+        """dataframe.h:263 (Limit operator)."""
+        return self._wrap(self._sdf.limit(n))
+
+    def groupby(self, by: list[str] | str) -> "PxGroupedFrame":
+        """dataframe.h:330 — deferred grouping, merged into the next agg
+        (merge_group_by_into_group_acceptor_rule.h)."""
+        by = [by] if isinstance(by, str) else list(by)
+        return PxGroupedFrame(self, by)
+
+    def agg(self, **aggs) -> "PxDataFrame":
+        """Group-by-none aggregate (dataframe.h:230): out=('col','px.mean')."""
+        return PxGroupedFrame(self, []).agg(**aggs)
+
+    def merge(
+        self,
+        right: "PxDataFrame",
+        how: str = "inner",
+        left_on: str | list[str] = None,
+        right_on: str | list[str] = None,
+        suffixes: tuple[str, str] = ("_x", "_y"),
+    ) -> "PxDataFrame":
+        """dataframe.h:284. Equijoin only, like the reference
+        (equijoin_node.cc); suffix-renames overlapping columns."""
+        left_on = [left_on] if isinstance(left_on, str) else list(left_on)
+        right_on = [right_on] if isinstance(right_on, str) else list(right_on)
+        lsdf, rsdf = self._sdf, right._sdf
+        overlap = (set(lsdf.columns) & set(rsdf.columns)) - (set(left_on) & set(right_on))
+        for c in overlap:
+            lsdf = lsdf.withColumnRenamed(c, c + suffixes[0])
+            rsdf = rsdf.withColumnRenamed(c, c + suffixes[1])
+        cond = None
+        for lc, rc in zip(left_on, right_on):
+            lcol = lsdf[lc + suffixes[0]] if lc in overlap else lsdf[lc]
+            rcol = rsdf[rc + suffixes[1]] if rc in overlap else rsdf[rc]
+            c = lcol == rcol
+            cond = c if cond is None else (cond & c)
+        joined = lsdf.join(rsdf, cond, how)
+        return self._wrap(joined)
+
+    def append(self, other: "PxDataFrame") -> "PxDataFrame":
+        """dataframe.h:354 (Union). Column alignment by name, like the
+        reference's per-input column mapping (union_node.cc). Declared
+        time-ordering of the merged stream is an explicit non-goal
+        (SURVEY §2.1 Union note) — downstream event-time ops don't need it."""
+        return self._wrap(self._sdf.unionByName(other._sdf))
+
+    def rolling(self, window: str | int, on: str = "time_") -> "PxDataFrame":
+        """dataframe.h:381 / rolling_ir.h:44-57: tumbling windows; the next
+        agg groups by the binned time column."""
+        from pixie_spark.api.timemod import parse_duration
+
+        ns = parse_duration(window) if isinstance(window, str) else int(window)
+        out = self._wrap(self._sdf.withColumn(on, _bin(F.col(on), F.lit(ns))))
+        object.__setattr__(out, "_rolling_ns", (on, ns))
+        return out
+
+    def stream(self) -> "PxDataFrame":
+        """dataframe.h:404 / stream_ir.h:44 — mark the query streaming.
+        On a batch source this flags downstream sinks to use writeStream
+        (the same one-model-two-scan-modes duality as the reference,
+        memory_source_node.cc:73-88)."""
+        out = self._wrap(self._sdf)
+        object.__setattr__(out, "_streaming", True)
+        return out
+
+
+class PxGroupedFrame:
+    """df.groupby(...) — resolves agg tuples through the function registry."""
+
+    def __init__(self, parent: PxDataFrame, by: list[str]):
+        self._parent = parent
+        self._by = by
+
+    def agg(self, **aggs) -> PxDataFrame:
+        cols = []
+        for out_name, spec in aggs.items():
+            if isinstance(spec, tuple):
+                col_name, fn = spec
+                fn = lookup(fn) if isinstance(fn, str) else fn
+                cols.append(fn(F.col(col_name)).alias(out_name))
+            elif isinstance(spec, Column):
+                cols.append(spec.alias(out_name))
+            else:
+                raise TypeError(f"agg spec for {out_name!r} must be (col, fn) or Column")
+        by = list(self._by)
+        rolling = self._parent._rolling_ns
+        if rolling and rolling[0] not in by:
+            by = [rolling[0]] + by
+        sdf = self._parent._sdf
+        out = sdf.groupBy(*by).agg(*cols) if by else sdf.agg(*cols)
+        return self._parent._wrap(out)

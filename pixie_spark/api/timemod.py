@@ -1,0 +1,87 @@
+"""Compile-time time helpers, evaluated at plan-build time in the API
+layer — exactly where the reference evaluates them (planner, not engine:
+src/carnot/planner/objects/pixie_module.h:110-247, objects/time.cc).
+
+All values are int64 nanoseconds (TIME64NS convention, SURVEY §1.2).
+"""
+
+from __future__ import annotations
+
+import re
+import time as _time
+from datetime import datetime, timezone
+
+NS = 1
+US = 1_000
+MS = 1_000_000
+SECOND = 1_000_000_000
+MINUTE = 60 * SECOND
+HOUR = 60 * MINUTE
+DAY = 24 * HOUR
+
+_DUR_RE = re.compile(r"^(-?)(\d+)(ns|us|ms|s|m|h|d)$")
+_UNITS = {"ns": NS, "us": US, "ms": MS, "s": SECOND, "m": MINUTE, "h": HOUR, "d": DAY}
+
+
+def now() -> int:
+    """px.now() → current time ns."""
+    return _time.time_ns()
+
+
+def nanos(n: float) -> int:
+    return int(n)
+
+
+def micros(n: float) -> int:
+    return int(n * US)
+
+
+def millis(n: float) -> int:
+    return int(n * MS)
+
+
+def seconds(n: float) -> int:
+    return int(n * SECOND)
+
+
+def minutes(n: float) -> int:
+    return int(n * MINUTE)
+
+
+def hours(n: float) -> int:
+    return int(n * HOUR)
+
+
+def days(n: float) -> int:
+    return int(n * DAY)
+
+
+def parse_duration(s: str) -> int:
+    """'-5m' / '2s' / '1h' → signed ns (px.parse_duration)."""
+    m = _DUR_RE.match(s.strip())
+    if not m:
+        raise ValueError(f"bad duration {s!r} (want e.g. '-5m', '30s', '1h')")
+    sign = -1 if m.group(1) == "-" else 1
+    return sign * int(m.group(2)) * _UNITS[m.group(3)]
+
+
+def strptime(s: str, fmt: str) -> int:
+    """px.strptime → ns since epoch (naive strings treated as UTC)."""
+    dt = datetime.strptime(s, fmt)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * SECOND)
+
+
+def resolve_time(value, reference_ns: int | None = None) -> int:
+    """start_time/end_time argument → absolute ns. Accepts absolute ints,
+    relative duration strings ('-5m'), and datetimes."""
+    if isinstance(value, int):
+        return value
+    if isinstance(value, datetime):
+        v = value if value.tzinfo else value.replace(tzinfo=timezone.utc)
+        return int(v.timestamp() * SECOND)
+    if isinstance(value, str):
+        ref = reference_ns if reference_ns is not None else now()
+        return ref + parse_duration(value)
+    raise TypeError(f"cannot interpret time {value!r}")

@@ -1,0 +1,67 @@
+"""JSON functions. Reference: src/carnot/funcs/builtins/json_ops.cc:30-69
+(pluck, pluck_int64, pluck_float64, pluck_array, split,
+_script_reference)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(x) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+def _path(key: str) -> str:
+    return key if key.startswith("$") else f"$.{key}"
+
+
+def pluck(col, key: str) -> Column:
+    """Extract a JSON field as string (json_ops.cc 'pluck')."""
+    return F.get_json_object(_c(col), _path(key))
+
+
+def pluck_int64(col, key: str) -> Column:
+    return F.get_json_object(_c(col), _path(key)).cast("long")
+
+
+def pluck_float64(col, key: str) -> Column:
+    return F.get_json_object(_c(col), _path(key)).cast("double")
+
+
+def pluck_array(col, key: str | None = None) -> Column:
+    """Extract a JSON array as array<string> of element JSON texts."""
+    src = F.get_json_object(_c(col), _path(key)) if key else _c(col)
+    return F.from_json(src, "array<string>")
+
+
+def split(col, delim: str) -> Column:
+    """PxL's split returns a JSON-array STRING (json_ops.cc); we return the
+    Spark-native array<string> — to_json() restores reference shape."""
+    return F.split(_c(col), delim)
+
+
+def script_reference(label, script: str, args: dict[str, str] | None = None) -> Column:
+    """UI deep-link blob: {label, script, args} as a JSON string
+    (json_ops.cc '_script_reference'). Args values may be Columns."""
+    args = args or {}
+    pairs = []
+    for k, v in args.items():
+        pairs.append(F.lit(json.dumps(k)))
+        pairs.append(F.to_json(F.struct((v if isinstance(v, Column) else F.lit(v)).alias("v"))))
+    label_c = label if isinstance(label, Column) else F.lit(label)
+    arg_struct = F.struct(
+        *[
+            (v if isinstance(v, Column) else F.lit(v)).alias(k)
+            for k, v in args.items()
+        ]
+    ) if args else F.lit(None)
+    return F.to_json(
+        F.struct(
+            label_c.alias("label"),
+            F.lit(script).alias("script"),
+            *( [arg_struct.alias("args")] if args else [] ),
+        )
+    )

@@ -1,0 +1,126 @@
+"""K8s metadata resolution — the reference's ~100 metadata UDFs
+(src/carnot/funcs/metadata/metadata_ops.cc:35-139: upid_to_pod_name,
+upid_to_service_name, pod_id_to_*, service_id_to_*, ip_to_pod_id, ...)
+re-expressed as broadcast joins against slowly-changing dimension tables.
+
+The reference resolves each call against an in-memory k8s metadata
+snapshot on the agent; the Spark equivalent is a broadcast dimension
+join — one hash lookup per row, same asymptotics, but planner-visible
+(column pruning, join reordering) and cluster-wide consistent.
+
+Dimension schemas: pixie_spark.schemas.K8S_* (FIXTURES.md §6). Rows
+carry [start_time, stop_time) validity windows; resolution is as-of the
+event time when a time column is given.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# accessor name → (dim table, join key on dim, value column)
+_UPID_ACCESSORS = {
+    "pod_id": "pod_id",
+    "pod_name": "pod_name",
+    "namespace": "namespace",
+    "node_name": "node_name",
+    "pod_ip": "pod_ip",
+    "service_id": "service_id",
+    "replicaset_id": "replicaset_id",
+    "deployment_id": "deployment_id",
+    "pod_phase": "phase",
+}
+
+
+class MetadataResolver:
+    """Holds the k8s dimension tables and rewrites ctx[...] accessors into
+    broadcast joins (SURVEY §2.2 MetadataIR / convert_metadata_rule.cc).
+    """
+
+    def __init__(
+        self,
+        pods: DataFrame,
+        services: DataFrame | None = None,
+        replicasets: DataFrame | None = None,
+        deployments: DataFrame | None = None,
+    ):
+        self.pods = pods
+        self.services = services
+        self.replicasets = replicasets
+        self.deployments = deployments
+
+    def _join_pods(self, df: DataFrame, upid_col: str, cols: list[str], time_col: str | None) -> DataFrame:
+        dim_cols = ["upid"] + sorted({c for c in cols}) + (
+            ["start_time", "stop_time"] if time_col else []
+        )
+        dim = self.pods.select(*[F.col(c).alias(f"__md_{c}") for c in dim_cols])
+        cond = df[upid_col] == F.col("__md_upid")
+        if time_col:
+            cond = (
+                cond
+                & (df[time_col] >= F.col("__md_start_time"))
+                & ((df[time_col] < F.col("__md_stop_time")) | F.col("__md_stop_time").isNull())
+            )
+        out = df.join(F.broadcast(dim), cond, "left")
+        for c in cols:
+            out = out.withColumn(c, F.col(f"__md_{c}"))
+        return out.drop(*[f"__md_{c}" for c in dim_cols])
+
+    def resolve_upid(
+        self, df: DataFrame, attrs: list[str], upid_col: str = "upid", time_col: str | None = None
+    ) -> DataFrame:
+        """df.ctx['pod_name'] etc. → one broadcast join adding all attrs.
+
+        Multiple attrs resolve in a single join (the reference pays one
+        UDF call per attr; the analyzer here merges them — the analogue of
+        CombineConsecutiveMapsRule).
+        """
+        unknown = [a for a in attrs if a not in _UPID_ACCESSORS and a != "service_name"]
+        if unknown:
+            raise KeyError(f"unknown metadata attrs: {unknown}; have {sorted(_UPID_ACCESSORS)} + ['service_name']")
+        pod_attrs = [_UPID_ACCESSORS[a] for a in attrs if a in _UPID_ACCESSORS]
+        need_service = "service_name" in attrs
+        if need_service and "service_id" not in pod_attrs:
+            pod_attrs.append("service_id")
+        out = self._join_pods(df, upid_col, pod_attrs, time_col)
+        # rename dim-native names back to requested accessor names
+        for a in attrs:
+            if a in _UPID_ACCESSORS and _UPID_ACCESSORS[a] != a:
+                out = out.withColumnRenamed(_UPID_ACCESSORS[a], a)
+        if need_service:
+            if self.services is None:
+                raise ValueError("service_name requested but no services dimension provided")
+            svc = F.broadcast(
+                self.services.select(
+                    F.col("service_id").alias("__svc_id"),
+                    F.col("service_name").alias("service_name"),
+                )
+            )
+            out = out.join(svc, out["service_id"] == F.col("__svc_id"), "left").drop("__svc_id")
+            if "service_id" not in attrs:
+                out = out.drop("service_id")
+        return out
+
+    # individual accessors (generated API parity with metadata_ops.cc) -------
+
+    def upid_to_pod_name(self, df: DataFrame, upid_col: str = "upid") -> DataFrame:
+        return self.resolve_upid(df, ["pod_name"], upid_col)
+
+    def upid_to_service_name(self, df: DataFrame, upid_col: str = "upid") -> DataFrame:
+        return self.resolve_upid(df, ["service_name"], upid_col)
+
+    def upid_to_namespace(self, df: DataFrame, upid_col: str = "upid") -> DataFrame:
+        return self.resolve_upid(df, ["namespace"], upid_col)
+
+    def upid_to_node_name(self, df: DataFrame, upid_col: str = "upid") -> DataFrame:
+        return self.resolve_upid(df, ["node_name"], upid_col)
+
+    def ip_to_pod_id(self, df: DataFrame, ip_col: str) -> DataFrame:
+        dim = F.broadcast(
+            self.pods.select(F.col("pod_ip").alias(ip_col), "pod_id").dropDuplicates([ip_col])
+        )
+        return df.join(dim, ip_col, "left")
+
+    def has_service_name(self, df: DataFrame, upid_col: str = "upid") -> DataFrame:
+        out = self.upid_to_service_name(df, upid_col)
+        return out.withColumn("has_service_name", F.col("service_name").isNotNull())

@@ -1,0 +1,128 @@
+"""ML functions.
+
+Reference: src/carnot/funcs/builtins/ml_ops.cc:32-39 with kernels in
+src/carnot/exec/ml/{kmeans,coreset,sampling}.cc — _text_embedding (ONNX
+transformer), _encode_sentence_piece, _kmeans_fit/_kmeans_inference,
+reservoir 'sample' UDA.
+
+Spark-first re-expression:
+- kmeans: Lloyd's iterations as DataFrame aggregations — centroids are a
+  small broadcast literal each round; assignment is a native argmin
+  expression. Linear scans, no UDF in the assignment hot path.
+- embedding/sentencepiece: model inference needs libs absent here →
+  STUBBED with a deterministic fake behind the same API (plumbing real).
+- sample: seeded uniform sampling (df.sample) / per-group reservoir via
+  rank over a seeded hash — deterministic, shuffle-free pre-aggregation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pixie_spark.operators.similarity import dot_product
+
+
+def _sq_dist(vec: Column, center: list[float]) -> Column:
+    lit = F.array(*[F.lit(float(v)) for v in center])
+    diff = F.zip_with(vec, lit, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b))
+    return F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def kmeans_assign(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """argmin_k ||x - c_k||² as a native expression (no UDF).
+
+    Ref: _kmeans_inference (ml_ops.cc). Centroids ride along as literals
+    — the broadcast variable of the DataFrame world.
+    """
+    best_idx = F.lit(0)
+    best_dist = _sq_dist(vec_col, centroids[0])
+    for k in range(1, len(centroids)):
+        d = _sq_dist(vec_col, centroids[k])
+        closer = d < best_dist
+        best_idx = F.when(closer, F.lit(k)).otherwise(best_idx)
+        best_dist = F.when(closer, d).otherwise(best_dist)
+    return best_idx
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    max_iter: int = 10,
+    seed: int = 42,
+    dim: int | None = None,
+) -> list[list[float]]:
+    """Lloyd's algorithm over DataFrames (ref: _kmeans_fit + kmeans.cc).
+
+    Each iteration: one map (assignment expression) + one groupBy
+    (centroid means via per-dimension avg) — a single shuffle of k rows
+    worth of state. Init: deterministic sample of k rows.
+    """
+    first = df.select(vec_col).first()
+    if first is None:
+        return []
+    if dim is None:
+        dim = len(first[0])
+    init = df.select(vec_col).orderBy(F.xxhash64(F.col(vec_col).cast("array<float>").cast("string"), F.lit(seed))).limit(k).collect()
+    centroids = [list(map(float, r[0])) for r in init]
+    for _ in range(max_iter):
+        assigned = df.select(
+            kmeans_assign(F.col(vec_col), centroids).alias("cluster"),
+            *[F.element_at(vec_col, i + 1).cast("double").alias(f"d{i}") for i in range(dim)],
+        )
+        rows = (
+            assigned.groupBy("cluster")
+            .agg(*[F.avg(f"d{i}").alias(f"d{i}") for i in range(dim)])
+            .collect()
+        )
+        new_centroids = list(centroids)
+        for r in rows:
+            new_centroids[r["cluster"]] = [r[f"d{i}"] for i in range(dim)]
+        if all(
+            abs(a - b) < 1e-9
+            for oldc, newc in zip(centroids, new_centroids)
+            for a, b in zip(oldc, newc)
+        ):
+            centroids = new_centroids
+            break
+        centroids = new_centroids
+    return centroids
+
+
+def kmeans_inference(df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("cluster", kmeans_assign(F.col(vec_col), centroids))
+
+
+def sample_per_group(df: DataFrame, group_cols: list[str], n: int, seed: int = 42) -> DataFrame:
+    """Deterministic per-group reservoir-style sample: rank rows by a
+    seeded hash of the whole row, keep n per group (ref: sampling.cc
+    reservoir UDA). One shuffle on the group keys."""
+    w = Window.partitionBy(*group_cols).orderBy(F.xxhash64(F.struct(*df.columns), F.lit(seed)))
+    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= n).drop("_rn")
+
+
+# --- stubbed model kernels (libraries unavailable in this environment) -------
+
+_EMBED_DIM = 32
+
+
+def text_embedding(col: Column) -> Column:
+    """STUB of _text_embedding (ONNX transformer in the reference).
+
+    Deterministic fake: 32 floats derived from xxhash64(text, i)/2^63 —
+    stable across runs/engines, exercises the same array<float> plumbing
+    (storage, similarity search, kmeans) as a real encoder. Swap the body
+    for a pandas_udf ONNX call in production.
+    """
+    return F.array(
+        *[(F.xxhash64(col, F.lit(i)) / F.lit(float(2**63))).cast("float") for i in range(_EMBED_DIM)]
+    )
+
+
+def encode_sentence_piece(col: Column) -> Column:
+    """STUB of _encode_sentence_piece: deterministic fake token ids from
+    word hashes (real tokenizer lib unavailable here)."""
+    words = F.filter(F.split(col, r"\s+"), lambda w: w != "")
+    return F.transform(words, lambda w: F.pmod(F.xxhash64(w), F.lit(32000)).cast("int"))

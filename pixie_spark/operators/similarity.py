@@ -101,31 +101,50 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 8,
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: score only corpus rows in the query's LSH bucket.
+    """Approximate top-k: score only corpus rows sharing an LSH bucket
+    with the query in ANY of ``n_tables`` independent hash tables.
 
-    At scale the corpus side is pre-bucketed at write time (partition by
-    bucket) so a query touches 1/2^n_planes of the data; here both sides
-    are bucketed inline. Recall is tunable via n_planes (fewer planes →
-    bigger buckets → higher recall, more compute).
+    Multi-table random-hyperplane LSH: a neighbor at angle θ collides in
+    one table with prob (1-θ/π)^n_planes; L tables lift recall to
+    1-(1-p)^L while a query still scans only L·|corpus|/2^n_planes rows.
+    At scale the corpus index (vec_id, table, bucket) is written once and
+    partitioned by (table, bucket) — a query reads L partitions; here it
+    is computed inline. Each table's planes come from a disjoint slice of
+    the seeded plane pool, so bucketing is deterministic and stable
+    across write/read boundaries.
     """
-    planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("c_vec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
+    all_planes = _hyperplanes(dim, n_planes * n_tables, seed)
+
+    def entries(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        # bucket exprs reference the ORIGINAL column, not the alias —
+        # lateral-alias refs inside explode() crash the analyzer
+        buckets = [
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket(F.col(vec_col), all_planes[t * n_planes : (t + 1) * n_planes]).alias(
+                    "bucket"
+                ),
+            )
+            for t in range(n_tables)
+        ]
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(vec_alias),
+            F.explode(F.array(*buckets)).alias("tb"),
+        ).select(id_alias, vec_alias, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+
+    c = entries(corpus, "vec_id", "c_vec")
+    q = entries(queries, "query_id", "q_vec")
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["tbl", "bucket"])
         .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "q_vec", "c_vec")
+        .dropDuplicates(["query_id", "vec_id"])
         .select("query_id", "vec_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))

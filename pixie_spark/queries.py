@@ -809,4 +809,4 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 8)
-    return sim.lsh_topk(emb, queries_df, "vec_id", "embedding", k=10, n_planes=6, dim=64)
+    return sim.lsh_topk(emb, queries_df, "vec_id", "embedding", k=10, n_planes=4, n_tables=8, dim=64)

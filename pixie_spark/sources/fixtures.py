@@ -1,0 +1,141 @@
+"""Deterministic synthetic observability fixtures (FIXTURES.md).
+
+Generates http_events + k8s metadata dimensions with the reference's
+conventions: time_ = col 0, long ns, sorted; upid = struct<high,low>;
+skewed resp_status (95/4/1), log-normal latency, ~20 req_path templates,
+1-5% of upids absent from k8s_pods to exercise left-join fallbacks
+(metadata_ops.cc:48 _upid_to_podname_local_addr_fallback).
+
+Seeded → identical across runs; used by the pixie-semantics parity tests
+(tests/test_api.py, tests/test_metadata.py).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+from pixie_spark.schemas import HTTP_EVENTS, K8S_PODS, K8S_SERVICES
+
+BASE_NS = 1_704_067_200_000_000_000  # 2024-01-01 UTC
+HOUR_NS = 3_600_000_000_000
+
+_METHODS = ["GET", "GET", "GET", "POST", "PUT", "DELETE"]
+_PATH_TEMPLATES = [
+    "/api/v1/items/{id}", "/api/v1/items", "/api/v1/users/{id}",
+    "/api/v1/users/{id}/orders", "/api/v2/search", "/healthz", "/metrics",
+    "/api/v1/cart/{id}", "/api/v1/checkout", "/login", "/logout",
+    "/static/app.js", "/api/v1/products/{id}", "/api/v1/products",
+    "/api/v2/recommendations/{id}", "/admin/users", "/api/v1/reviews/{id}",
+    "/api/v1/inventory", "/ws/notifications", "/api/v3/feature-flags",
+]
+
+
+def _upid(asid: int, pid: int, start_ts: int) -> dict:
+    return {"high": (asid << 32) | pid, "low": start_ts}
+
+
+def k8s_fixtures(spark: SparkSession, n_pods: int = 10, seed: int = 42):
+    """(k8s_pods, k8s_services): ~10 pods / 3 services / 2 namespaces /
+    3 nodes, with validity windows."""
+    rng = np.random.RandomState(seed)
+    namespaces = ["prod", "staging"]
+    services = [("s-frontend", "frontend"), ("s-api", "api"), ("s-db", "db")]
+    nodes = ["node-1", "node-2", "node-3"]
+    pods, svc_rows = [], []
+    for sid, sname in services:
+        ns = namespaces[0] if sname != "db" else namespaces[1]
+        svc_rows.append((sid, f"{ns}/{sname}", ns, f"10.96.0.{len(svc_rows)+1}", json.dumps([])))
+    for i in range(n_pods):
+        sid, sname = services[i % len(services)]
+        ns = namespaces[0] if sname != "db" else namespaces[1]
+        asid, pid = i % 3 + 1, 1000 + i
+        start = BASE_NS - ((i % 48) + 1) * HOUR_NS  # deterministic: join key
+        pods.append(
+            (
+                _upid(asid, pid, start),
+                f"pod-id-{i:04d}",
+                f"{ns}/{sname}-{i:04d}",
+                ns,
+                nodes[i % 3],
+                f"10.0.{i // 250}.{i % 250 + 1}",
+                sid,
+                f"rs-{sname}-1",
+                f"dep-{sname}",
+                "Running" if i % 7 else "Pending",
+                start,
+                None,
+            )
+        )
+    return (
+        spark.createDataFrame(pods, K8S_PODS),
+        spark.createDataFrame(svc_rows, K8S_SERVICES),
+    )
+
+
+def http_events_fixture(
+    spark: SparkSession, n: int = 2000, n_pods: int = 10, seed: int = 42, orphan_frac: float = 0.03
+) -> DataFrame:
+    """Skewed HTTP events table (FIXTURES.md §1/§8)."""
+    rng = np.random.RandomState(seed)
+    # uneven event rate over 1h: mixture of two rates
+    t = np.sort(
+        np.concatenate(
+            [
+                rng.uniform(0, 0.4, int(n * 0.7)),
+                rng.uniform(0.4, 1.0, n - int(n * 0.7)),
+            ]
+        )
+    )
+    times = (BASE_NS + t * HOUR_NS).astype(np.int64)
+    status_pool = np.concatenate(
+        [
+            np.repeat([200, 204], [80, 15]),
+            np.repeat([400, 404], [2, 2]),
+            np.array([500]),
+        ]
+    )
+    latency = np.minimum(
+        (np.exp(rng.normal(np.log(2e6), 1.2, n))).astype(np.int64), 2_000_000_000
+    )  # log-normal around 2ms, p99 ~ 150ms
+    rows = []
+    for i in range(n):
+        if rng.rand() < orphan_frac:
+            upid = _upid(9, 9900 + int(rng.randint(0, 50)), BASE_NS - 7 * HOUR_NS)
+        else:
+            pod = int(rng.randint(0, n_pods))
+            upid = _upid(pod % 3 + 1, 1000 + pod, BASE_NS - (pod % 48 + 1) * HOUR_NS)
+        tmpl = _PATH_TEMPLATES[int(rng.randint(0, len(_PATH_TEMPLATES)))]
+        path = tmpl.replace("{id}", str(int(rng.randint(1, 500))))
+        status = int(status_pool[int(rng.randint(0, len(status_pool)))])
+        method = _METHODS[int(rng.randint(0, len(_METHODS)))]
+        body_size = int(rng.randint(0, 4096))
+        rows.append(
+            (
+                int(times[i]),
+                upid,
+                f"10.1.0.{int(rng.randint(1, 250))}",
+                int(rng.randint(1024, 65535)),
+                "10.0.0.1",
+                8080,
+                2,  # server
+                bool(rng.rand() < 0.5),
+                1,
+                1,
+                1 if rng.rand() < 0.6 else 0,
+                json.dumps({"host": "svc.local"}),
+                method,
+                path,
+                "{}" if method in ("GET", "DELETE") else json.dumps({"q": int(rng.randint(0, 9))}),
+                body_size,
+                json.dumps({"content-type": "application/json"}),
+                status,
+                "",
+                json.dumps({"ok": status < 400}),
+                int(rng.randint(16, 65536)),
+                int(latency[i]),
+            )
+        )
+    return spark.createDataFrame(rows, HTTP_EVENTS)

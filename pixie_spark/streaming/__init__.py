@@ -1,0 +1,168 @@
+"""Streaming layer: the reference's one-model-two-scan-modes duality
+(SURVEY §1.3 — MemorySource streaming=true, df.stream(), eow/eos window
+flags) mapped onto Structured Streaming.
+
+- ``stream_table``: readStream over the same schema/path a batch query
+  reads (memory_source_node.cc:73-88's infinite cursor ≈ file/kafka
+  stream source).
+- ``rolling_agg``: PxL rolling windows → window() + watermark. The
+  reference flushes windowed aggs on eow batch flags (exec_node.h:213-223,
+  agg_node 'windowed' mode) — processing-time-ish; here watermarked
+  event-time windows give the same results with a documented difference:
+  late rows beyond the watermark are dropped rather than flushed into a
+  stale window.
+- ``otel_export`` / ``display_stream``: GRPCSink/OTelExportSink
+  equivalents via foreachBatch (otel_export_sink_node.cc re-expressed as
+  a sink callback writing OTLP-shaped JSON; swap the writer for a real
+  OTLP exporter in production).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pixie_spark.api.timemod import parse_duration
+
+
+def stream_table(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
+    """readStream over a directory of files with a registered schema
+    (no inference — matching the reference's ahead-of-time relations)."""
+    return (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+    )
+
+
+def ns_to_ts(col: Column) -> Column:
+    return F.timestamp_micros((col / 1000).cast("long"))
+
+
+def rolling_agg(
+    df: DataFrame,
+    window: str,
+    aggs: dict[str, Column],
+    by: list[str] | None = None,
+    time_col: str = "time_",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Tumbling event-time window aggregate for streams.
+
+    PxL: df.rolling('10s').groupby(...).agg(...) (rolling_ir.h:44-57).
+    time_ is ns → converted to a timestamp for window(); the output keeps
+    ``time_`` as the window start in ns for API parity.
+    """
+    dur = f"{parse_duration(window) // 1_000_000} milliseconds"
+    ts = ns_to_ts(F.col(time_col)).alias("__ts")
+    wdf = df.withColumn("__ts", ts)
+    if wdf.isStreaming:
+        wdf = wdf.withWatermark("__ts", watermark)
+    keys = [F.window("__ts", dur).alias("__w")] + [F.col(c) for c in (by or [])]
+    out = wdf.groupBy(*keys).agg(*[c.alias(n) for n, c in aggs.items()])
+    return out.withColumn(
+        time_col, (F.unix_micros(F.col("__w.start")) * 1000).cast("long")
+    ).drop("__w")
+
+
+def display_stream(df: DataFrame, name: str, checkpoint_dir: str | None = None):
+    """Streaming px.display: append to an in-memory sink queryable as
+    ``name`` (the query-broker result table of the reference)."""
+    writer = df.writeStream.format("memory").queryName(name).outputMode(
+        "update" if df.isStreaming else "append"
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def _rows_to_otel_metrics(rows, name_col: str, value_col: str, ts_col: str, attr_cols: list[str]):
+    out = []
+    for r in rows:
+        d = r.asDict()
+        out.append(
+            {
+                "resourceMetrics": [
+                    {
+                        "scopeMetrics": [
+                            {
+                                "metrics": [
+                                    {
+                                        "name": str(d.get(name_col, name_col)),
+                                        "gauge": {
+                                            "dataPoints": [
+                                                {
+                                                    "timeUnixNano": int(d[ts_col]),
+                                                    "asDouble": float(d[value_col]),
+                                                    "attributes": [
+                                                        {
+                                                            "key": a,
+                                                            "value": {"stringValue": str(d[a])},
+                                                        }
+                                                        for a in attr_cols
+                                                    ],
+                                                }
+                                            ]
+                                        },
+                                    }
+                                ]
+                            }
+                        ]
+                    }
+                ]
+            }
+        )
+    return out
+
+
+def otel_export(
+    df: DataFrame,
+    out_dir: str,
+    value_col: str,
+    ts_col: str = "time_",
+    name_col: str = "metric",
+    attr_cols: list[str] | None = None,
+    checkpoint_dir: str | None = None,
+    exporter: Callable | None = None,
+):
+    """px.export(df, px.otel.Data(...)) equivalent
+    (ref: otel_export_sink_node.cc, plan.proto:365-549).
+
+    foreachBatch maps each micro-batch's rows to OTLP-JSON metric
+    payloads; the default exporter writes them as JSONL under out_dir
+    (one file per batch). Pass ``exporter(payloads)`` to ship over real
+    OTLP/gRPC instead — the Spark-side plumbing is identical.
+    """
+    attr_cols = attr_cols or []
+    os.makedirs(out_dir, exist_ok=True)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        payloads = _rows_to_otel_metrics(
+            batch_df.collect(), name_col, value_col, ts_col, attr_cols
+        )
+        if exporter is not None:
+            exporter(payloads)
+        else:
+            with open(os.path.join(out_dir, f"batch-{batch_id:06d}.jsonl"), "w") as f:
+                for p in payloads:
+                    f.write(json.dumps(p) + "\n")
+
+    if df.isStreaming:
+        writer = df.writeStream.foreachBatch(sink).outputMode("update")
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        return writer.start()
+    sink(df, 0)
+    return None

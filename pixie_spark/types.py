@@ -107,12 +107,16 @@ def semantic_type_of(schema: T.StructType, name: str) -> str:
 # high = (asid << 32) | pid ; low = process start_ticks.
 
 
-def make_upid(asid: Column | int, pid: Column | int, start_ts: Column | int) -> Column:
+def _coerce(x: Column | str | int) -> Column:
+    if isinstance(x, Column):
+        return x
+    return F.col(x) if isinstance(x, str) else F.lit(x)
+
+
+def make_upid(asid: Column | str | int, pid: Column | str | int, start_ts: Column | str | int) -> Column:
     """Construct a UPID struct column. Ref: upid_ops 'make_upid' UDF
     (src/carnot/funcs/builtins/uuid_ops.cc)."""
-    asid_c = F.lit(asid) if isinstance(asid, int) else asid
-    pid_c = F.lit(pid) if isinstance(pid, int) else pid
-    ts_c = F.lit(start_ts) if isinstance(start_ts, int) else start_ts
+    asid_c, pid_c, ts_c = _coerce(asid), _coerce(pid), _coerce(start_ts)
     high = F.shiftleft(asid_c.cast("long"), 32) + pid_c.cast("long")
     return F.struct(high.alias("high"), ts_c.cast("long").alias("low"))
 

@@ -1,0 +1,73 @@
+"""Driver-contract smoke: entry() runs, queries()/oracle_sql() are
+consistent, and a fast subset hash-matches DuckDB at sf0.001.
+(The full gate is tools/check_oracle.py at sf0.01.)"""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from pixie_spark.sources import TESTDATA_TABLES
+
+FAST_SUBSET = [
+    "agg_groupby",
+    "join_inner",
+    "rolling_time_bin",
+    "quantiles",
+    "text_stats",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+]
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert len(df.schema.fields) == 9
+
+
+def test_queries_and_oracles_consistent():
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 25
+    # ≥ 80% of queries must have a strong (SQL) oracle
+    assert len(oracles) / len(qs) >= 0.8
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def _normalize(records, cols):
+    out = []
+    for rec in records:
+        row = []
+        for c in sorted(cols):
+            v = rec[c]
+            if isinstance(v, float):
+                v = "NaN" if math.isnan(v) else round(v, 9)
+            row.append(v)
+        out.append(tuple(row))
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+@pytest.mark.parametrize("name", FAST_SUBSET)
+def test_oracle_match(spark, sf_dir, duck, name):
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    sdf = qs[name](spark, sf_dir).toPandas()
+    odf = duck.execute(oracles[name]).fetchdf()
+    assert len(sdf) == len(odf), f"row count {len(sdf)} vs {len(odf)}"
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert _normalize(sdf.to_dict("records"), sdf.columns) == _normalize(
+        odf.to_dict("records"), odf.columns
+    )

@@ -1,0 +1,250 @@
+"""Table-driven scalar-function tests, mirroring the reference's UDF test
+harness (src/carnot/udf/test_utils.h UDFTester; per-family files
+src/carnot/funcs/builtins/*_test.cc)."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pixie_spark.functions import REGISTRY, lookup
+
+
+def run1(spark, col_fn, value):
+    """Evaluate a single-arg Column builder against one literal value."""
+    df = spark.createDataFrame([(value,)], ["x"])
+    return df.select(col_fn(F.col("x")).alias("out")).first()["out"]
+
+
+# --- math (math_ops.cc) ------------------------------------------------------
+
+MATH_CASES = [
+    ("add", (2, 3), 5),
+    ("subtract", (7, 3), 4),
+    ("multiply", (4, 5), 20),
+    ("divide", (9, 2), 4.5),
+    ("modulo", (9, 4), 1),
+    ("pow", (2.0, 10.0), 1024.0),
+    ("bin", (1234, 100), 1200),
+    ("equal", (3, 3), True),
+    ("notEqual", (3, 4), True),
+    ("greaterThan", (4, 3), True),
+    ("lessThanEqual", (3, 3), True),
+]
+
+
+@pytest.mark.parametrize("name,args,expected", MATH_CASES)
+def test_math_binary(spark, name, args, expected):
+    fn = lookup(f"px.{name}")
+    df = spark.createDataFrame([args], ["a", "b"])
+    out = df.select(fn(F.col("a"), F.col("b")).alias("out")).first()["out"]
+    assert out == expected
+
+
+@pytest.mark.parametrize(
+    "name,value,expected",
+    [
+        ("abs", -5.0, 5.0),
+        ("sqrt", 16.0, 4.0),
+        ("ceil", 1.2, 2),
+        ("floor", 1.8, 1),
+        ("exp", 0.0, 1.0),
+        ("ln", math.e, 1.0),
+        ("log2", 8.0, 3.0),
+        ("log10", 1000.0, 3.0),
+        ("negate", 3, -3),
+    ],
+)
+def test_math_unary(spark, name, value, expected):
+    out = run1(spark, lookup(name), value)
+    assert out == pytest.approx(expected)
+
+
+def test_aggregates(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (6.0,)], ["x"])
+    row = df.agg(
+        lookup("px.mean")("x").alias("mean"),
+        lookup("px.sum")("x").alias("sum"),
+        lookup("px.min")("x").alias("min"),
+        lookup("px.max")("x").alias("max"),
+        lookup("px.count")("x").alias("count"),
+    ).first()
+    assert row["mean"] == 3.0 and row["sum"] == 12.0
+    assert row["min"] == 1.0 and row["max"] == 6.0 and row["count"] == 4
+
+
+def test_quantiles_struct(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], ["x"])
+    q = df.agg(lookup("px.quantiles")("x").alias("q")).first()["q"]
+    assert q["p50"] == pytest.approx(50.0, abs=2)
+    assert q["p99"] == pytest.approx(99.0, abs=2)
+
+
+# --- strings (string_ops.cc) -------------------------------------------------
+
+
+def test_string_ops(spark):
+    df = spark.createDataFrame([Row(s="Hello World")])
+    row = df.select(
+        lookup("contains")("s", "World").alias("c"),
+        lookup("length")("s").alias("l"),
+        lookup("find")("s", "World").alias("f"),
+        lookup("substring")(F.col("s"), 0, 5).alias("sub"),
+        lookup("tolower")("s").alias("lo"),
+        lookup("toupper")("s").alias("up"),
+        lookup("strip_prefix")("Hello ", F.col("s")).alias("sp"),
+        lookup("atoi")(F.lit("42")).alias("ai"),
+        lookup("itoa")(F.lit(42)).alias("ia"),
+    ).first()
+    assert row["c"] is True and row["l"] == 11 and row["f"] == 6
+    assert row["sub"] == "Hello" and row["lo"] == "hello world" and row["up"] == "HELLO WORLD"
+    assert row["sp"] == "World" and row["ai"] == 42 and row["ia"] == "42"
+
+
+def test_find_absent_is_minus_one(spark):
+    assert run1(spark, lambda c: lookup("find")(c, "zzz"), "abc") == -1
+
+
+def test_hex_round_trip(spark):
+    df = spark.createDataFrame([Row(s="AB")])
+    row = df.select(
+        lookup("bytes_to_hex")("s").alias("h"),
+    ).select(F.col("h"), lookup("hex_to_ascii")("h").alias("a")).first()
+    assert row["h"] == "4142" and row["a"] == "AB"
+
+
+# --- json (json_ops.cc) ------------------------------------------------------
+
+
+def test_json_pluck(spark):
+    df = spark.createDataFrame([Row(j='{"a": {"b": 3}, "s": "x", "f": 1.5, "arr": [1,2]}')])
+    row = df.select(
+        lookup("pluck")("j", "s").alias("s"),
+        lookup("pluck_int64")("j", "$.a.b").alias("i"),
+        lookup("pluck_float64")("j", "f").alias("f"),
+    ).first()
+    assert row["s"] == "x" and row["i"] == 3 and row["f"] == 1.5
+
+
+def test_script_reference_shape(spark):
+    df = spark.createDataFrame([Row(svc="api")])
+    out = df.select(
+        REGISTRY["_script_reference"](F.col("svc"), "px/service", {"svc": F.col("svc")}).alias("r")
+    ).first()["r"]
+    assert '"label":"api"' in out and '"script":"px/service"' in out
+
+
+# --- regex / conditionals / collections -------------------------------------
+
+
+def test_regex_ops(spark):
+    df = spark.createDataFrame([Row(s="GET /api/v1/items/123")])
+    row = df.select(
+        lookup("regex_match")(r"/api/v\d+/", "s").alias("m"),
+        lookup("regex_replace")(r"\d+", "s", "N").alias("r"),
+    ).first()
+    assert row["m"] is True and row["r"] == "GET /api/vN/items/N"
+
+
+def test_select_conditional(spark):
+    df = spark.createDataFrame([(500,), (200,)], ["status"])
+    out = [
+        r["cls"]
+        for r in df.select(
+            lookup("select")(F.col("status") >= 400, F.lit("error"), F.lit("ok")).alias("cls")
+        ).collect()
+    ]
+    assert sorted(out) == ["error", "ok"]
+
+
+def test_any_agg(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], ["k", "v"])
+    rows = df.groupBy("k").agg(lookup("any")("v").alias("v")).collect()
+    assert {(r["k"], r["v"]) for r in rows} == {(1, "a"), (2, "b")}
+
+
+# --- sql normalization / pii / protocols / uri / net ------------------------
+
+
+def test_normalize_sql(spark):
+    df = spark.createDataFrame(
+        [Row(q="SELECT * FROM t WHERE a = 'x''y' AND b = 42 AND c IN (1, 2, 3)")]
+    )
+    out = df.select(lookup("normalize_mysql")("q").alias("n")).first()["n"]
+    assert out == "SELECT * FROM t WHERE a = ? AND b = ? AND c IN (?)"
+
+
+def test_normalize_pgsql_dollar(spark):
+    df = spark.createDataFrame([Row(q="SELECT $tag$secret$tag$ , 7")])
+    out = df.select(lookup("normalize_pgsql")("q").alias("n")).first()["n"]
+    assert out == "SELECT ? , ?"
+
+
+def test_pii_redaction(spark):
+    df = spark.createDataFrame(
+        [Row(t="mail a@b.com ip 10.1.2.3 ssn 123-45-6789")]
+    )
+    out = df.select(lookup("redact_pii_best_effort")("t").alias("r")).first()["r"]
+    assert out == "mail <REDACTED_EMAIL> ip <REDACTED_IP> ssn <REDACTED_SSN>"
+
+
+def test_protocol_names(spark):
+    df = spark.createDataFrame([(1, 404, 1), (6, 200, 2)], ["p", "s", "r"])
+    rows = df.select(
+        lookup("protocol_name")("p").alias("pn"),
+        lookup("http_resp_message")("s").alias("sm"),
+        lookup("trace_role_name")("r").alias("rn"),
+    ).collect()
+    assert {(r["pn"], r["sm"], r["rn"]) for r in rows} == {
+        ("HTTP", "Not Found", "client"),
+        ("DNS", "OK", "server"),
+    }
+
+
+def test_uri_round_trip(spark):
+    df = spark.createDataFrame([Row(u="a b/c?d=1")])
+    row = df.select(lookup("uri_encode")("u").alias("e")).select(
+        "e", lookup("uri_decode")("e").alias("d")
+    ).first()
+    assert row["d"] == "a b/c?d=1"
+
+
+def test_ip_helpers(spark):
+    df = spark.createDataFrame([("10.0.0.1",), ("8.8.8.8",), ("172.20.1.1",)], ["ip"])
+    rows = df.select("ip", lookup("ip_is_private")("ip").alias("p")).collect()
+    assert {(r["ip"], r["p"]) for r in rows} == {
+        ("10.0.0.1", True),
+        ("8.8.8.8", False),
+        ("172.20.1.1", True),
+    }
+    v = df.where(F.col("ip") == "8.8.8.8").select(lookup("ip_to_int")("ip").alias("v")).first()["v"]
+    assert v == 8 * 16777216 + 8 * 65536 + 8 * 256 + 8
+
+
+def test_template_path(spark):
+    df = spark.createDataFrame(
+        [("/api/v1/items/123",), ("/api/v1/users/9/orders",), ("/healthz",)], ["p"]
+    )
+    rows = [r["t"] for r in df.select(lookup("template_path")("p").alias("t")).collect()]
+    assert sorted(rows) == ["/api/v1/items/*", "/api/v1/users/*/orders", "/healthz"]
+
+
+# --- upid (types.py / metadata_ops upid helpers) -----------------------------
+
+
+def test_upid_round_trip(spark):
+    from pixie_spark.types import make_upid, upid_to_asid, upid_to_pid, upid_to_string
+
+    df = spark.createDataFrame([(3, 77, 123456789)], ["asid", "pid", "ts"])
+    row = df.select(make_upid("asid", "pid", "ts").alias("u")).select(
+        upid_to_asid(F.col("u")).alias("a"),
+        upid_to_pid(F.col("u")).alias("p"),
+        upid_to_string(F.col("u")).alias("s"),
+    ).first()
+    assert row["a"] == 3 and row["p"] == 77 and row["s"] == "3:77:123456789"
+
+
+def test_registry_size():
+    # §2.4 coverage floor: every family registered
+    assert len(REGISTRY) >= 60

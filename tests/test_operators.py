@@ -1,0 +1,165 @@
+"""Operator verification: dedup family cross-checks (MinHash vs exact
+Jaccard, SimHash hamming distance), similarity recall, kmeans, text
+stats, request-path clustering."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pixie_spark.operators import dedup as dd
+from pixie_spark.operators import similarity as sim
+from pixie_spark.operators import text as tx
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark, docs):
+    """Every high-similarity pair found by exact Jaccard must be found by
+    MinHash-LSH (recall at j≥0.8 should be ~1 with 64 hashes/16 bands),
+    and LSH estimates must track exact values."""
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.8).collect()
+    }
+    approx = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in dd.minhash_lsh_pairs(
+            docs, "doc_id", "text", n=5, num_hashes=64, bands=16, threshold=0.5
+        ).collect()
+    }
+    assert exact, "expected planted near-dup pairs in the corpus"
+    found = set(exact) & set(approx)
+    assert len(found) / len(exact) >= 0.9
+    for pair in found:
+        assert approx[pair] == pytest.approx(exact[pair], abs=0.2)
+
+
+def test_simhash_near_dups_are_hamming_close(spark, docs):
+    """Near-dup pairs (exact jaccard ≥ 0.8) must have hamming-close
+    simhashes; random pairs must not."""
+    pairs = dd.jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.8)
+    sh = dd.simhash(docs, "doc_id", "text")
+    a = sh.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("h_a"))
+    b = sh.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("h_b"))
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    near = pairs.join(a, "doc_a").join(b, "doc_b").select(ham.alias("d")).collect()
+    assert near and all(r["d"] <= 12 for r in near)
+    # random (non-dup) pairs: expect ~32 bit flips
+    rand = (
+        a.crossJoin(b)
+        .where(F.col("doc_a") + 7 == F.col("doc_b"))
+        .select(ham.alias("d"))
+        .collect()
+    )
+    # same-vocab corpus compresses distances; random mean ≈ 18 here vs
+    # ≤12 for near-dups — keep a clear separation margin
+    assert sum(r["d"] for r in rand) / len(rand) > 14
+
+
+def test_exact_dedup_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], ["doc_id", "text"]
+    )
+    rows = {r["keep_id"]: r["dup_count"] for r in dd.exact_dedup(df, "doc_id", ["text"]).collect()}
+    assert rows == {1: 2, 3: 1}
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, emb):
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = sim.brute_force_topk(emb, queries, k=5)
+    approx = sim.lsh_topk(emb, queries, k=5, n_planes=4, n_tables=8, dim=64)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    # single-table collision prob for a cosine-0.3 neighbor is ~0.12;
+    # 8 tables lift it to ~0.64 — require well above random
+    assert len(e & a) / len(e) >= 0.4
+    # scores that are found must agree exactly with brute force
+    escore = {(r["query_id"], r["vec_id"]): r["score"] for r in exact.collect()}
+    ascore = {(r["query_id"], r["vec_id"]): r["score"] for r in approx.collect()}
+    for k in set(escore) & set(ascore):
+        assert ascore[k] == pytest.approx(escore[k], abs=1e-9)
+
+
+def test_cosine_self_is_one(spark, emb):
+    row = emb.limit(1).select(
+        sim.cosine(F.col("embedding"), F.col("embedding")).alias("c")
+    ).first()
+    assert row["c"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_kmeans_separates_clusters(spark):
+    import numpy as np
+
+    from pixie_spark.functions.ml_ops import kmeans_fit, kmeans_inference
+
+    rng = np.random.RandomState(0)
+    pts = [
+        (i, (rng.randn(4) * 0.05 + center).tolist())
+        for center in ([0.0, 0.0, 0.0, 0.0], [5.0, 5.0, 5.0, 5.0])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(pts, ["id", "embedding"])
+    centroids = kmeans_fit(df, "embedding", k=2, max_iter=5, dim=4)
+    assert len(centroids) == 2
+    out = kmeans_inference(df, centroids, "embedding")
+    # points near each center must land in one cluster each
+    counts = out.groupBy("cluster").count().collect()
+    assert sorted(r["count"] for r in counts) == [50, 50]
+
+
+def test_text_stats_quality_and_lang(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and it is great"),
+            (2, "!!! ??? ### $$$ %%%"),
+            (3, "el perro de la casa que ladra los dias"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in tx.text_stats(df).collect()}
+    assert rows[1]["lang_pred"] == "en" and rows[3]["lang_pred"] == "es"
+    assert rows[1]["quality"] > rows[2]["quality"]
+    assert rows[1]["n_words"] == 13 and rows[1]["n_tokens"] == 13
+    assert rows[2]["punct_ratio"] > 0.7
+
+
+def test_fingerprint_deterministic(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "abc"), (3, "abd")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r["f"] for r in df.select(
+        "doc_id", tx.fingerprint(F.col("text")).alias("f")
+    ).collect()}
+    assert rows[1] == rows[2] != rows[3]
+    # fold((0*31+97)%M ...) for 'abc'
+    expected = 0
+    for ch in "abc":
+        expected = (expected * 31 + ord(ch)) % 1_000_000_007
+    assert rows[1] == expected
+
+
+def test_sample_per_group(spark):
+    from pixie_spark.functions.ml_ops import sample_per_group
+
+    df = spark.createDataFrame([(i % 3, i) for i in range(300)], ["g", "v"])
+    out = sample_per_group(df, ["g"], 10)
+    counts = {r["g"]: r["count"] for r in out.groupBy("g").count().collect()}
+    assert counts == {0: 10, 1: 10, 2: 10}
+    # deterministic
+    again = sample_per_group(df, ["g"], 10)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_cluster_paths(spark):
+    from pixie_spark.functions.request_path_ops import cluster_paths
+
+    paths = [(f"/api/v1/items/{i}",) for i in range(30)] + [("/healthz",)]
+    df = spark.createDataFrame(paths, ["req_path"])
+    out = {r["path"]: r["path_template"] for r in cluster_paths(df).collect()}
+    assert out["/api/v1/items/17"] == "/api/v1/items/*"
+    assert out["/healthz"] == "/healthz"

@@ -1,0 +1,78 @@
+"""Scale-readiness assertions on the headline query plans: pushdown,
+column pruning, broadcast dimension joins, partial aggregation, codegen.
+These encode the 100 TB design contract, not just correctness."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pixie_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_partial_agg,
+    assert_pushed_filter,
+    assert_read_schema_only,
+    plan_string,
+    wholestage_codegen_spans,
+)
+from pixie_spark.queries import QUERIES
+
+
+def test_scan_pushdown_and_pruning(spark, sf_dir):
+    df = QUERIES["memory_source_scan"].fn(spark, sf_dir)
+    assert_pushed_filter(df, "ts")
+    assert_read_schema_only(df, {"event_id", "ts", "event_type", "value"})
+
+
+def test_filter_pushdown(spark, sf_dir):
+    df = QUERIES["filter_compound"].fn(spark, sf_dir)
+    assert_pushed_filter(df, "l_quantity")
+    assert_read_schema_only(
+        df, {"l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_discount"}
+    )
+
+
+def test_agg_is_two_phase(spark, sf_dir):
+    """Partial+final HashAggregate = the reference's PEM/Kelvin split
+    (partial_op_mgr.h:72-106) — Catalyst must produce it."""
+    df = QUERIES["agg_groupby"].fn(spark, sf_dir)
+    assert_partial_agg(df)
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    df = QUERIES["join_inner"].fn(spark, sf_dir)
+    assert_broadcast_join(df, 2)
+    assert_no_cartesian(df)
+
+
+def test_limit_becomes_take_ordered(spark, sf_dir):
+    """Source-abort-on-limit analogue (limit_node.cc:91-96): order+limit
+    must compile to TakeOrderedAndProject, not global sort."""
+    df = QUERIES["limit_topn"].fn(spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan_string(df)
+
+
+def test_codegen_spans_exist(spark, sf_dir):
+    # AQE defers physical planning, hiding codegen markers pre-execution —
+    # plan with AQE off for this structural check only
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in ["agg_groupby", "math_ops", "rolling_time_bin"]:
+            df = QUERIES[name].fn(spark, sf_dir)
+            assert wholestage_codegen_spans(df) >= 1, name
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_ann_broadcasts_queries(spark, sf_dir):
+    df = QUERIES["ann_cosine_topk"].fn(spark, sf_dir)
+    assert_broadcast_join(df, 1)
+
+
+def test_no_python_udf_in_core_queries(spark, sf_dir):
+    """Core operators must stay JVM-side: no BatchEvalPython/ArrowEvalPython
+    in any oracle-checked query plan."""
+    for name, spec in QUERIES.items():
+        if spec.oracle is None:
+            continue
+        plan = plan_string(spec.fn(spark, sf_dir))
+        assert "EvalPython" not in plan, f"{name} fell back to Python UDF"

@@ -1,0 +1,104 @@
+"""Streaming layer: file-source stream → rolling window agg → memory sink;
+OTel export sink; batch/stream duality of the same plan."""
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from pixie_spark import streaming as st
+from pixie_spark.schemas import HTTP_EVENTS
+from pixie_spark.sources.fixtures import http_events_fixture
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    events = http_events_fixture(spark, n=400)
+    events.coalesce(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _wait_for(pred, timeout_s=60):
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        if pred():
+            return True
+        time.sleep(1)
+    return False
+
+
+def test_stream_rolling_agg_matches_batch(spark, events_dir, tmp_path):
+    """The same rolling-window plan over the same data must agree between
+    readStream and read — the reference's batch/stream duality
+    (memory_source_node.cc streaming flag)."""
+    aggs = {
+        "n": F.count(F.lit(1)),
+        "err": F.sum((F.col("resp_status") >= 400).cast("long")),
+    }
+    batch = st.rolling_agg(
+        spark.read.schema(HTTP_EVENTS).parquet(events_dir), "10s", aggs
+    )
+    expected = {r["time_"]: (r["n"], r["err"]) for r in batch.collect()}
+    assert expected
+
+    stream = st.stream_table(spark, events_dir, HTTP_EVENTS, max_files_per_trigger=2)
+    out = st.rolling_agg(stream, "10s", aggs)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rolling_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        ok = _wait_for(
+            lambda: q.lastProgress is not None
+            and q.lastProgress.get("numInputRows", -1) == 0
+            and spark.table("rolling_test").count() == len(expected),
+        )
+        assert ok, f"stream never converged: {q.lastProgress}"
+        got = {
+            r["time_"]: (r["n"], r["err"]) for r in spark.table("rolling_test").collect()
+        }
+        assert got == expected
+    finally:
+        q.stop()
+
+
+def test_otel_export_batch(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1_000_000_000, "svc-a", 12.5), (2_000_000_000, "svc-b", 99.0)],
+        ["time_", "service", "latency_ms"],
+    )
+    out_dir = str(tmp_path / "otel")
+    st.otel_export(
+        df.withColumn("metric", F.lit("http.latency")),
+        out_dir,
+        value_col="latency_ms",
+        attr_cols=["service"],
+    )
+    files = os.listdir(out_dir)
+    assert files
+    payloads = [
+        json.loads(line)
+        for f in files
+        for line in open(os.path.join(out_dir, f))
+    ]
+    assert len(payloads) == 2
+    dp = payloads[0]["resourceMetrics"][0]["scopeMetrics"][0]["metrics"][0]["gauge"]["dataPoints"][0]
+    assert dp["timeUnixNano"] in (1_000_000_000, 2_000_000_000)
+    assert dp["attributes"][0]["key"] == "service"
+
+
+def test_px_stream_flag(spark):
+    import pixie_spark.api as px
+
+    px.set_context(spark, tables={"t": spark.range(3).withColumnRenamed("id", "time_")})
+    df = px.DataFrame("t").stream()
+    assert df._streaming is True
+    # display on a stream-marked frame must not apply the batch limit
+    out = px.display(df, "s_out")
+    assert out is not None
