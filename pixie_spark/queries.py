@@ -810,3 +810,236 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 8)
     return sim.lsh_topk(emb, queries_df, "vec_id", "embedding", k=10, n_planes=4, n_tables=8, dim=64)
+
+
+# =============================================================================
+# Time-series operators beyond the reference algebra (SURVEY §2.3 gaps)
+# =============================================================================
+
+
+@query(
+    "asof_join",
+    """
+    WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+               WHERE event_type = 'purchase'),
+         l AS (SELECT user_id, epoch_us(ts) AS lts_us FROM events
+               WHERE event_type = 'login')
+    SELECT p.event_id, p.user_id, p.ts_us, l.lts_us AS last_login_us
+    FROM p ASOF LEFT JOIN l
+      ON p.user_id = l.user_id AND p.ts_us >= l.lts_us
+    """,
+    doc="As-of join (absent from the reference algebra — SURVEY §2.3): "
+    "latest login at-or-before each purchase per user. Spark impl is the "
+    "union+window trick (pixie_spark.operators.asof): ONE shuffle on the "
+    "key, no range-join blowup — the scalable formulation for "
+    "billion-row event backfills. Oracle: DuckDB native ASOF JOIN.",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts DIV 1000"))
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts_us")
+    logins = ev.where(F.col("event_type") == "login").select(
+        "user_id", F.col("ts_us").alias("lts_us")
+    )
+    out = asof_join(
+        purchases, logins, on="user_id", left_time="ts_us", right_time="lts_us",
+        value_cols=["lts_us"], suffix="",
+    )
+    return out.select(
+        "event_id", "user_id", "ts_us", F.col("lts_us").alias("last_login_us")
+    )
+
+
+@query(
+    "sessionize",
+    """
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+    l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev FROM e),
+    n AS (SELECT *, CASE WHEN prev IS NULL OR ts_us - prev > 3600000000 THEN 1 ELSE 0 END AS nw
+          FROM l),
+    s AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY ts_us
+                                  ROWS UNBOUNDED PRECEDING) - 1 AS session_id FROM n)
+    SELECT event_id, user_id, session_id,
+           min(ts_us) OVER (PARTITION BY user_id, session_id) AS session_start_us
+    FROM s
+    """,
+    doc="Gap-based sessionization (1h timeout) — lag + running-sum of "
+    "session starts, one shuffle per key (pixie_spark.operators.asof."
+    "sessionize). Streaming twin: session_window() in Structured "
+    "Streaming.",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.operators.asof import sessionize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.expr("ts DIV 1000").alias("ts_us")
+    )
+    out = sessionize(ev, "user_id", "ts_us", gap=3_600_000_000)
+    return out.select(
+        "event_id", "user_id", "session_id",
+        F.col("session_start").alias("session_start_us"),
+    )
+
+
+# =============================================================================
+# Relational surface beyond the reference (Spark-native, SURVEY §2.3)
+# =============================================================================
+
+
+@query(
+    "pivot_wide",
+    """
+    SELECT l_returnflag,
+           floor(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) * 1e4 + 0.5) / 1e4 AS O,
+           floor(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) * 1e4 + 0.5) / 1e4 AS F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Pivot (wide aggregation) — absent from the reference; native in "
+    "Spark (RelationalGroupedDataset.pivot with explicit value list → no "
+    "extra distinct-values job).",
+)
+def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+    )
+    return out.select(
+        "l_returnflag", dround("O", 4).alias("O"), dround("F", 4).alias("F")
+    )
+
+
+@query(
+    "rollup_hierarchy",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           floor(sum(l_extendedprice) * 1e2 + 0.5) / 1e2 AS total
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="Rollup / grouping sets — absent from the reference algebra "
+    "(SURVEY §2.3), native in Spark (single Expand + one aggregation, "
+    "no N-pass scans).",
+)
+def q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dround(F.sum("l_extendedprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "set_ops",
+    """
+    SELECT nationkey, 'both' AS src FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT nationkey, 'customer_only' AS src FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey AS nationkey FROM supplier
+    )
+    """,
+    doc="Intersect / except — absent from the reference (SURVEY §2.3); "
+    "Spark compiles both to aggregated semi/anti joins.",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    su = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = cu.intersect(su).withColumn("src", F.lit("both"))
+    conly = cu.subtract(su).withColumn("src", F.lit("customer_only"))  # EXCEPT DISTINCT
+    return both.unionByName(conly)
+
+
+@query(
+    "string_agg_sorted",
+    """
+    SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS suppliers
+    FROM supplier GROUP BY s_nationkey
+    """,
+    doc="Ordered string aggregation: collect_list + array_sort + "
+    "concat_ws (deterministic across partitionings — sort happens after "
+    "the partial-agg merge).",
+)
+def q_string_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    su = load_table(spark, sf_dir, "supplier")
+    return su.groupBy("s_nationkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("s_name"))).alias("suppliers")
+    )
+
+
+# =============================================================================
+# Source operators (SURVEY §2.1: UDTFSource, EmptySource) + px facade e2e
+# =============================================================================
+
+
+@query(
+    "udtf_catalog_tables",
+    """
+    SELECT * FROM (VALUES
+        ('customer'), ('documents'), ('embeddings'), ('events'), ('lineitem'),
+        ('nation'), ('orders'), ('part'), ('region'), ('supplier')
+    ) AS t(table_name)
+    """,
+    doc="UDTFSource (ref: src/carnot/exec/udtf_source_node.cc, "
+    "registrations src/vizier/funcs/md_udtfs/md_udtfs.cc:32-59 — e.g. "
+    "GetTables): driver-side generator → createDataFrame; catalog "
+    "introspection replaces the reference's metadata UDTFs.",
+)
+def q_udtf_catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    names = sorted(
+        f[: -len(".parquet")]
+        for f in _os.listdir(sf_dir)
+        if f.endswith(".parquet")
+    )
+    return spark.createDataFrame([(n,) for n in names], "table_name: string")
+
+
+@query(
+    "empty_source",
+    """
+    SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS VARCHAR) AS name WHERE false
+    """,
+    doc="EmptySource (ref: src/carnot/exec/empty_source_node.cc): zero "
+    "rows, fixed schema.",
+)
+def q_empty_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.sources import empty_source
+
+    return empty_source(spark, "id long, name string")
+
+
+@query(
+    "pxl_facade_agg",
+    """
+    SELECT o_orderpriority, count(*) AS n,
+           floor(sum(o_totalprice) * 1e2 + 0.5) / 1e2 AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    doc="End-to-end through the PxL API facade (px.DataFrame → bracket "
+    "filter → groupby → agg tuples → function registry) proving the "
+    "facade emits oracle-correct plans, not just the raw DataFrame path.",
+)
+def q_pxl_facade_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pixie_spark.api as px
+
+    px.set_context(spark, tables={"orders": load_table(spark, sf_dir, "orders")})
+    df = px.DataFrame("orders")
+    df = df[df.o_orderstatus == "F"]
+    out = df.groupby(["o_orderpriority"]).agg(
+        n=("o_orderkey", "px.count"),
+        revenue=("o_totalprice", "px.sum"),
+    )
+    sdf = out.to_spark()
+    return sdf.select("o_orderpriority", "n", dround("revenue", 2).alias("revenue"))
