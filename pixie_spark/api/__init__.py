@@ -99,6 +99,18 @@ def from_spark(sdf: SparkDataFrame) -> PxDataFrame:
     return PxDataFrame(sdf)
 
 
+def sql(query: str) -> PxDataFrame:
+    """SQL entry over the registered tables — a surface the reference
+    lacks entirely (PxL only, SURVEY §2.3); Catalyst produces the same
+    plans either way."""
+    spark = _ctx["spark"]
+    if spark is None:
+        raise RuntimeError("px.set_context(spark, ...) first")
+    for name, df in _ctx["tables"].items():
+        df.createOrReplaceTempView(name)
+    return PxDataFrame(spark.sql(query))
+
+
 def display(df: PxDataFrame, name: str = "output") -> SparkDataFrame:
     """px.display (pixie_module.h:49): register a named result. Batch
     results get the implicit row cap the reference's analyzer adds
@@ -144,7 +156,7 @@ def uint128(s: str) -> tuple[int, int]:
 
 __all__ = [
     "DataFrame", "PxDataFrame", "PxGroupedFrame", "set_context",
-    "register_table", "from_spark", "display", "results", "debug",
+    "register_table", "from_spark", "sql", "display", "results", "debug",
     "equals_any", "uint128", "make_upid", "script_reference",
     "now", "seconds", "minutes", "hours", "days", "millis",
     "strptime", "parse_duration",

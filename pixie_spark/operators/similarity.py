@@ -78,6 +78,56 @@ def brute_force_topk(
     )
 
 
+def embedding_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    prefilter: bool = False,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, score) with
+    cosine ≥ threshold and id_a < id_b.
+
+    prefilter=False: exact all-pairs — the oracle-checkable core; the
+    self-join is a broadcast of the smaller side when it fits, else a
+    shuffle on nothing (cartesian within AQE) — viable to ~10⁵ vectors.
+    prefilter=True: the 100 TB path — multi-table hyperplane LSH bucket
+    join generates candidates first (same index as lsh_topk), so only
+    bucket-colliding pairs are scored; recall follows the LSH collision
+    curve at the threshold's implied angle.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    if prefilter:
+        all_planes = _hyperplanes(dim, n_planes * n_tables)
+        def entries(side: DataFrame, idn: str, vn: str) -> DataFrame:
+            buckets = [
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    lsh_bucket(F.col(vn), all_planes[t * n_planes : (t + 1) * n_planes]).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+            return side.select(idn, vn, F.explode(F.array(*buckets)).alias("tb")).select(
+                idn, vn, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+            )
+        pairs = (
+            entries(a, "id_a", "v_a")
+            .join(entries(b, "id_b", "v_b"), ["tbl", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("score"))
+        .where(F.col("score") >= threshold)
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim).tolist()

@@ -1043,3 +1043,31 @@ def q_pxl_facade_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sdf = out.to_spark()
     return sdf.select("o_orderpriority", "n", dround("revenue", 2).alias("revenue"))
+
+
+@query(
+    "dedup_embedding_cosine",
+    """
+    WITH s AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_reduce(list_transform(range(1, len(a.embedding)+1),
+                   i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x,y) -> x+y)
+               / (sqrt(list_reduce(list_transform(range(1, len(a.embedding)+1),
+                      i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE), (x,y) -> x+y))
+                  * sqrt(list_reduce(list_transform(range(1, len(b.embedding)+1),
+                      i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x,y) -> x+y)))
+               AS score
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, floor(score * 1e6 + 0.5) / 1e6 AS score
+    FROM s WHERE score >= 0.4
+    """,
+    doc="Embedding-cosine near-dup pairs (exact all-pairs core; the 100 TB "
+    "path is the same operator with prefilter=True → multi-table LSH "
+    "bucket join generates candidates, only colliding pairs are scored). "
+    "Identical left-fold cosine in both engines → bit-identical doubles.",
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.embedding_dedup_pairs(emb, "vec_id", "embedding", threshold=0.4, prefilter=False)
+    return out.select("id_a", "id_b", dround("score", 6).alias("score"))

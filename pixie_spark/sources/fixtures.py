@@ -112,11 +112,18 @@ def http_events_fixture(
         status = int(status_pool[int(rng.randint(0, len(status_pool)))])
         method = _METHODS[int(rng.randint(0, len(_METHODS)))]
         body_size = int(rng.randint(0, 4096))
+        # remote addr = a caller pod's ip (service-graph edges resolvable
+        # via ip→pod→service), with a few external clients mixed in
+        if rng.rand() < 0.9:
+            caller = int(rng.randint(0, n_pods))
+            remote_addr = f"10.0.{caller // 250}.{caller % 250 + 1}"
+        else:
+            remote_addr = f"203.0.113.{int(rng.randint(1, 250))}"
         rows.append(
             (
                 int(times[i]),
                 upid,
-                f"10.1.0.{int(rng.randint(1, 250))}",
+                remote_addr,
                 int(rng.randint(1024, 65535)),
                 "10.0.0.1",
                 8080,

@@ -163,6 +163,11 @@ def test_equals_any_and_time_helpers(ctx):
     assert len(collect_rows(out)) == 2
 
 
+def test_sql_surface(ctx):
+    out = px.sql("SELECT count(*) AS n FROM test_table WHERE col1 > 1.0")
+    assert collect_rows(out) == [(3,)]
+
+
 def test_uint128():
     high, low = px.uint128("00000001-0000-0002-0000-000000000003")
     assert high == (1 << 32) | 2 and low == 3

@@ -97,3 +97,40 @@ def test_flagship_http_request_stats(spark, fixtures):
     assert total == 500
     any_q = next(r["latency_quantiles"] for r in rows if r["latency_quantiles"] is not None)
     assert any_q["p50"] is not None and any_q["p99"] >= any_q["p50"]
+
+
+def test_flagship_service_flow_graph(spark, fixtures):
+    """Service-graph script re-expressed (ref workload corpus:
+    src/pxl_scripts/px/{net_flow_graph,dns_flow_graph}/ — resolve both
+    endpoints to services, aggregate edges). Server side via upid ctx,
+    client side via ip→pod→service broadcast lookups."""
+    pods, services, events = fixtures
+    r = MetadataResolver(pods, services)
+
+    server = r.resolve_upid(events, ["service_name"]).withColumnRenamed(
+        "service_name", "server_svc"
+    )
+    with_client_pod = r.ip_to_pod_id(server, "remote_addr")
+    svc_dim = F.broadcast(
+        pods.select("pod_id", "service_id").join(
+            services.select("service_id", F.col("service_name").alias("client_svc")),
+            "service_id",
+        ).select("pod_id", "client_svc")
+    )
+    edges_src = with_client_pod.join(svc_dim, "pod_id", "left")
+    edges = (
+        edges_src.where(F.col("server_svc").isNotNull() & F.col("client_svc").isNotNull())
+        .groupBy("client_svc", "server_svc")
+        .agg(
+            F.count(F.lit(1)).alias("n_requests"),
+            F.sum((F.col("resp_status") >= 400).cast("long")).alias("n_errors"),
+            F.percentile_approx("latency", 0.99).alias("latency_p99"),
+        )
+    )
+    rows = edges.collect()
+    assert rows, "expected resolvable service->service edges"
+    assert sum(r2["n_requests"] for r2 in rows) > 300  # 90% internal x 97% known upids
+    names = {r2["client_svc"] for r2 in rows} | {r2["server_svc"] for r2 in rows}
+    assert all("/" in n for n in names)
+    from pixie_spark.plans import assert_no_cartesian
+    assert_no_cartesian(edges)
