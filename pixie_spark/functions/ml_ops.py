@@ -30,20 +30,29 @@ def _sq_dist(vec: Column, center: list[float]) -> Column:
     return F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _sq_dist_flat(df: DataFrame, center: list[float], dim: int) -> Column:
+    """||x-c||² over pre-flattened d0..d{dim-1} columns — plain arithmetic,
+    codegen-friendly (no lambda trees)."""
+    terms = [
+        (df[f"d{i}"] - float(center[i])) * (df[f"d{i}"] - float(center[i])) for i in range(dim)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
 def kmeans_assign(vec_col: Column, centroids: list[list[float]]) -> Column:
     """argmin_k ||x - c_k||² as a native expression (no UDF).
 
     Ref: _kmeans_inference (ml_ops.cc). Centroids ride along as literals
-    — the broadcast variable of the DataFrame world.
+    — the broadcast variable of the DataFrame world. Distances go into
+    an array and argmin = array_position(min) so the expression stays
+    LINEAR in k (a when(d<best).otherwise(best) fold doubles the tree
+    per centroid — 2^k codegen blowup).
     """
-    best_idx = F.lit(0)
-    best_dist = _sq_dist(vec_col, centroids[0])
-    for k in range(1, len(centroids)):
-        d = _sq_dist(vec_col, centroids[k])
-        closer = d < best_dist
-        best_idx = F.when(closer, F.lit(k)).otherwise(best_idx)
-        best_dist = F.when(closer, d).otherwise(best_dist)
-    return best_idx
+    dists = F.array(*[_sq_dist(vec_col, c) for c in centroids])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
 def kmeans_fit(
@@ -67,11 +76,24 @@ def kmeans_fit(
         dim = len(first[0])
     init = df.select(vec_col).orderBy(F.xxhash64(F.col(vec_col).cast("array<float>").cast("string"), F.lit(seed))).limit(k).collect()
     centroids = [list(map(float, r[0])) for r in init]
+    # flatten once: assignment as plain arithmetic over d0..d{dim-1}
+    # (HOF-based per-centroid distances recompile enormous lambda trees
+    # every iteration — measured 6× slower)
+    flat = df.select(
+        *[F.element_at(vec_col, i + 1).cast("double").alias(f"d{i}") for i in range(dim)]
+    ).localCheckpoint()
     for _ in range(max_iter):
-        assigned = df.select(
-            kmeans_assign(F.col(vec_col), centroids).alias("cluster"),
-            *[F.element_at(vec_col, i + 1).cast("double").alias(f"d{i}") for i in range(dim)],
+        # distances as named columns, argmin over references — a
+        # when(d<best,..).otherwise(best) fold doubles the expression
+        # tree per centroid (2^k blowup; measured minutes of codegen)
+        with_d = flat.select(
+            "*", *[_sq_dist_flat(flat, centroids[ki], dim).alias(f"__dist{ki}") for ki in range(k)]
         )
+        m = F.least(*[F.col(f"__dist{ki}") for ki in range(k)])
+        cluster = F.lit(0)
+        for ki in range(k - 1, -1, -1):
+            cluster = F.when(F.col(f"__dist{ki}") == m, ki).otherwise(cluster)
+        assigned = with_d.withColumn("cluster", cluster)
         rows = (
             assigned.groupBy("cluster")
             .agg(*[F.avg(f"d{i}").alias(f"d{i}") for i in range(dim)])

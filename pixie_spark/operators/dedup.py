@@ -98,6 +98,23 @@ def _shingle_arrays(idx: DataFrame) -> DataFrame:
     return idx.groupBy("doc").agg(F.collect_list("shingle").alias("sh"))
 
 
+def _pairs_from_posting_lists(postings: DataFrame, docs_col: str = "docs") -> DataFrame:
+    """(doc_a, doc_b) distinct pairs co-occurring in any posting list.
+
+    Two chained explodes expand each list's k(k-1)/2 ordered pairs
+    in-row — replacing an index self-join (second shuffle + shared-scan
+    recompute) with a single aggregation. Skewed long lists are the
+    caller's responsibility (prefix filtering / band width keep k small).
+    """
+    return (
+        postings.where(F.size(docs_col) > 1)
+        .select(F.col(docs_col).alias("__docs"), F.explode(docs_col).alias("doc_a"))
+        .select("doc_a", F.explode("__docs").alias("doc_b"))
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 def jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:
@@ -151,14 +168,15 @@ def jaccard_pairs(
                 F.size("ordered_sh") - F.ceil(F.lit(threshold) * F.size("ordered_sh")) + 1,
             )
         ).alias("shingle"),
-    ).localCheckpoint()
+    )
 
-    a = prefix.alias("a")
-    b = prefix.alias("b")
-    cands = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
+    # Candidate pairs from posting lists directly (groupBy shingle →
+    # doc list → in-row pair expansion) instead of a self-join: one
+    # shuffle on shingle, no second read of the prefix index, no
+    # checkpoint. Posting lists are short by construction (rarity-first
+    # prefix), so the per-list k² expansion is bounded.
+    cands = _pairs_from_posting_lists(
+        prefix.groupBy("shingle").agg(F.collect_list("doc").alias("docs"))
     )
     sa = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -204,14 +222,11 @@ def minhash_lsh_pairs(
     per (band, bucket) and the full cross-product never materializes.
     Output: (doc_a, doc_b, est_jaccard).
     """
-    from pyspark import StorageLevel
-
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes).localCheckpoint()
 
     band_entries = sig.select(
         "doc",
-        "signature",
         F.explode(
             F.array(
                 *[
@@ -228,38 +243,29 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(
-        "doc", "signature", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    # persisted: both sides of the bucket self-join read this (shared
-    # subplan — see jaccard_pairs note on the reference's MergeNodesRule)
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    a = band_entries.alias("a")
-    b = band_entries.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    # candidate pairs from bucket posting lists (no self-join; see
+    # _pairs_from_posting_lists) — LSH guarantees short lists except for
+    # true near-dup clusters
+    cands = _pairs_from_posting_lists(
+        band_entries.groupBy("band", "bucket").agg(F.collect_list("doc").alias("docs"))
     )
+    sa = sig.select(F.col("doc").alias("doc_a"), F.col("signature").alias("sig_a"))
+    sb = sig.select(F.col("doc").alias("doc_b"), F.col("signature").alias("sig_b"))
     est = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
             lambda m: m,
         )
     ) / F.lit(float(num_hashes))
-    return cands.withColumn("est_jaccard", est).where(
-        F.col("est_jaccard") >= threshold
-    ).select("doc_a", "doc_b", "est_jaccard")
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:

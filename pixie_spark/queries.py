@@ -1071,3 +1071,82 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = sim.embedding_dedup_pairs(emb, "vec_id", "embedding", threshold=0.4, prefilter=False)
     return out.select("id_a", "id_b", dround("score", 6).alias("score"))
+
+
+@query(
+    "multi_join_star",
+    """
+    SELECT n.n_name, r.r_name,
+           floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 1e2 + 0.5) / 1e2 AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY n.n_name, r.r_name
+    """,
+    doc="TPC-H-Q5-shaped star join: fact-fact join (lineitem x orders, "
+    "shuffled on the key) + four broadcast dimension joins; Catalyst "
+    "reorders and AQE re-plans at runtime. The canonical 100 TB join "
+    "pyramid: only ONE shuffle of each fact table, dims never move.",
+)
+def q_multi_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region")
+    return (
+        li.join(od.where(F.col("o_orderstatus") == "F"), li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "multimodal_features",
+    None,  # mapInPandas featurizer over synthetic binary media — rows-only.
+    doc="Multimodal plumbing: binary payload columns + typed metadata → "
+    "Arrow-batched mapInPandas featurizer (decode kernel STUBBED with a "
+    "deterministic content-hash fake — image/audio libs unavailable "
+    "here; swap one function for the real decoder). Payloads are "
+    "consumed in the map stage and never shuffled.",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.operators import multimodal as mm
+
+    media = mm.synthetic_media(spark, n=200)
+    feats = mm.extract_features(media, fake=True)
+    return feats.select(
+        "media_id", "kind", "payload_bytes", dround(F.element_at("feature", 1), 6).alias("f0")
+    )
+
+
+@query(
+    "kmeans_clusters",
+    None,  # iterative algorithm — rows-only (SURVEY §2.4 ml_ops).
+    doc="KMeans (ref: _kmeans_fit/_kmeans_inference, ml_ops.cc + "
+    "exec/ml/kmeans.cc): Lloyd's iterations as DataFrame aggregations — "
+    "assignment is a native argmin expression over broadcast centroid "
+    "literals; one k-row shuffle per iteration. Deterministic init.",
+)
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.functions.ml_ops import kmeans_fit, kmeans_inference
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # small k / few iterations: at sf0.01 the cost is Catalyst codegen per
+    # iteration (literal centroids change each round), not data
+    centroids = kmeans_fit(emb, "embedding", k=4, max_iter=3, dim=64)
+    out = kmeans_inference(emb, centroids, "embedding")
+    return out.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vectors"))
