@@ -158,7 +158,9 @@ def q_filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        # timestamp_ntz literal: parquet timestamps are NTZ; an LTZ cast would
+        # shift the boundary under a non-UTC driver session timezone
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dround(F.sum("l_quantity"), 4).alias("sum_qty"),
