@@ -75,6 +75,35 @@ def k8s_fixtures(spark: SparkSession, n_pods: int = 10, seed: int = 42):
     )
 
 
+def conn_stats_fixture(
+    spark: SparkSession, n_pods: int = 10, samples_per_pod: int = 60, seed: int = 43
+) -> DataFrame:
+    """conn_stats-like table (FIXTURES.md §2): per-upid MONOTONIC counters
+    sampled every ~10s over 10 min, with one mid-series counter reset to
+    exercise the clamp path."""
+    from pixie_spark.schemas import CONN_STATS
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n_pods):
+        upid = _upid(i % 3 + 1, 1000 + i, BASE_NS - ((i % 48) + 1) * HOUR_NS)
+        sent, recv, opened = 0, 0, 0
+        for s in range(samples_per_pod):
+            t = BASE_NS + s * 10_000_000_000
+            if i == 0 and s == samples_per_pod // 2:
+                sent, recv, opened = 0, 0, 0  # process restart: counter reset
+            sent += int(rng.randint(100, 10_000))
+            recv += int(rng.randint(100, 20_000))
+            opened += int(rng.randint(0, 3))
+            rows.append(
+                (
+                    t, upid, f"10.0.0.{i+1}", 8080, 2, 2, 1, bool(i % 2),
+                    opened, max(opened - 1, 0), 1, sent, recv,
+                )
+            )
+    return spark.createDataFrame(rows, CONN_STATS)
+
+
 def http_events_fixture(
     spark: SparkSession, n: int = 2000, n_pods: int = 10, seed: int = 42, orphan_frac: float = 0.03
 ) -> DataFrame:

@@ -1,0 +1,110 @@
+"""Property-based cross-checks (hypothesis): Spark operators vs plain
+Python reference implementations on randomized small inputs. Few, large
+examples — each example runs Spark jobs."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pixie_spark.operators.asof import asof_join, sessionize
+from pixie_spark.operators.dedup import jaccard_pairs
+
+WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(WORDS), min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+def py_jaccard_pairs(texts, n=3, threshold=0.3):
+    def sh(t):
+        ws = [w for w in t.split() if w]
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    sets = {i: sh(t) for i, t in enumerate(texts)}
+    out = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                inter = len(sets[a] & sets[b])
+                if inter:
+                    j = inter / len(sets[a] | sets[b])
+                    if j >= threshold:
+                        out[(a, b)] = round(j, 9)
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs_strategy)
+def test_jaccard_matches_python(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.3).collect()
+    }
+    assert got == py_jaccard_pairs(texts, 3, 0.3)
+
+
+events_strategy = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 1000)), min_size=1, max_size=40
+)
+
+
+def py_sessionize(events, gap):
+    # events: [(key, t)]; returns {(key, t, occurrence): session_id}
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for k, t in events:
+        by_key[k].append(t)
+    out = {}
+    for k, ts in by_key.items():
+        sid, prev = -1, None
+        for t in sorted(ts):
+            if prev is None or t - prev > gap:
+                sid += 1
+            out[(k, t)] = sid
+            prev = t
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events_strategy, st.integers(1, 100))
+def test_sessionize_matches_python(spark, events, gap):
+    df = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(events)], ["event_id", "k", "t"]
+    )
+    got = sessionize(df, "k", "t", gap).collect()
+    expected = py_sessionize(events, gap)
+    for r in got:
+        assert r["session_id"] == expected[(r["k"], r["t"])]
+
+
+asof_strategy = st.tuples(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 100)), min_size=1, max_size=15),
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 100)), min_size=0, max_size=15),
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(asof_strategy)
+def test_asof_matches_python(spark, data):
+    left, right = data
+    # dedupe right on (key,time) — at equal keys the matched VALUE is the
+    # time itself, so duplicates are indistinguishable
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], ["lid", "k", "lt"]
+    )
+    rdf = spark.createDataFrame(
+        list({(k, t) for k, t in right}) or [(99, -1)], ["k", "rt"]
+    )
+    got = {
+        r["lid"]: r["rt_asof"]
+        for r in asof_join(ldf, rdf, "k", "lt", "rt", ["rt"]).collect()
+    }
+    rset = {(k, t) for k, t in right} or {(99, -1)}
+    for i, (k, t) in enumerate(left):
+        cands = [rt for (rk, rt) in rset if rk == k and rt <= t]
+        assert got[i] == (max(cands) if cands else None)
