@@ -34,8 +34,10 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    "dedup_embedding_cosine",
     "asof_join",
     "sessionize",
+    "multi_join_star",
 ]
 
 
