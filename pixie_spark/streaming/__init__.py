@@ -77,6 +77,31 @@ def rolling_agg(
     ).drop("__w")
 
 
+def session_agg(
+    df: DataFrame,
+    gap: str,
+    aggs: dict[str, Column],
+    by: list[str],
+    time_col: str = "time_",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Gap-based session windows — the streaming twin of
+    operators.asof.sessionize, using Spark's native session_window (state
+    bounded by the watermark). Output keeps session start/end as ns."""
+    dur = f"{parse_duration(gap) // 1_000_000} milliseconds"
+    wdf = df.withColumn("__ts", ns_to_ts(F.col(time_col)))
+    if wdf.isStreaming:
+        wdf = wdf.withWatermark("__ts", watermark)
+    out = wdf.groupBy(F.session_window("__ts", dur).alias("__w"), *[F.col(c) for c in by]).agg(
+        *[c.alias(n) for n, c in aggs.items()]
+    )
+    return (
+        out.withColumn("session_start", (F.unix_micros(F.col("__w.start")) * 1000).cast("long"))
+        .withColumn("session_end", (F.unix_micros(F.col("__w.end")) * 1000).cast("long"))
+        .drop("__w")
+    )
+
+
 def display_stream(df: DataFrame, name: str, checkpoint_dir: str | None = None):
     """Streaming px.display: append to an in-memory sink queryable as
     ``name`` (the query-broker result table of the reference)."""

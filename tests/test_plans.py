@@ -76,3 +76,15 @@ def test_no_python_udf_in_core_queries(spark, sf_dir):
             continue
         plan = plan_string(spec.fn(spark, sf_dir))
         assert "EvalPython" not in plan, f"{name} fell back to Python UDF"
+
+
+def test_no_cartesian_in_any_oracle_query(spark, sf_dir):
+    """No oracle-checked query may plan a cartesian product (the one
+    intentional all-pairs query, dedup_embedding_cosine, is exempt and
+    documented; everything else must join on keys or broadcast)."""
+    exempt = {"dedup_embedding_cosine"}
+    for name, spec in QUERIES.items():
+        if spec.oracle is None or name in exempt:
+            continue
+        plan = plan_string(spec.fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name

@@ -102,3 +102,45 @@ def test_px_stream_flag(spark):
     # display on a stream-marked frame must not apply the batch limit
     out = px.display(df, "s_out")
     assert out is not None
+
+
+def test_session_window_stream_matches_batch_sessionize(spark, events_dir, tmp_path):
+    """Native session_window (stream) vs operators.asof.sessionize (batch):
+    same session count per upid for the same gap."""
+    from pixie_spark.operators.asof import sessionize
+    from pyspark.sql import functions as F2
+
+    gap_ns = 60_000_000_000  # 1 min
+    batch_df = spark.read.schema(HTTP_EVENTS).parquet(events_dir)
+    batch_sessions = (
+        sessionize(batch_df.select("upid", "time_"), "upid", "time_", gap_ns)
+        .select("upid", "session_id")
+        .distinct()
+        .groupBy("upid")
+        .count()
+    )
+    expected = {tuple(r["upid"]): r["count"] for r in batch_sessions.collect()}
+
+    stream = st.stream_table(spark, events_dir, HTTP_EVENTS, max_files_per_trigger=4)
+    out = st.session_agg(
+        stream, "1m", {"n": F2.count(F2.lit(1))}, by=["upid"], watermark="10 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("session_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .start()
+    )
+    try:
+        ok = _wait_for(
+            lambda: q.lastProgress is not None
+            and q.lastProgress.get("numInputRows", -1) == 0
+            and spark.table("session_test").count() > 0,
+        )
+        assert ok
+        got_rows = spark.table("session_test").groupBy("upid").count().collect()
+        got = {tuple(r["upid"]): r["count"] for r in got_rows}
+        assert got == expected
+    finally:
+        q.stop()
