@@ -1152,3 +1152,33 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = kmeans_fit(emb, "embedding", k=4, max_iter=3, dim=64)
     out = kmeans_inference(emb, centroids, "embedding")
     return out.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+@query(
+    "embedding_pipeline_e2e",
+    None,  # stub-embedding chain — rows-only (deterministic fake encoder).
+    doc="End-to-end LLM-pipeline chain: documents → quality filter → "
+    "(stubbed deterministic) text embedding → LSH-bucketed ANN self-"
+    "similarity → top-1 neighbor per doc. Exercises the full "
+    "text→vector→search path on one lazy plan; swap the encoder stub "
+    "for a pandas_udf ONNX call in production (functions/ml_ops.py).",
+)
+def q_embedding_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.functions.ml_ops import text_embedding
+    from pixie_spark.operators.text import quality_score
+
+    doc = load_table(spark, sf_dir, "documents")
+    embedded = (
+        doc.where(quality_score(F.col("text")) >= 0.5)
+        .select("doc_id", text_embedding(F.col("text")).alias("emb"))
+    )
+    queries_df = embedded.where(F.col("doc_id") % 50 == 0)
+    out = sim.lsh_topk(
+        embedded, queries_df, id_col="doc_id", vec_col="emb",
+        k=1, n_planes=4, n_tables=4, dim=32,
+    )
+    return out.select(
+        F.col("query_id").alias("doc_id"),
+        F.col("vec_id").alias("nearest_doc"),
+        dround("score", 6).alias("score"),
+    )
