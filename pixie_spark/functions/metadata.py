@@ -124,3 +124,31 @@ class MetadataResolver:
     def has_service_name(self, df: DataFrame, upid_col: str = "upid") -> DataFrame:
         out = self.upid_to_service_name(df, upid_col)
         return out.withColumn("has_service_name", F.col("service_name").isNotNull())
+
+    # pod_id_* / service_id_* accessor families (metadata_ops.cc:35-139) ----
+
+    def pod_id_to(self, df: DataFrame, attrs: list[str], pod_id_col: str = "pod_id") -> DataFrame:
+        """pod_id_to_pod_name / _namespace / _node_name / _service_id / ..."""
+        dim = F.broadcast(
+            self.pods.select("pod_id", *attrs).dropDuplicates(["pod_id"]).withColumnRenamed(
+                "pod_id", pod_id_col
+            )
+        )
+        return df.join(dim, pod_id_col, "left")
+
+    def service_id_to(
+        self, df: DataFrame, attrs: list[str], service_id_col: str = "service_id"
+    ) -> DataFrame:
+        """service_id_to_service_name / _namespace / _cluster_ip."""
+        if self.services is None:
+            raise ValueError("no services dimension bound")
+        dim = F.broadcast(
+            self.services.select("service_id", *attrs)
+            .dropDuplicates(["service_id"])
+            .withColumnRenamed("service_id", service_id_col)
+        )
+        return df.join(dim, service_id_col, "left")
+
+    def pod_id_to_service_name(self, df: DataFrame, pod_id_col: str = "pod_id") -> DataFrame:
+        """Two chained broadcast hops: pod_id → service_id → service_name."""
+        return self.service_id_to(self.pod_id_to(df, ["service_id"], pod_id_col), ["service_name"])

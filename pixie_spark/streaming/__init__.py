@@ -152,6 +152,70 @@ def _rows_to_otel_metrics(rows, name_col: str, value_col: str, ts_col: str, attr
     return out
 
 
+def _rows_to_otel_spans(rows, name_col: str, start_col: str, end_col: str, attr_cols: list[str]):
+    out = []
+    for r in rows:
+        d = r.asDict()
+        out.append(
+            {
+                "resourceSpans": [
+                    {
+                        "scopeSpans": [
+                            {
+                                "spans": [
+                                    {
+                                        "name": str(d.get(name_col, name_col)),
+                                        "startTimeUnixNano": int(d[start_col]),
+                                        "endTimeUnixNano": int(d[end_col]),
+                                        "attributes": [
+                                            {"key": a, "value": {"stringValue": str(d[a])}}
+                                            for a in attr_cols
+                                        ],
+                                    }
+                                ]
+                            }
+                        ]
+                    }
+                ]
+            }
+        )
+    return out
+
+
+def otel_export_spans(
+    df: DataFrame,
+    out_dir: str,
+    name_col: str,
+    start_col: str = "time_",
+    end_col: str = "end_time_",
+    attr_cols: list[str] | None = None,
+    checkpoint_dir: str | None = None,
+    exporter: Callable | None = None,
+):
+    """OTel SPANS export (ref: otel_export_sink_node.cc span config,
+    plan.proto OTelSpan) — same foreachBatch plumbing as metrics; a span
+    per row with [start, end] ns and attribute columns."""
+    attr_cols = attr_cols or []
+    os.makedirs(out_dir, exist_ok=True)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        payloads = _rows_to_otel_spans(batch_df.collect(), name_col, start_col, end_col, attr_cols)
+        if exporter is not None:
+            exporter(payloads)
+        else:
+            with open(os.path.join(out_dir, f"spans-{batch_id:06d}.jsonl"), "w") as f:
+                for p in payloads:
+                    f.write(json.dumps(p) + "\n")
+
+    if df.isStreaming:
+        writer = df.writeStream.foreachBatch(sink).outputMode("append")
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        return writer.start()
+    sink(df, 0)
+    return None
+
+
 def otel_export(
     df: DataFrame,
     out_dir: str,

@@ -134,3 +134,17 @@ def test_flagship_service_flow_graph(spark, fixtures):
     assert all("/" in n for n in names)
     from pixie_spark.plans import assert_no_cartesian
     assert_no_cartesian(edges)
+
+
+def test_pod_and_service_id_accessors(spark, fixtures):
+    """pod_id_to_* / service_id_to_* accessor families
+    (metadata_ops.cc:35-139) as chained broadcast hops."""
+    pods, services, _ = fixtures
+    r = MetadataResolver(pods, services)
+    df = spark.createDataFrame([("pod-id-0000",), ("pod-id-bogus",)], ["pod_id"])
+    out = {x["pod_id"]: x["service_name"] for x in r.pod_id_to_service_name(df).collect()}
+    assert out["pod-id-0000"] is not None and "/" in out["pod-id-0000"]
+    assert out["pod-id-bogus"] is None
+    named = r.pod_id_to(df, ["pod_name", "namespace"])
+    row = named.where(F.col("pod_id") == "pod-id-0000").first()
+    assert row["pod_name"].startswith(row["namespace"] + "/")

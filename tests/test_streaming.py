@@ -144,3 +144,18 @@ def test_session_window_stream_matches_batch_sessionize(spark, events_dir, tmp_p
         assert got == expected
     finally:
         q.stop()
+
+
+def test_otel_span_export_batch(spark, tmp_path):
+    out_dir = str(tmp_path / "otel_spans")
+    df = spark.createDataFrame(
+        [(1_000, 5_000, "GET /api", "frontend")],
+        ["time_", "end_time_", "span_name", "service"],
+    )
+    st.otel_export_spans(df, out_dir, name_col="span_name", attr_cols=["service"])
+    files = os.listdir(out_dir)
+    assert files
+    p = json.loads(open(os.path.join(out_dir, files[0])).readline())
+    span = p["resourceSpans"][0]["scopeSpans"][0]["spans"][0]
+    assert span["name"] == "GET /api"
+    assert span["endTimeUnixNano"] == 5_000 and span["startTimeUnixNano"] == 1_000
