@@ -147,10 +147,15 @@ class PxDataFrame:
         left_on = [left_on] if isinstance(left_on, str) else list(left_on)
         right_on = [right_on] if isinstance(right_on, str) else list(right_on)
         lsdf, rsdf = self._sdf, right._sdf
-        overlap = (set(lsdf.columns) & set(rsdf.columns)) - (set(left_on) & set(right_on))
+        # every shared name — including identical join keys — gets the
+        # side suffix, matching the reference's merge (both key columns
+        # appear in the output, disambiguated)
+        overlap = set(lsdf.columns) & set(rsdf.columns)
         for c in overlap:
-            lsdf = lsdf.withColumnRenamed(c, c + suffixes[0])
-            rsdf = rsdf.withColumnRenamed(c, c + suffixes[1])
+            if suffixes[0]:
+                lsdf = lsdf.withColumnRenamed(c, c + suffixes[0])
+            if suffixes[1]:
+                rsdf = rsdf.withColumnRenamed(c, c + suffixes[1])
         cond = None
         for lc, rc in zip(left_on, right_on):
             lcol = lsdf[lc + suffixes[0]] if lc in overlap else lsdf[lc]

@@ -81,21 +81,29 @@ def _shingle_index(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
     after the per-doc shuffle regardless of source file splittability —
     HOF lambdas are interpreted and were the hot spot at scale.
     """
+    return _shingle_arrays_direct(df, id_col, text_col, n).select(
+        "doc", F.explode("sh").alias("shingle")
+    )
+
+
+def _shingle_arrays_direct(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc, sh: array<string> DISTINCT shingles) in ONE shuffle.
+
+    The window shuffle partitions by doc; the groupBy(doc) that follows
+    reuses that partitioning (no exchange), and array_distinct replaces a
+    separate (doc, shingle) distinct — saving two shuffles vs the naive
+    shingle-rows → distinct → collect_list chain.
+    """
     win = Window.partitionBy("doc").orderBy("pos")
     w = _word_rows(df, id_col, text_col)
     parts = [F.col("word")] + [F.lead("word", j).over(win) for j in range(1, n)]
-    return (
+    rows = (
         w.withColumn("last_w", F.lead("word", n - 1).over(win))
         .withColumn("shingle", F.concat_ws(" ", *parts))
         .where(F.col("last_w").isNotNull())
         .select("doc", "shingle")
-        .distinct()
     )
-
-
-def _shingle_arrays(idx: DataFrame) -> DataFrame:
-    """(doc, sh: array<string>) from a shingle index."""
-    return idx.groupBy("doc").agg(F.collect_list("shingle").alias("sh"))
+    return rows.groupBy("doc").agg(F.array_distinct(F.collect_list("shingle")).alias("sh"))
 
 
 def _pairs_from_posting_lists(postings: DataFrame, docs_col: str = "docs") -> DataFrame:
@@ -141,8 +149,8 @@ def jaccard_pairs(
     merge_nodes_rule.h:36-44); without it the self-join recomputes the
     whole shingle subtree once per side (measured 10× slowdown).
     """
-    idx = _shingle_index(df, id_col, text_col, n).localCheckpoint()
-    sh = _shingle_arrays(idx).localCheckpoint()
+    sh = _shingle_arrays_direct(df, id_col, text_col, n).localCheckpoint()
+    idx = sh.select("doc", F.explode("sh").alias("shingle"))
     dfreq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfreq"))
 
     # Rarity-first global order per doc; prefix = |X| - ceil(t|X|) + 1.

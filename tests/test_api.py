@@ -107,9 +107,12 @@ def test_merge_with_suffixes(ctx):
     left = px.DataFrame("test_table")
     right = px.DataFrame("test_table")
     out = left.merge(right, how="inner", left_on="col2", right_on="col2", suffixes=("_x", "_y"))
-    assert sorted(out.columns) == ["col1_x", "col1_y", "col2", "col2"] or \
-        sorted(out.columns) == sorted(["col2", "col1_x", "col2", "col1_y"])
+    # every shared name — join keys included — carries its side suffix
+    assert sorted(out.columns) == ["col1_x", "col1_y", "col2_x", "col2_y"]
     assert len(collect_rows(out)) == 5
+    # PxL-style asymmetric suffixes: left keeps bare names
+    out2 = left.merge(right, how="inner", left_on="col2", right_on="col2", suffixes=("", "_x"))
+    assert sorted(out2.columns) == ["col1", "col1_x", "col2", "col2_x"]
 
 
 def test_append_union(ctx):

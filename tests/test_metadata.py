@@ -148,3 +148,65 @@ def test_pod_and_service_id_accessors(spark, fixtures):
     named = r.pod_id_to(df, ["pod_name", "namespace"])
     row = named.where(F.col("pod_id") == "pod-id-0000").first()
     assert row["pod_name"].startswith(row["namespace"] + "/")
+
+
+def test_flagship_service_slow_requests(spark, fixtures):
+    """Port of service.pxl's service_slow_requests (reference:
+    src/pxl_scripts/px/service/service.pxl:116-131): per-service p99 via
+    quantiles agg → join back on service → keep requests ≥ floor(p99) →
+    head(100). The reference plucks p99 from a t-digest JSON string; here
+    quantiles is a struct, so the pluck is a field access."""
+    pods, services, events = fixtures
+    px.set_context(
+        spark, tables={"http_events": events}, metadata=MetadataResolver(pods, services)
+    )
+    df = px.DataFrame("http_events", start_time=0)
+    df = df[df.trace_role == 2]
+    df.service = df.ctx["service_name"]
+    df.failure = df.resp_status >= 400
+    df = df[df.req_path != "/healthz"]
+    df = df[df.service.isNotNull()]
+
+    quantiles = df.groupby(["service"]).agg(
+        latency_quantiles=("latency", "px.quantiles")
+    )
+    quantiles.service_p99 = F.floor(quantiles.latency_quantiles["p99"])
+    quantiles = quantiles.drop("latency_quantiles")
+
+    requests = df.merge(
+        quantiles, how="inner", left_on="service", right_on="service", suffixes=["", "_x"]
+    )
+    requests = requests[requests.latency >= requests.service_p99]
+    out = requests[["time_", "service", "latency", "req_method", "req_path", "resp_status"]].head(100)
+
+    rows = out.to_spark().collect()
+    assert 0 < len(rows) <= 100
+    # every surviving request is at/above its service's p99 → tail share
+    slow = px.from_spark(requests.to_spark())
+    per_svc = (
+        requests.to_spark().groupBy("service").count().collect()
+    )
+    totals = {r["service"]: r["count"] for r in df.to_spark().groupBy("service").count().collect()}
+    for r in per_svc:
+        assert r["count"] <= max(0.05 * totals[r["service"]] + 2, 2)
+
+
+def test_flagship_most_http_data(spark, fixtures):
+    """Port of most_http_data/data.pxl's get_max_elm: global max via agg →
+    join back on the value (the PxL idiom for argmax without window
+    functions)."""
+    pods, services, events = fixtures
+    px.set_context(
+        spark, tables={"http_events": events}, metadata=MetadataResolver(pods, services)
+    )
+    df = px.DataFrame("http_events", start_time=0)
+    df.pod = df.ctx["pod_name"]
+    max_df = df.agg(__max_size=("resp_body_size", "px.max"))
+    biggest = df.merge(
+        max_df, how="inner", left_on="resp_body_size", right_on="__max_size",
+        suffixes=["", "_x"],
+    ).drop("__max_size")
+    rows = biggest[["pod", "resp_body_size", "req_path"]].to_spark().collect()
+    assert rows
+    expected_max = df.to_spark().agg(F.max("resp_body_size")).first()[0]
+    assert all(r["resp_body_size"] == expected_max for r in rows)
