@@ -99,6 +99,48 @@ def from_spark(sdf: SparkDataFrame) -> PxDataFrame:
     return PxDataFrame(sdf)
 
 
+def run_script(code: str) -> dict[str, SparkDataFrame]:
+    """Execute a PxL-flavored Python script string against the bound
+    context and return its named results — the ExecuteScript entry point
+    (ref: query broker QueryExecutorImpl.Run,
+    src/vizier/services/query_broker/controllers/query_executor.go:167;
+    our 'compiler' is the Python interpreter + this module, Catalyst
+    replaces the logical planner).
+
+    The script sees ``px`` (this module) and ``F`` (pyspark functions);
+    results are whatever it passed to ``px.display``.
+    """
+    import pixie_spark.api as px_module
+
+    _ctx["results"] = {}
+    exec(compile(code, "<pxl_script>", "exec"), {"px": px_module, "F": F})  # noqa: S102
+    return results()
+
+
+def get_agent_status() -> SparkDataFrame:
+    """px.GetAgentStatus() UDTF equivalent (ref: registrations
+    src/vizier/funcs/md_udtfs/md_udtfs.cc): one row per executor with
+    liveness info, generated driver-side from the scheduler's view."""
+    spark = _ctx["spark"]
+    if spark is None:
+        raise RuntimeError("px.set_context(spark, ...) first")
+    sc = spark.sparkContext
+    rows = []
+    try:  # executor memory map via the JVM scheduler (not in the Py API)
+        mem_status = sc._jsc.sc().getExecutorMemoryStatus()  # noqa: SLF001
+        it = mem_status.iterator()
+        while it.hasNext():
+            entry = it.next()
+            addr = entry._1()
+            mem = entry._2()
+            rows.append((str(addr), int(mem._1()), int(mem._2())))
+    except Exception:  # noqa: BLE001 — fall back to driver-only view
+        rows = [("driver", 0, 0)]
+    return spark.createDataFrame(
+        rows, "executor: string, max_memory_bytes: long, free_memory_bytes: long"
+    ).withColumn("total_cores", F.lit(sc.defaultParallelism))
+
+
 def sql(query: str) -> PxDataFrame:
     """SQL entry over the registered tables — a surface the reference
     lacks entirely (PxL only, SURVEY §2.3); Catalyst produces the same

@@ -174,3 +174,25 @@ def test_sql_surface(ctx):
 def test_uint128():
     high, low = px.uint128("00000001-0000-0002-0000-000000000003")
     assert high == (1 << 32) | 2 and low == 3
+
+
+def test_run_script_entry_point(ctx):
+    """ExecuteScript parity: a PxL-flavored script string → named results
+    (ref: query_executor.go:167 Run)."""
+    code = """
+df = px.DataFrame('test_table')
+df['doubled'] = df.col2 * 2
+big = df[df.col1 > 1.0]
+px.display(big[['col2', 'doubled']], 'big_rows')
+px.display(df.agg(total=('col2', 'px.sum')), 'total')
+"""
+    res = px.run_script(code)
+    assert set(res) == {"big_rows", "total"}
+    assert res["total"].first()["total"] == 17
+    assert sorted(r["doubled"] for r in res["big_rows"].collect()) == [4, 6, 12]
+
+
+def test_get_agent_status_udtf(ctx):
+    df = px.get_agent_status()
+    rows = df.collect()
+    assert rows and all(r["total_cores"] >= 1 for r in rows)

@@ -64,3 +64,31 @@ def test_total_traffic_matches_final_counters(spark, conn):
         # allow that slack but require ≥ 80% coverage and never exceeding
         assert total[k] <= f
         assert total[k] >= 0.8 * f
+
+
+def test_flagship_net_flow_graph(spark, conn):
+    """Port of net_flow_graph.pxl (ref: src/pxl_scripts/px/net_flow_graph/):
+    conn_stats → windowed counter deltas per (upid, remote_addr) →
+    resolve both endpoints → edge list with byte totals."""
+    import pixie_spark.api as px
+    from pixie_spark.functions.metadata import MetadataResolver
+    from pixie_spark.sources.fixtures import k8s_fixtures
+
+    pods, services = k8s_fixtures(spark)
+    r = MetadataResolver(pods, services)
+
+    deltas = counter_delta(
+        conn, ["upid", "remote_addr"], "time_", ["bytes_sent", "bytes_recv"], WIN
+    )
+    edges = (
+        deltas.groupBy("upid", "remote_addr")
+        .agg(
+            F.sum("bytes_sent_delta").alias("bytes_sent"),
+            F.sum("bytes_recv_delta").alias("bytes_recv"),
+        )
+    )
+    resolved = r.resolve_upid(edges, ["pod_name", "service_name"])
+    rows = resolved.where(F.col("service_name").isNotNull()).collect()
+    assert rows
+    assert all(row["bytes_sent"] >= 0 and row["bytes_recv"] >= 0 for row in rows)
+    assert all("/" in row["service_name"] for row in rows)
