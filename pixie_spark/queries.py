@@ -1182,3 +1182,48 @@ def q_embedding_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("nearest_doc"),
         dround("score", 6).alias("score"),
     )
+
+
+@query(
+    "funnel_conversion",
+    """
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    s AS (SELECT user_id, min(us) AS signup_us FROM e WHERE event_type = 'signup'
+          GROUP BY user_id),
+    p AS (SELECT e.user_id, min(e.us) AS first_purchase_us
+          FROM e JOIN s ON e.user_id = s.user_id AND e.us >= s.signup_us
+          WHERE e.event_type = 'purchase'
+          GROUP BY e.user_id)
+    SELECT s.user_id, s.signup_us, p.first_purchase_us,
+           coalesce(p.first_purchase_us - s.signup_us <= 604800000000, false) AS converted_7d
+    FROM s LEFT JOIN p ON s.user_id = p.user_id
+    """,
+    doc="Funnel analysis: first signup → first subsequent purchase per "
+    "user, 7-day conversion flag. Two keyed aggregations + one join on "
+    "user_id — the standard product-analytics shape; at scale both aggs "
+    "and the join share the user_id partitioning (single shuffle).",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts DIV 1000").alias("us")
+    )
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("signup_us"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s.withColumnRenamed("user_id", "u2"),
+              (F.col("user_id") == F.col("u2")) & (F.col("us") >= F.col("signup_us")))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("first_purchase_us"))
+    )
+    return s.join(p, "user_id", "left").select(
+        "user_id",
+        "signup_us",
+        "first_purchase_us",
+        F.coalesce(
+            (F.col("first_purchase_us") - F.col("signup_us")) <= 604_800_000_000, F.lit(False)
+        ).alias("converted_7d"),
+    )
