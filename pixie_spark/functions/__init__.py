@@ -59,6 +59,7 @@ _register(
     [
         "contains", "length", "find", "substring", "tolower", "toupper",
         "trim", "strip_prefix", "hex_to_ascii", "bytes_to_hex", "atoi", "itoa",
+        "replace",
     ],
 )
 _register(json_ops, ["pluck", "pluck_int64", "pluck_float64", "pluck_array", "split"])
@@ -66,7 +67,7 @@ REGISTRY["_script_reference"] = json_ops.script_reference
 _register(regex_ops, ["regex_match", "regex_replace"])
 _register(conditionals, ["select"])
 _register(collections, ["any"])
-_register(uri_ops, ["uri_encode", "uri_decode"])
+_register(uri_ops, ["uri_encode", "uri_decode", "uri_parse", "uri_recompose"])
 _register(sql_ops, ["normalize_mysql", "normalize_pgsql"])
 _register(pii_ops, ["redact_pii_best_effort"])
 _register(

@@ -56,6 +56,15 @@ def bytes_to_hex(s) -> Column:
     return F.hex(_c(s).cast("binary"))
 
 
+def replace(s, search: str, replacement: str) -> Column:
+    """Literal (non-regex) substring replacement."""
+    return F.replace(
+        _c(s),
+        F.lit(search) if isinstance(search, str) else search,
+        F.lit(replacement) if isinstance(replacement, str) else replacement,
+    )
+
+
 def atoi(s) -> Column:
     return _c(s).cast("long")
 

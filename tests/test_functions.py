@@ -248,3 +248,24 @@ def test_upid_round_trip(spark):
 def test_registry_size():
     # §2.4 coverage floor: every family registered
     assert len(REGISTRY) >= 60
+
+
+def test_replace_literal(spark):
+    df = spark.createDataFrame([Row(s="a.b.c")])
+    assert df.select(lookup("replace")("s", ".", "-").alias("r")).first()["r"] == "a-b-c"
+
+
+def test_uri_parse_recompose(spark):
+    df = spark.createDataFrame([Row(u="https://example.com:8443/api/v1?x=1&y=2")])
+    parsed = df.select(lookup("uri_parse")("u").alias("p")).first()["p"]
+    assert parsed["scheme"] == "https" and parsed["host"] == "example.com"
+    assert parsed["port"] == 8443 and parsed["path"] == "/api/v1"
+    assert parsed["query"] == "x=1&y=2"
+    out = df.select(
+        lookup("uri_parse")("u").alias("p")
+    ).select(
+        lookup("uri_recompose")(
+            F.col("p.scheme"), F.col("p.host"), F.col("p.port"), F.col("p.path"), F.col("p.query")
+        ).alias("u2")
+    ).first()["u2"]
+    assert out == "https://example.com:8443/api/v1?x=1&y=2"
