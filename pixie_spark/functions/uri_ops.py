@@ -23,10 +23,12 @@ def uri_parse(col) -> Column:
     """The reference's 'uri_parse': decompose a URI into parts. Returns a
     struct(scheme, host, port, path, query) built on Spark's parse_url."""
     c = _c(col)
+    # parse_url has no PORT part — pull it off AUTHORITY (host[:port])
+    port = F.regexp_extract(F.parse_url(c, F.lit("AUTHORITY")), r":(\d+)$", 1)
     return F.struct(
         F.regexp_extract(c, r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1).alias("scheme"),
         F.parse_url(c, F.lit("HOST")).alias("host"),
-        F.parse_url(c, F.lit("PORT")).cast("long").alias("port"),
+        F.when(port != "", port.cast("long")).alias("port"),
         F.parse_url(c, F.lit("PATH")).alias("path"),
         F.parse_url(c, F.lit("QUERY")).alias("query"),
     )
