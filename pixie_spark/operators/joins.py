@@ -42,11 +42,23 @@ def salted_join(
     n_salts reducers instead of one straggler. Replication cost:
     |right| × n_salts — use when right is much smaller than the skewed
     left (but too big / unsuitable to broadcast).
+
+    Only inner/left joins are supported: right/full/anti would emit one
+    row per UNMATCHED REPLICA of the right side (n_salts spurious rows
+    per unmatched key) — a correctness trap, so they raise.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r} "
+            "(right/full would duplicate unmatched right replicas)"
+        )
+    salt_col = "__pixie_salt"
+    while salt_col in left.columns or salt_col in right.columns:
+        salt_col += "_"
     salted_left = left.withColumn(
-        "__salt", (F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))).cast("int")
+        salt_col, (F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))).cast("int")
     )
-    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias(salt_col)
     replicated_right = right.select("*", salts)
-    out = salted_left.join(replicated_right, [key, "__salt"], how)
-    return out.drop("__salt")
+    out = salted_left.join(replicated_right, [key, salt_col], how)
+    return out.drop(salt_col)

@@ -58,13 +58,14 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         write_bucketed(od.select("o_orderkey", "o_totalprice"), f"od_b_{suffix}", "o_orderkey", 8)
         a = spark.table(f"li_b_{suffix}")
         b = spark.table(f"od_b_{suffix}")
+        orig_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
         joined = a.join(b, a.l_orderkey == b.o_orderkey)
         plan = plan_string(joined)
         assert "Exchange" not in plan, plan
         assert joined.count() > 0
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig_threshold)
         spark.sql(f"DROP TABLE IF EXISTS li_b_{suffix}")
         spark.sql(f"DROP TABLE IF EXISTS od_b_{suffix}")
 
@@ -80,3 +81,16 @@ def test_salted_join_correctness(spark):
     plain = left.join(right, "k").groupBy("k", "name").count().collect()
     salted = salted_join(left, right, "k").groupBy("k", "name").count().collect()
     assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+
+
+def test_salted_join_rejects_outer(spark):
+    """right/full joins would emit spurious unmatched-replica rows —
+    salted_join must refuse them."""
+    import pytest as _pytest
+
+    from pixie_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame([(1, "a")], ["k", "v"])
+    right = spark.createDataFrame([(1, "hot")], ["k", "name"])
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(left, right, "k", how="right")
