@@ -158,7 +158,7 @@ def display(df: PxDataFrame, name: str = "output") -> SparkDataFrame:
     results get the implicit row cap the reference's analyzer adds
     (add_limit_to_batch_result_sink_rule.h)."""
     sdf = df.to_spark() if isinstance(df, PxDataFrame) else df
-    if not getattr(df, "_streaming", False):
+    if not (sdf.isStreaming or getattr(df, "_streaming", False)):
         sdf = sdf.limit(_ctx["limit"])
     _ctx["results"][name] = sdf
     return sdf

@@ -4,8 +4,6 @@ _script_reference)."""
 
 from __future__ import annotations
 
-import json
-
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -47,10 +45,6 @@ def script_reference(label, script: str, args: dict[str, str] | None = None) -> 
     """UI deep-link blob: {label, script, args} as a JSON string
     (json_ops.cc '_script_reference'). Args values may be Columns."""
     args = args or {}
-    pairs = []
-    for k, v in args.items():
-        pairs.append(F.lit(json.dumps(k)))
-        pairs.append(F.to_json(F.struct((v if isinstance(v, Column) else F.lit(v)).alias("v"))))
     label_c = label if isinstance(label, Column) else F.lit(label)
     arg_struct = F.struct(
         *[

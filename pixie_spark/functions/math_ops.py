@@ -85,10 +85,16 @@ def round(x, scale: int = 0) -> Column:  # noqa: A001
 
 
 def bin(x, width) -> Column:
-    """Time/value bucketing: floor(x/width)*width.
-    Ref: math_ops.cc:209-216 — the workhorse of PxL time-series queries."""
-    w = _c(width)
-    return (F.floor(_c(x) / w) * w).cast("long")
+    """Time/value bucketing: floor(x/width)*width in PURE INTEGER
+    arithmetic (x - pmod(x, w)). Ref: math_ops.cc:209-216 — the workhorse
+    of PxL time-series queries.
+
+    floor(x/w)*w via doubles misbins int64 ns timestamps: ~1.7e18 exceeds
+    2^53, so the long→double conversion rounds by up to ~128 ns and rows
+    near a boundary land in the adjacent window. pmod keeps floor
+    semantics for negative values too."""
+    xc, w = _c(x), _c(width)
+    return (xc - F.pmod(xc, w)).cast("long")
 
 
 def negate(x) -> Column:

@@ -22,14 +22,19 @@ from pyspark.sql import functions as F
 _UPID_ACCESSORS = {
     "pod_id": "pod_id",
     "pod_name": "pod_name",
+    "pod": "pod_name",  # PxL ctx['pod'] alias
     "namespace": "namespace",
     "node_name": "node_name",
+    "node": "node_name",  # PxL ctx['node'] alias
     "pod_ip": "pod_ip",
     "service_id": "service_id",
     "replicaset_id": "replicaset_id",
     "deployment_id": "deployment_id",
     "pod_phase": "phase",
 }
+
+# ctx['service'] is the canonical PxL accessor for the service name
+_SERVICE_ALIASES = ("service", "service_name")
 
 
 class MetadataResolver:
@@ -75,25 +80,28 @@ class MetadataResolver:
         UDF call per attr; the analyzer here merges them — the analogue of
         CombineConsecutiveMapsRule).
         """
-        unknown = [a for a in attrs if a not in _UPID_ACCESSORS and a != "service_name"]
+        unknown = [a for a in attrs if a not in _UPID_ACCESSORS and a not in _SERVICE_ALIASES]
         if unknown:
-            raise KeyError(f"unknown metadata attrs: {unknown}; have {sorted(_UPID_ACCESSORS)} + ['service_name']")
+            raise KeyError(
+                f"unknown metadata attrs: {unknown}; have "
+                f"{sorted(_UPID_ACCESSORS)} + {list(_SERVICE_ALIASES)}"
+            )
         pod_attrs = [_UPID_ACCESSORS[a] for a in attrs if a in _UPID_ACCESSORS]
-        need_service = "service_name" in attrs
-        if need_service and "service_id" not in pod_attrs:
+        service_attr = next((a for a in attrs if a in _SERVICE_ALIASES), None)
+        if service_attr and "service_id" not in pod_attrs:
             pod_attrs.append("service_id")
         out = self._join_pods(df, upid_col, pod_attrs, time_col)
         # rename dim-native names back to requested accessor names
         for a in attrs:
             if a in _UPID_ACCESSORS and _UPID_ACCESSORS[a] != a:
                 out = out.withColumnRenamed(_UPID_ACCESSORS[a], a)
-        if need_service:
+        if service_attr:
             if self.services is None:
-                raise ValueError("service_name requested but no services dimension provided")
+                raise ValueError(f"{service_attr} requested but no services dimension provided")
             svc = F.broadcast(
                 self.services.select(
                     F.col("service_id").alias("__svc_id"),
-                    F.col("service_name").alias("service_name"),
+                    F.col("service_name").alias(service_attr),
                 )
             )
             out = out.join(svc, out["service_id"] == F.col("__svc_id"), "left").drop("__svc_id")

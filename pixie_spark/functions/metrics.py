@@ -26,7 +26,9 @@ def counter_delta(
     Counter resets (process restart → counter drops) clamp to ≥ 0 the way
     the reference's scripts do.
     """
-    bucket = (F.floor(F.col(time_col) / window_ns) * window_ns).cast("long")
+    # integer bucketing — double division misbins ns-scale longs (>2^53)
+    t = F.col(time_col)
+    bucket = (t - F.pmod(t, F.lit(window_ns))).cast("long")
     aggs = []
     for c in counter_cols:
         aggs.append(F.max(c).alias(f"__max_{c}"))
@@ -63,7 +65,8 @@ def gauge_summary(
     window_ns: int,
 ) -> DataFrame:
     """Per (key, window) gauge stats: avg/max (METRIC_GAUGE semantics)."""
-    bucket = (F.floor(F.col(time_col) / window_ns) * window_ns).cast("long")
+    t = F.col(time_col)
+    bucket = (t - F.pmod(t, F.lit(window_ns))).cast("long")
     aggs = []
     for c in gauge_cols:
         aggs.append(F.avg(c).alias(f"{c}_avg"))

@@ -76,6 +76,7 @@ def kmeans_fit(
         dim = len(first[0])
     init = df.select(vec_col).orderBy(F.xxhash64(F.col(vec_col).cast("array<float>").cast("string"), F.lit(seed))).limit(k).collect()
     centroids = [list(map(float, r[0])) for r in init]
+    k = len(centroids)  # fewer rows than requested clusters → clamp
     # flatten once: assignment as plain arithmetic over d0..d{dim-1}
     # (HOF-based per-centroid distances recompile enormous lambda trees
     # every iteration — measured 6× slower)

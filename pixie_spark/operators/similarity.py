@@ -118,23 +118,13 @@ def embedding_dedup_pairs(
         acc = norm_terms[0]
         for t in norm_terms[1:]:
             acc = acc + t
-        out = df.select(*cols, *xs, F.sqrt(acc).alias(f"norm_{side}"))
-        if prefilter:
-            all_planes = _hyperplanes(dim, n_planes * n_tables)
-            buckets = [
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    lsh_bucket(F.col(vec_col), all_planes[t * n_planes : (t + 1) * n_planes]).alias(
-                        "bucket"
-                    ),
-                )
-                for t in range(n_tables)
-            ]
-            out = df.select(
-                *cols, *xs, F.sqrt(acc).alias(f"norm_{side}"),
-                F.explode(F.array(*buckets)).alias("tb"),
-            ).select("*", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")).drop("tb")
-        return out
+        if not prefilter:
+            return df.select(*cols, *xs, F.sqrt(acc).alias(f"norm_{side}"))
+        all_planes = _hyperplanes(dim, n_planes * n_tables)
+        return df.select(
+            *cols, *xs, F.sqrt(acc).alias(f"norm_{side}"),
+            F.explode(_table_buckets(F.col(vec_col), all_planes, n_planes, n_tables)).alias("tb"),
+        ).select("*", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")).drop("tb")
 
     a, b = flat("a"), flat("b")
     if prefilter:
@@ -158,6 +148,21 @@ def embedding_dedup_pairs(
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim).tolist()
+
+
+def _table_buckets(vec: Column, all_planes: list[list[float]], n_planes: int, n_tables: int) -> Column:
+    """array<struct<tbl,bucket>> — one LSH bucket per hash table, planes
+    drawn from disjoint slices of the seeded pool. Shared by lsh_topk and
+    embedding_dedup_pairs so the two LSH paths can't diverge."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket(vec, all_planes[t * n_planes : (t + 1) * n_planes]).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
@@ -200,19 +205,10 @@ def lsh_topk(
     def entries(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
         # bucket exprs reference the ORIGINAL column, not the alias —
         # lateral-alias refs inside explode() crash the analyzer
-        buckets = [
-            F.struct(
-                F.lit(t).alias("tbl"),
-                lsh_bucket(F.col(vec_col), all_planes[t * n_planes : (t + 1) * n_planes]).alias(
-                    "bucket"
-                ),
-            )
-            for t in range(n_tables)
-        ]
         return df.select(
             F.col(id_col).alias(id_alias),
             F.col(vec_col).alias(vec_alias),
-            F.explode(F.array(*buckets)).alias("tb"),
+            F.explode(_table_buckets(F.col(vec_col), all_planes, n_planes, n_tables)).alias("tb"),
         ).select(id_alias, vec_alias, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
 
     c = entries(corpus, "vec_id", "c_vec")

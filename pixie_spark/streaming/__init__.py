@@ -48,7 +48,11 @@ def stream_table(
 
 
 def ns_to_ts(col: Column) -> Column:
-    return F.timestamp_micros((col / 1000).cast("long"))
+    # exact ns→µs: (col/1000) via doubles rounds ns-scale longs (>2^53);
+    # decimal division keeps every digit
+    return F.timestamp_micros(
+        F.floor(col.cast("decimal(38,0)") / F.lit(1000)).cast("long")
+    )
 
 
 def rolling_agg(
@@ -104,10 +108,13 @@ def session_agg(
 
 def display_stream(df: DataFrame, name: str, checkpoint_dir: str | None = None):
     """Streaming px.display: append to an in-memory sink queryable as
-    ``name`` (the query-broker result table of the reference)."""
-    writer = df.writeStream.format("memory").queryName(name).outputMode(
-        "update" if df.isStreaming else "append"
-    )
+    ``name`` (the query-broker result table of the reference). Batch
+    frames register a temp view of the same name (one-model duality) and
+    return None instead of a query handle."""
+    if not df.isStreaming:
+        df.createOrReplaceTempView(name)
+        return None
+    writer = df.writeStream.format("memory").queryName(name).outputMode("update")
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()

@@ -148,8 +148,9 @@ def upid_to_string(upid: Column) -> Column:
 
 
 def ns_to_timestamp(col: Column) -> Column:
-    """TIME64NS (long ns) → TimestampType (µs precision, truncating)."""
-    return F.timestamp_micros((col / 1000).cast("long"))
+    """TIME64NS (long ns) → TimestampType (µs precision, truncating).
+    Decimal division — double division rounds ns-scale longs (>2^53)."""
+    return F.timestamp_micros(F.floor(col.cast("decimal(38,0)") / F.lit(1000)).cast("long"))
 
 
 def timestamp_to_ns(col: Column) -> Column:

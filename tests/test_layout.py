@@ -14,7 +14,7 @@ def test_time_partitioned_write_prunes(spark, tmp_path):
     events = http_events_fixture(spark, n=500)
     # hour-bucket partition column derived from time_ (long ns)
     (
-        events.withColumn("hour_bucket", (F.col("time_") / 3_600_000_000_000).cast("long"))
+        events.withColumn("hour_bucket", F.expr("time_ DIV 3600000000000"))
         .write.partitionBy("hour_bucket")
         .mode("overwrite")
         .parquet(d)
@@ -34,7 +34,7 @@ def test_partitioned_roundtrip_preserves_rows(spark, tmp_path):
     d = str(tmp_path / "rt")
     events = http_events_fixture(spark, n=300)
     events.withColumn(
-        "hour_bucket", (F.col("time_") / 3_600_000_000_000).cast("long")
+        "hour_bucket", F.expr("time_ DIV 3600000000000")
     ).write.partitionBy("hour_bucket").mode("overwrite").parquet(d)
     back = spark.read.parquet(d)
     assert back.count() == 300

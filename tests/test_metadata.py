@@ -210,3 +210,16 @@ def test_flagship_most_http_data(spark, fixtures):
     assert rows
     expected_max = df.to_spark().agg(F.max("resp_body_size")).first()[0]
     assert all(r["resp_body_size"] == expected_max for r in rows)
+
+
+def test_ctx_canonical_aliases(spark, fixtures):
+    """ctx['service'] / ctx['pod'] — the canonical PxL accessor spellings."""
+    pods, services, events = fixtures
+    px.set_context(
+        spark, tables={"http_events": events}, metadata=MetadataResolver(pods, services)
+    )
+    df = px.DataFrame("http_events")
+    df.service = df.ctx["service"]
+    df.pod = df.ctx["pod"]
+    got = df[["service", "pod"]].to_spark().where(F.col("service").isNotNull())
+    assert got.count() > 400
