@@ -75,6 +75,45 @@ def k8s_fixtures(spark: SparkSession, n_pods: int = 10, seed: int = 42):
     )
 
 
+def dns_events_fixture(
+    spark: SparkSession, n: int = 300, n_pods: int = 10, seed: int = 44
+) -> DataFrame:
+    """dns_events-like table (FIXTURES.md §5): JSON req/resp bodies with
+    query names and answer arrays, log-normal latency."""
+    from pixie_spark.schemas import DNS_EVENTS
+
+    rng = np.random.RandomState(seed)
+    names = [f"svc-{i}.prod.svc.cluster.local" for i in range(6)] + ["example.com", "api.github.com"]
+    rows = []
+    for i in range(n):
+        pod = int(rng.randint(0, n_pods))
+        upid = _upid(pod % 3 + 1, 1000 + pod, BASE_NS - (pod % 48 + 1) * HOUR_NS)
+        qname = names[int(rng.randint(0, len(names)))]
+        n_answers = int(rng.randint(0, 3))
+        answers = [
+            {"name": qname, "type": "A", "addr": f"10.0.0.{int(rng.randint(1, 250))}"}
+            for _ in range(n_answers)
+        ]
+        rows.append(
+            (
+                BASE_NS + i * 10_000_000_000,
+                upid,
+                "10.32.0.10",
+                53,
+                f"10.0.0.{pod + 1}",
+                int(rng.randint(30000, 60000)),
+                1,
+                False,
+                json.dumps({"qr": 0, "rd": 1}),
+                json.dumps({"queries": [{"name": qname, "type": "A"}]}),
+                json.dumps({"qr": 1, "rcode": 0 if n_answers else 3}),
+                json.dumps({"answers": answers}),
+                int(np.exp(rng.normal(np.log(5e5), 1.0))),
+            )
+        )
+    return spark.createDataFrame(rows, DNS_EVENTS)
+
+
 def conn_stats_fixture(
     spark: SparkSession, n_pods: int = 10, samples_per_pod: int = 60, seed: int = 43
 ) -> DataFrame:

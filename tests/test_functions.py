@@ -269,3 +269,15 @@ def test_uri_parse_recompose(spark):
         ).alias("u2")
     ).first()["u2"]
     assert out == "https://example.com:8443/api/v1?x=1&y=2"
+
+
+def test_bin_exact_at_ns_scale(spark):
+    """Regression: floor(x/w)*w via doubles rounds int64 ns epochs
+    (>2^53) into the WRONG window near boundaries; bin must be exact."""
+    w = 10_000_000_000
+    boundary = 1_704_067_200_000_000_000
+    cases = [boundary - 1, boundary, boundary + 1, boundary + w - 1]
+    df = spark.createDataFrame([(c,) for c in cases], ["t"])
+    got = [r["b"] for r in df.select(lookup("bin")("t", F.lit(w)).alias("b")).collect()]
+    expected = [(c // w) * w for c in cases]
+    assert got == expected

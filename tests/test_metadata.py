@@ -223,3 +223,36 @@ def test_ctx_canonical_aliases(spark, fixtures):
     df.pod = df.ctx["pod"]
     got = df[["service", "pod"]].to_spark().where(F.col("service").isNotNull())
     assert got.count() > 400
+
+
+def test_flagship_dns_query_summary(spark, fixtures):
+    """Port of dns_query_summary/dns_flow_graph (ref:
+    src/pxl_scripts/px/dns_query_summary/): pluck query names from JSON
+    request bodies, aggregate per (pod, qname) with latency quantiles and
+    NXDOMAIN rate."""
+    from pixie_spark.functions import lookup
+    from pixie_spark.sources.fixtures import dns_events_fixture
+
+    pods, services, _ = fixtures
+    dns = dns_events_fixture(spark)
+    r = MetadataResolver(pods, services)
+
+    df = r.upid_to_pod_name(dns)
+    df = df.withColumn(
+        "qname", F.get_json_object("req_body", "$.queries[0].name")
+    ).withColumn("rcode", lookup("pluck_int64")("resp_header", "rcode"))
+    agg = (
+        df.where(F.col("pod_name").isNotNull())
+        .groupBy("pod_name", "qname")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum((F.col("rcode") == 3).cast("long")).alias("n_nxdomain"),
+            F.percentile_approx("latency", 0.99).alias("latency_p99"),
+        )
+    )
+    rows = agg.collect()
+    assert rows
+    assert all(row["qname"] and row["n_queries"] >= 1 for row in rows)
+    assert any(row["n_nxdomain"] > 0 for row in rows)
+    total = sum(row["n_queries"] for row in rows)
+    assert total > 250  # ~97% of 300 resolve to known pods
