@@ -1227,3 +1227,36 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("first_purchase_us") - F.col("signup_us")) <= 604_800_000_000, F.lit(False)
         ).alias("converted_7d"),
     )
+
+
+@query(
+    "latency_histogram",
+    """
+    SELECT CAST(length(bin(CAST(floor(value) AS BIGINT) + 1)) - 1 AS BIGINT) AS log2_bucket,
+           count(*) AS n,
+           floor(min(value) * 1e4 + 0.5) / 1e4 AS bucket_min,
+           floor(max(value) * 1e4 + 0.5) / 1e4 AS bucket_max
+    FROM events
+    WHERE value > 0
+    GROUP BY 1
+    """,
+    doc="Log-scale histogram (the latency-distribution view of the "
+    "reference's UI): power-of-two buckets of floor(value)+1, computed as "
+    "length(bin(n))-1 — EXACT integer floor(log2) with no float logs. "
+    "(ln(x)/ln(2) differs between Java's Math.log and libm by 1-2 ulp on "
+    "~3% of inputs, so a float formulation flips buckets at boundaries — "
+    "e.g. Math.log(8)/Math.log(2) = 2.9999999999999996.)",
+)
+def q_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    n_int = F.floor(F.col("value")).cast("long") + 1
+    bucket = (F.length(F.bin(n_int)) - 1).cast("long")
+    return (
+        ev.where(F.col("value") > 0)
+        .groupBy(bucket.alias("log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dround(F.min("value"), 4).alias("bucket_min"),
+            dround(F.max("value"), 4).alias("bucket_max"),
+        )
+    )

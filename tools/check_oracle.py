@@ -2,7 +2,11 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
 at the given sf dir, compares row count, column names, and values
-(order-insensitive; floats to 1e-9 relative). Exits nonzero on mismatch.
+order-insensitively. Floats are rounded to 9 decimals then compared
+exactly — matching the repo's dround convention (every query pre-rounds
+computed doubles), deliberately as strict as the driver's value-hash.
+Rows-only queries (no oracle) must return ≥1 row. Exits nonzero on any
+mismatch.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -23,6 +27,22 @@ from pixie_spark.session import get_spark
 from pixie_spark.sources import TESTDATA_TABLES
 
 
+def _sort_key_scalar(v):
+    """Type-stable, engine-independent sort key: numbers sort numerically
+    (int64 vs float64 dtype differences between Spark and DuckDB must not
+    reorder rows — str() would put 1.7e+18 before 15), everything else by
+    class then string form."""
+    if v is None:
+        return (0, 0.0, "")
+    if isinstance(v, bool):
+        return (1, float(v), "")
+    if isinstance(v, (int, float)):
+        if isinstance(v, float) and math.isnan(v):
+            return (3, 0.0, "")
+        return (2, float(v), "")
+    return (4, 0.0, str(v))
+
+
 def normalize(rows, colnames):
     out = []
     for row in rows:
@@ -36,7 +56,7 @@ def normalize(rows, colnames):
                     v = round(v, 9)
             vals.append((c, v))
         out.append(tuple(vals))
-    out.sort(key=lambda t: tuple(str(x) for x in t))
+    out.sort(key=lambda t: tuple(_sort_key_scalar(x) for _, x in t))
     return out
 
 
@@ -53,6 +73,11 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"ERROR: unknown query names: {sorted(unknown)}")
+            return 1
     failed, passed, rows_only = [], [], []
     for name, fn in qs.items():
         if only and name not in only:
@@ -65,8 +90,12 @@ def main() -> int:
             failed.append(name)
             continue
         if name not in oracles:
-            print(f"rows-only {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
-            rows_only.append(name)
+            if len(sdf) == 0:
+                print(f"FAIL {name}: rows-only query returned 0 rows")
+                failed.append(name)
+            else:
+                print(f"rows-only {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+                rows_only.append(name)
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
