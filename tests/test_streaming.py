@@ -159,3 +159,64 @@ def test_otel_span_export_batch(spark, tmp_path):
     span = p["resourceSpans"][0]["scopeSpans"][0]["spans"][0]
     assert span["name"] == "GET /api"
     assert span["endTimeUnixNano"] == 5_000 and span["startTimeUnixNano"] == 1_000
+
+
+def test_stream_static_metadata_join(spark, events_dir, tmp_path):
+    """The flagship http_request_stats pipeline AS A STREAM: file stream →
+    stream-static broadcast join against the k8s pods dimension →
+    watermarked rolling agg → memory sink. Stream-static joins are how
+    ctx[...] metadata resolution works in streaming mode."""
+    from pixie_spark.functions.metadata import MetadataResolver
+    from pixie_spark.sources.fixtures import k8s_fixtures
+
+    pods, services = k8s_fixtures(spark)
+    resolver = MetadataResolver(pods, services)
+
+    stream = st.stream_table(spark, events_dir, HTTP_EVENTS, max_files_per_trigger=2)
+    enriched = resolver.resolve_upid(stream, ["service_name"])
+    agg = st.rolling_agg(
+        enriched.where(F.col("service_name").isNotNull()),
+        "30s",
+        {
+            "n": F.count(F.lit(1)),
+            "err": F.sum((F.col("resp_status") >= 400).cast("long")),
+        },
+        by=["service_name"],
+        watermark="10 minutes",
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("stream_static_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .start()
+    )
+    try:
+        ok = _wait_for(
+            lambda: q.lastProgress is not None
+            and q.lastProgress.get("numInputRows", -1) == 0
+            and spark.table("stream_static_test").count() > 0,
+        )
+        assert ok, f"never converged: {q.lastProgress}"
+        got = spark.table("stream_static_test")
+        # batch twin over the same data must agree
+        batch = st.rolling_agg(
+            resolver.resolve_upid(
+                spark.read.schema(HTTP_EVENTS).parquet(events_dir), ["service_name"]
+            ).where(F.col("service_name").isNotNull()),
+            "30s",
+            {
+                "n": F.count(F.lit(1)),
+                "err": F.sum((F.col("resp_status") >= 400).cast("long")),
+            },
+            by=["service_name"],
+        )
+        expected = {
+            (r["time_"], r["service_name"]): (r["n"], r["err"]) for r in batch.collect()
+        }
+        actual = {
+            (r["time_"], r["service_name"]): (r["n"], r["err"]) for r in got.collect()
+        }
+        assert actual == expected
+    finally:
+        q.stop()
