@@ -165,12 +165,21 @@ class PxDataFrame:
         joined = lsdf.join(rsdf, cond, how)
         return self._wrap(joined)
 
-    def append(self, other: "PxDataFrame") -> "PxDataFrame":
+    def append(self, other: "PxDataFrame", ordered: bool = False, on: str = "time_") -> "PxDataFrame":
         """dataframe.h:354 (Union). Column alignment by name, like the
-        reference's per-input column mapping (union_node.cc). Declared
-        time-ordering of the merged stream is an explicit non-goal
-        (SURVEY §2.1 Union note) — downstream event-time ops don't need it."""
-        return self._wrap(self._sdf.unionByName(other._sdf))
+        reference's per-input column mapping (union_node.cc).
+
+        ordered=False (default): plain append — declared time-ordering of
+        the merged stream is a non-goal in Spark (SURVEY §2.1 Union note);
+        downstream event-time ops don't need it. ordered=True: restore the
+        reference's time-ordered merge (union_node.cc:172-287 k-way merge)
+        via range-repartition + within-partition sort on ``on`` — rows are
+        then globally time-ordered across the partition sequence, at the
+        cost of one range exchange."""
+        unioned = self._sdf.unionByName(other._sdf)
+        if ordered:
+            unioned = unioned.repartitionByRange(F.col(on)).sortWithinPartitions(on)
+        return self._wrap(unioned)
 
     def rolling(self, window: str | int, on: str = "time_") -> "PxDataFrame":
         """dataframe.h:381 / rolling_ir.h:44-57: tumbling windows; the next

@@ -196,3 +196,14 @@ def test_get_agent_status_udtf(ctx):
     df = px.get_agent_status()
     rows = df.collect()
     assert rows and all(r["total_cores"] >= 1 for r in rows)
+
+
+def test_append_ordered_time_merge(ctx):
+    """union_node.cc:172-287 time-ordered merge parity: append(ordered=True)
+    yields globally time-sorted output across partitions."""
+    a = px.DataFrame("duration_table")[["time_", "col2"]]
+    b = px.DataFrame("duration_table")[["time_", "col2"]]
+    out = a.append(b, ordered=True).to_spark()
+    times = [r["time_"] for r in out.collect()]
+    assert times == sorted(times)
+    assert len(times) == 20
