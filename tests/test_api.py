@@ -207,3 +207,9 @@ def test_append_ordered_time_merge(ctx):
     times = [r["time_"] for r in out.collect()]
     assert times == sorted(times)
     assert len(times) == 20
+
+
+def test_px_debug_explains(ctx):
+    df = px.DataFrame("test_table")
+    plan = px.debug(df[df.col1 > 1.0])
+    assert "Physical Plan" in plan and "Filter" in plan
