@@ -1260,3 +1260,44 @@ def q_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.max("value"), 4).alias("bucket_max"),
         )
     )
+
+
+@query(
+    "window_lag_diff",
+    """
+    SELECT event_id, user_id,
+           floor((value - lag(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+                 * 1e4 + 0.5) / 1e4 AS value_diff
+    FROM events
+    """,
+    doc="Analytic lag window: per-user value deltas in event order — the "
+    "counter-diff primitive behind rate computations; one shuffle on "
+    "user_id. Deterministic tiebreak on event_id.",
+)
+def q_window_lag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.expr("ts DIV 1000"), F.col("event_id"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        dround(F.col("value") - F.lag("value").over(w), 4).alias("value_diff"),
+    )
+
+
+@query(
+    "cube_aggregate",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           floor(sum(l_quantity) * 1e4 + 0.5) / 1e4 AS total_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="Cube (all grouping-set combinations) — absent from the reference "
+    "algebra (SURVEY §2.3); single Expand + one hash aggregation in Spark.",
+)
+def q_cube_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dround(F.sum("l_quantity"), 4).alias("total_qty"),
+    )
