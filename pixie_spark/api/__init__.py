@@ -38,7 +38,6 @@ from pixie_spark.api.timemod import (
     seconds,
     strptime,
 )
-from pixie_spark.functions import lookup as _lookup
 from pixie_spark.functions.json_ops import script_reference
 from pixie_spark.types import make_upid
 
@@ -154,14 +153,31 @@ def sql(query: str) -> PxDataFrame:
 
 
 def display(df: PxDataFrame, name: str = "output") -> SparkDataFrame:
-    """px.display (pixie_module.h:49): register a named result. Batch
-    results get the implicit row cap the reference's analyzer adds
-    (add_limit_to_batch_result_sink_rule.h)."""
+    """px.display (pixie_module.h:49): register a named result.
+
+    Batch frames get the implicit row cap the reference's analyzer adds
+    (add_limit_to_batch_result_sink_rule.h). A genuinely streaming frame
+    is started into an in-memory sink (GRPCSink→query-broker result
+    table equivalent) and the queryable table is registered as the
+    result; the handle is kept in ``streams()`` for stop/await."""
     sdf = df.to_spark() if isinstance(df, PxDataFrame) else df
-    if not (sdf.isStreaming or getattr(df, "_streaming", False)):
+    if sdf.isStreaming:
+        from pixie_spark.streaming import display_stream
+
+        query = display_stream(sdf, name)
+        _ctx.setdefault("streams", {})[name] = query
+        result = _ctx["spark"].table(name)
+        _ctx["results"][name] = result
+        return result
+    if not getattr(df, "_streaming", False):
         sdf = sdf.limit(_ctx["limit"])
     _ctx["results"][name] = sdf
     return sdf
+
+
+def streams() -> dict:
+    """Active streaming display queries (name → StreamingQuery)."""
+    return dict(_ctx.get("streams", {}))
 
 
 def results() -> dict[str, SparkDataFrame]:
@@ -198,7 +214,7 @@ def uint128(s: str) -> tuple[int, int]:
 
 __all__ = [
     "DataFrame", "PxDataFrame", "PxGroupedFrame", "set_context",
-    "register_table", "from_spark", "sql", "display", "results", "debug",
+    "register_table", "from_spark", "sql", "display", "results", "streams", "debug",
     "equals_any", "uint128", "make_upid", "script_reference",
     "now", "seconds", "minutes", "hours", "days", "millis",
     "strptime", "parse_duration",

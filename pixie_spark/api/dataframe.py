@@ -143,7 +143,12 @@ class PxDataFrame:
         suffixes: tuple[str, str] = ("_x", "_y"),
     ) -> "PxDataFrame":
         """dataframe.h:284. Equijoin only, like the reference
-        (equijoin_node.cc); suffix-renames overlapping columns."""
+        (equijoin_node.cc); suffix-renames overlapping columns.
+        right_on defaults to left_on (pandas semantics)."""
+        if left_on is None:
+            raise ValueError("merge requires left_on (and right_on, or same-named keys)")
+        if right_on is None:
+            right_on = left_on
         left_on = [left_on] if isinstance(left_on, str) else list(left_on)
         right_on = [right_on] if isinstance(right_on, str) else list(right_on)
         lsdf, rsdf = self._sdf, right._sdf
@@ -225,4 +230,9 @@ class PxGroupedFrame:
             by = [rolling[0]] + by
         sdf = self._parent._sdf
         out = sdf.groupBy(*by).agg(*cols) if by else sdf.agg(*cols)
-        return self._parent._wrap(out)
+        result = self._parent._wrap(out)
+        # rolling applies to exactly ONE agg (rolling_ir semantics) — a
+        # sticky window would silently re-inject time_ into every later
+        # aggregation on derived frames
+        object.__setattr__(result, "_rolling_ns", None)
+        return result

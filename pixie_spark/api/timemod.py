@@ -65,12 +65,19 @@ def parse_duration(s: str) -> int:
     return sign * int(m.group(2)) * _UNITS[m.group(3)]
 
 
-def strptime(s: str, fmt: str) -> int:
-    """px.strptime → ns since epoch (naive strings treated as UTC)."""
-    dt = datetime.strptime(s, fmt)
+def _dt_to_ns(dt: datetime) -> int:
+    """datetime → exact ns: integer seconds × 1e9 + µs × 1e3.
+    (dt.timestamp()*1e9 routes the fraction through float64, quantizing
+    at ~238 ns near current epochs.)"""
     if dt.tzinfo is None:
         dt = dt.replace(tzinfo=timezone.utc)
-    return int(dt.timestamp() * SECOND)
+    whole = int(dt.replace(microsecond=0).timestamp())
+    return whole * SECOND + dt.microsecond * 1000
+
+
+def strptime(s: str, fmt: str) -> int:
+    """px.strptime → ns since epoch (naive strings treated as UTC)."""
+    return _dt_to_ns(datetime.strptime(s, fmt))
 
 
 def resolve_time(value, reference_ns: int | None = None) -> int:
@@ -79,8 +86,7 @@ def resolve_time(value, reference_ns: int | None = None) -> int:
     if isinstance(value, int):
         return value
     if isinstance(value, datetime):
-        v = value if value.tzinfo else value.replace(tzinfo=timezone.utc)
-        return int(v.timestamp() * SECOND)
+        return _dt_to_ns(value)
     if isinstance(value, str):
         ref = reference_ns if reference_ns is not None else now()
         return ref + parse_duration(value)

@@ -47,6 +47,21 @@ def stream_table(
     )
 
 
+def _window_duration(window: str) -> str:
+    """ns duration string → Spark interval string, validated: silent //
+    truncation would turn '500us' into '0 milliseconds' and shrink
+    '2500us' to 2 ms."""
+    ns = parse_duration(window)
+    if ns <= 0:
+        raise ValueError(f"window must be positive, got {window!r}")
+    if ns % 1_000_000:
+        raise ValueError(
+            f"window must be a whole number of milliseconds (event-time window "
+            f"granularity), got {window!r} = {ns} ns"
+        )
+    return f"{ns // 1_000_000} milliseconds"
+
+
 def ns_to_ts(col: Column) -> Column:
     # exact ns→µs: (col/1000) via doubles rounds ns-scale longs (>2^53);
     # decimal division keeps every digit
@@ -69,7 +84,7 @@ def rolling_agg(
     time_ is ns → converted to a timestamp for window(); the output keeps
     ``time_`` as the window start in ns for API parity.
     """
-    dur = f"{parse_duration(window) // 1_000_000} milliseconds"
+    dur = _window_duration(window)
     ts = ns_to_ts(F.col(time_col)).alias("__ts")
     wdf = df.withColumn("__ts", ts)
     if wdf.isStreaming:
@@ -92,7 +107,7 @@ def session_agg(
     """Gap-based session windows — the streaming twin of
     operators.asof.sessionize, using Spark's native session_window (state
     bounded by the watermark). Output keeps session start/end as ns."""
-    dur = f"{parse_duration(gap) // 1_000_000} milliseconds"
+    dur = _window_duration(gap)
     wdf = df.withColumn("__ts", ns_to_ts(F.col(time_col)))
     if wdf.isStreaming:
         wdf = wdf.withWatermark("__ts", watermark)
@@ -106,15 +121,23 @@ def session_agg(
     )
 
 
-def display_stream(df: DataFrame, name: str, checkpoint_dir: str | None = None):
-    """Streaming px.display: append to an in-memory sink queryable as
-    ``name`` (the query-broker result table of the reference). Batch
-    frames register a temp view of the same name (one-model duality) and
-    return None instead of a query handle."""
+def display_stream(
+    df: DataFrame, name: str, checkpoint_dir: str | None = None, output_mode: str = "complete"
+):
+    """Streaming px.display: an in-memory sink queryable as ``name`` (the
+    query-broker result table of the reference). Batch frames register a
+    temp view of the same name (one-model duality) and return None.
+
+    output_mode defaults to 'complete' — the memory sink treats 'update'
+    like 'append' (stale versions of each group row accumulate), so for
+    aggregated streams only 'complete' yields a correct result table.
+    Pass 'append' explicitly for non-aggregated passthrough streams
+    ('complete' is invalid there).
+    """
     if not df.isStreaming:
         df.createOrReplaceTempView(name)
         return None
-    writer = df.writeStream.format("memory").queryName(name).outputMode("update")
+    writer = df.writeStream.format("memory").queryName(name).outputMode(output_mode)
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
@@ -124,6 +147,8 @@ def _rows_to_otel_metrics(rows, name_col: str, value_col: str, ts_col: str, attr
     out = []
     for r in rows:
         d = r.asDict()
+        if d.get(value_col) is None or d.get(ts_col) is None:
+            continue  # null metric value/timestamp: skip the point, never kill the sink
         out.append(
             {
                 "resourceMetrics": [
@@ -163,6 +188,8 @@ def _rows_to_otel_spans(rows, name_col: str, start_col: str, end_col: str, attr_
     out = []
     for r in rows:
         d = r.asDict()
+        if d.get(start_col) is None or d.get(end_col) is None:
+            continue  # unclosed/unstamped span: skip, never kill the sink
         out.append(
             {
                 "resourceSpans": [

@@ -13,7 +13,7 @@ with results emitted continuously per micro-batch.
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Iterator
+from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -21,7 +21,8 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
 
-def running_totals_schema(key_field: T.StructField, value_type: T.DataType) -> T.StructType:
+def running_totals_schema(key_field: T.StructField) -> T.StructType:
+    """Output schema: key + (n_events, total: double, last_seen)."""
     return T.StructType(
         [
             key_field,
@@ -56,7 +57,7 @@ def running_totals(
     driven timeout (GroupStateTimeout) to expire dead keys in production.
     """
     key_field = df.schema[key_col]
-    out_schema = running_totals_schema(key_field, df.schema[value_col].dataType)
+    out_schema = running_totals_schema(key_field)
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -68,8 +69,13 @@ def running_totals(
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf[value_col].sum())
-            if len(pdf):
-                last = max(last, int(pdf[time_col].max()))
+            # dropna: a null time value would make max() NaN → int() crash,
+            # killing the query. (Nulls also force pandas float64 for the
+            # long column — ns precision beyond 2^53 is degraded on such
+            # chunks; event-time columns are non-null by schema.)
+            times = pdf[time_col].dropna()
+            if len(times):
+                last = max(last, int(times.max()))
         state.update((n, total, last))
         yield pd.DataFrame(
             {key_col: [key[0]], "n_events": [n], "total": [total], "last_seen": [last]}

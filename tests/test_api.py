@@ -213,3 +213,21 @@ def test_px_debug_explains(ctx):
     df = px.DataFrame("test_table")
     plan = px.debug(df[df.col1 > 1.0])
     assert "Physical Plan" in plan and "Filter" in plan
+
+
+def test_rolling_consumed_by_one_agg(ctx):
+    """rolling applies to exactly the NEXT agg — a second aggregation on
+    the result must NOT re-group by the window column."""
+    df = px.DataFrame("duration_table")
+    per_win = df.rolling("2s").groupby([]).agg(n=("col2", "px.count"))
+    total = per_win.agg(s=("n", "px.sum"))
+    rows = collect_rows(total)
+    assert rows == [(10,)]  # one global row, not one per window
+
+
+def test_merge_requires_keys_and_defaults_right_on(ctx):
+    df = px.DataFrame("test_table")
+    with pytest.raises(ValueError, match="left_on"):
+        df.merge(px.DataFrame("test_table"), how="inner")
+    out = df.merge(px.DataFrame("test_table"), how="inner", left_on="col2")
+    assert len(collect_rows(out)) == 5
