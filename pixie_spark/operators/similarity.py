@@ -127,6 +127,13 @@ def embedding_dedup_pairs(
         ).select("*", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")).drop("tb")
 
     a, b = flat("a"), flat("b")
+
+    def score_expr() -> Column:
+        dot = F.col("a0") * F.col("b0")
+        for i in range(1, dim):
+            dot = dot + F.col(f"a{i}") * F.col(f"b{i}")
+        return dot / (F.col("norm_a") * F.col("norm_b"))
+
     if prefilter:
         pairs = (
             a.join(b, ["tbl", "bucket"])
@@ -134,15 +141,15 @@ def embedding_dedup_pairs(
             .dropDuplicates(["id_a", "id_b"])
         )
     else:
-        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    dot = pairs["a0"] * pairs["b0"]
-    for i in range(1, dim):
-        dot = dot + pairs[f"a{i}"] * pairs[f"b{i}"]
-    return pairs.select(
-        "id_a",
-        "id_b",
-        (dot / (F.col("norm_a") * F.col("norm_b"))).alias("score"),
-    ).where(F.col("score") >= threshold)
+        # the cheap id predicate goes FIRST in the join condition: Spark
+        # evaluates conjuncts left-to-right, so putting the 64-term dot
+        # in a later where() would get it ANDed in FRONT and computed for
+        # all n² combos instead of n²/2
+        pairs = a.join(b, (F.col("id_a") < F.col("id_b")) & (score_expr() >= threshold))
+        return pairs.select("id_a", "id_b", score_expr().alias("score"))
+    return pairs.select("id_a", "id_b", score_expr().alias("score")).where(
+        F.col("score") >= threshold
+    )
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
