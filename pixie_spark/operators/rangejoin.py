@@ -1,0 +1,54 @@
+"""Range (interval) join — the remaining join class the reference lacks
+(SURVEY §2.3: equijoin only; we add as-of in operators/asof.py and
+banded range joins here).
+
+A naive ``left.join(right, (rt >= lt+lo) & (rt <= lt+hi))`` has no
+equi-conjunct, so Spark plans a cartesian/BNLJ — quadratic at scale. The
+standard fix is bucketization: with band width W = hi - lo, bucket both
+sides by ``time DIV W``; a right row matching ``rt ∈ [lt+lo, lt+hi]``
+can only land in bucket((lt+lo)) or the one after it. Exploding the left
+side into those two candidate buckets turns the range join into an
+EQUIJOIN on (keys, bucket) — one shuffle — followed by the exact range
+filter: linear in data + true matches.
+
+All bucket arithmetic is integer (SQL DIV) — double division misbins
+int64 ns timestamps (see SCALE.md / math_ops.bin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_time: str,
+    right_time: str,
+    lower_ns: int,
+    upper_ns: int,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Pairs where ``right_time ∈ [left_time + lower_ns, left_time +
+    upper_ns]`` (inclusive), optionally also matching equality ``keys``.
+
+    ``left_time``/``right_time`` must be plain column names (used inside
+    SQL DIV expressions). Output: all left columns + right's non-key
+    columns. One shuffle on (keys, bucket).
+    """
+    if upper_ns <= lower_ns:
+        raise ValueError(f"empty range [{lower_ns}, {upper_ns}]")
+    width = upper_ns - lower_ns
+    keys = keys or []
+
+    lb = F.expr(f"({left_time} + ({lower_ns})) DIV {width}")
+    l_exp = left.withColumn("__bucket", F.explode(F.array(lb, lb + 1)))
+    r_b = right.withColumn("__bucket", F.expr(f"{right_time} DIV {width}"))
+
+    joined = l_exp.join(r_b, ["__bucket", *keys], "inner")
+    out = joined.where(
+        (F.col(right_time) >= F.col(left_time) + lower_ns)
+        & (F.col(right_time) <= F.col(left_time) + upper_ns)
+    )
+    return out.drop("__bucket")

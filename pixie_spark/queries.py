@@ -1301,3 +1301,41 @@ def q_cube_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dround(F.sum("l_quantity"), 4).alias("total_qty"),
     )
+
+
+@query(
+    "range_join_error_context",
+    """
+    WITH p AS (SELECT event_id, epoch_us(ts) AS p_us FROM events
+               WHERE event_type = 'purchase'),
+         e AS (SELECT epoch_us(ts) AS e_us FROM events WHERE event_type = 'error')
+    SELECT p.event_id, p.p_us, count(e.e_us) AS n_recent_errors
+    FROM p LEFT JOIN e ON e.e_us >= p.p_us - 3600000000 AND e.e_us <= p.p_us
+    GROUP BY p.event_id, p.p_us
+    """,
+    doc="Range/interval join (absent from the reference algebra — SURVEY "
+    "§2.3): system-wide errors in the hour before each purchase. Naive "
+    "inequality joins plan as cartesian products in Spark; the operator "
+    "(pixie_spark.operators.rangejoin) bucketizes both sides so the plan "
+    "is an equijoin on the band bucket — one shuffle, no n². Left-join "
+    "semantics recovered by re-joining purchases with zero-fill.",
+)
+def q_range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.operators.rangejoin import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", F.expr("ts DIV 1000").alias("p_us")
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.expr("ts DIV 1000").alias("e_us")
+    )
+    matched = range_join(
+        purchases, errors, "p_us", "e_us", lower_ns=-3_600_000_000, upper_ns=0
+    )
+    counts = matched.groupBy("event_id", "p_us").agg(
+        F.count(F.lit(1)).alias("n_recent_errors")
+    )
+    return purchases.join(counts, ["event_id", "p_us"], "left").select(
+        "event_id", "p_us", F.coalesce("n_recent_errors", F.lit(0)).alias("n_recent_errors")
+    )

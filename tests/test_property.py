@@ -108,3 +108,38 @@ def test_asof_matches_python(spark, data):
     for i, (k, t) in enumerate(left):
         cands = [rt for (rk, rt) in rset if rk == k and rt <= t]
         assert got[i] == (max(cands) if cands else None)
+
+
+range_strategy = st.tuples(
+    st.lists(st.tuples(st.integers(0, 1), st.integers(0, 200)), min_size=1, max_size=15),
+    st.lists(st.tuples(st.integers(0, 1), st.integers(0, 200)), min_size=0, max_size=15),
+    st.integers(-50, 0),
+    st.integers(1, 60),
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(range_strategy)
+def test_range_join_matches_python(spark, data):
+    from pixie_spark.operators.rangejoin import range_join
+
+    left, right, lo, hi_off = data
+    hi = lo + hi_off
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], ["lid", "k", "lt"]
+    )
+    rdf = spark.createDataFrame(
+        [(j, k, t) for j, (k, t) in enumerate(right)] or [(0, 99, -1000)], ["rid", "k2", "rt"]
+    ).withColumnRenamed("k2", "k")
+    got = {
+        (r["lid"], r["rid"])
+        for r in range_join(ldf, rdf, "lt", "rt", lo, hi, keys=["k"]).collect()
+    }
+    rlist = list(enumerate(right)) if right else [(0, (99, -1000))]
+    expected = {
+        (i, j)
+        for i, (lk, lt) in enumerate(left)
+        for j, (rk, rt) in rlist
+        if lk == rk and lt + lo <= rt <= lt + hi
+    }
+    assert got == expected
