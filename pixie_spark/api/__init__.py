@@ -164,6 +164,12 @@ def display(df: PxDataFrame, name: str = "output") -> SparkDataFrame:
     if sdf.isStreaming:
         from pixie_spark.streaming import display_stream
 
+        prior = _ctx.get("streams", {}).get(name)
+        if prior is not None:  # re-display under an active name: replace
+            try:
+                prior.stop()
+            except Exception:  # noqa: BLE001 — already stopped
+                pass
         query = display_stream(sdf, name)
         _ctx.setdefault("streams", {})[name] = query
         result = _ctx["spark"].table(name)

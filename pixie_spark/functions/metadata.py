@@ -86,25 +86,34 @@ class MetadataResolver:
                 f"unknown metadata attrs: {unknown}; have "
                 f"{sorted(_UPID_ACCESSORS)} + {list(_SERVICE_ALIASES)}"
             )
-        pod_attrs = [_UPID_ACCESSORS[a] for a in attrs if a in _UPID_ACCESSORS]
-        service_attr = next((a for a in attrs if a in _SERVICE_ALIASES), None)
-        if service_attr and "service_id" not in pod_attrs:
-            pod_attrs.append("service_id")
-        out = self._join_pods(df, upid_col, pod_attrs, time_col)
-        # rename dim-native names back to requested accessor names
-        for a in attrs:
-            if a in _UPID_ACCESSORS and _UPID_ACCESSORS[a] != a:
-                out = out.withColumnRenamed(_UPID_ACCESSORS[a], a)
-        if service_attr:
+        pod_reqs = [(a, _UPID_ACCESSORS[a]) for a in attrs if a in _UPID_ACCESSORS]
+        service_reqs = [a for a in attrs if a in _SERVICE_ALIASES]
+        dim_cols = sorted({c for _, c in pod_reqs})
+        if service_reqs and "service_id" not in dim_cols:
+            dim_cols.append("service_id")
+        out = self._join_pods(df, upid_col, dim_cols, time_col)
+        # one output column PER REQUESTED NAME (an alias and its canonical
+        # name may both be requested — e.g. ['pod', 'pod_name'])
+        for req, dim in pod_reqs:
+            if req != dim:
+                out = out.withColumn(req, F.col(dim))
+        requested_names = {a for a, _ in pod_reqs}
+        for dim in dim_cols:
+            if dim not in requested_names and dim != "service_id":
+                out = out.drop(dim)
+        if service_reqs:
             if self.services is None:
-                raise ValueError(f"{service_attr} requested but no services dimension provided")
+                raise ValueError(f"{service_reqs[0]} requested but no services dimension provided")
             svc = F.broadcast(
                 self.services.select(
                     F.col("service_id").alias("__svc_id"),
-                    F.col("service_name").alias(service_attr),
+                    F.col("service_name").alias("__svc_name"),
                 )
             )
             out = out.join(svc, out["service_id"] == F.col("__svc_id"), "left").drop("__svc_id")
+            for a in service_reqs:
+                out = out.withColumn(a, F.col("__svc_name"))
+            out = out.drop("__svc_name")
             if "service_id" not in attrs:
                 out = out.drop("service_id")
         return out

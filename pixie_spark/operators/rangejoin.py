@@ -38,7 +38,10 @@ def range_join(
     columns. One shuffle on (keys, bucket).
     """
     if upper_ns <= lower_ns:
-        raise ValueError(f"empty range [{lower_ns}, {upper_ns}]")
+        raise ValueError(
+            f"band width must be positive, got [{lower_ns}, {upper_ns}] — for an "
+            "exact-offset match (width 0) use an equijoin on time + offset"
+        )
     width = upper_ns - lower_ns
     keys = keys or []
 

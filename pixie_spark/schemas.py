@@ -28,7 +28,7 @@ def _schema(*fields: T.StructField) -> T.StructType:
 
 
 HTTP_EVENTS = _schema(
-    field("time_", TIME64NS, "ST_DURATION_NS", nullable=False),
+    field("time_", TIME64NS, nullable=False),  # epoch ns, NOT a duration
     field("upid", UINT128, "ST_UPID", nullable=False),
     field("remote_addr", STRING, "ST_IP_ADDRESS"),
     field("remote_port", INT64, "ST_PORT"),

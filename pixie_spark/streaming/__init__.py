@@ -122,25 +122,33 @@ def session_agg(
 
 
 def display_stream(
-    df: DataFrame, name: str, checkpoint_dir: str | None = None, output_mode: str = "complete"
+    df: DataFrame, name: str, checkpoint_dir: str | None = None, output_mode: str | None = None
 ):
     """Streaming px.display: an in-memory sink queryable as ``name`` (the
     query-broker result table of the reference). Batch frames register a
     temp view of the same name (one-model duality) and return None.
 
-    output_mode defaults to 'complete' — the memory sink treats 'update'
-    like 'append' (stale versions of each group row accumulate), so for
-    aggregated streams only 'complete' yields a correct result table.
-    Pass 'append' explicitly for non-aggregated passthrough streams
-    ('complete' is invalid there).
+    output_mode=None auto-selects: 'complete' for aggregated streams (the
+    memory sink treats 'update' like 'append', accumulating stale group
+    rows), falling back to 'append' for passthrough streams where
+    'complete' is invalid.
     """
     if not df.isStreaming:
         df.createOrReplaceTempView(name)
         return None
-    writer = df.writeStream.format("memory").queryName(name).outputMode(output_mode)
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    return writer.start()
+
+    def start(mode: str):
+        writer = df.writeStream.format("memory").queryName(name).outputMode(mode)
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        return writer.start()
+
+    if output_mode is not None:
+        return start(output_mode)
+    try:
+        return start("complete")
+    except Exception:  # noqa: BLE001 — no streaming aggregation → append
+        return start("append")
 
 
 def _rows_to_otel_metrics(rows, name_col: str, value_col: str, ts_col: str, attr_cols: list[str]):

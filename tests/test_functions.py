@@ -281,3 +281,26 @@ def test_bin_exact_at_ns_scale(spark):
     got = [r["b"] for r in df.select(lookup("bin")("t", F.lit(w)).alias("b")).collect()]
     expected = [(c // w) * w for c in cases]
     assert got == expected
+
+
+def test_approx_count_distinct_accuracy(spark, sf_dir):
+    """HLL sketch (the 100 TB path for n_distinct) stays within 5% of
+    exact on real data — the approximation-ladder contract (SCALE.md)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact"),
+        F.approx_count_distinct("l_partkey").alias("approx"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+
+
+def test_percentile_approx_is_mergeable(spark):
+    """The quantile sketch must merge across partitions like the
+    reference's serialized t-digest (partial/finalize): estimates from a
+    heavily-partitioned frame match the single-partition estimate."""
+    df = spark.range(100_000).select((F.col("id") % 9973).cast("double").alias("x"))
+    single = df.coalesce(1).agg(F.percentile_approx("x", 0.9, 10_000).alias("p")).first()["p"]
+    many = df.repartition(64).agg(F.percentile_approx("x", 0.9, 10_000).alias("p")).first()["p"]
+    exact = df.agg(F.percentile("x", F.lit(0.9)).alias("p")).first()["p"]
+    assert abs(single - exact) / exact < 0.02
+    assert abs(many - exact) / exact < 0.02

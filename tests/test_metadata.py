@@ -256,3 +256,14 @@ def test_flagship_dns_query_summary(spark, fixtures):
     assert any(row["n_nxdomain"] > 0 for row in rows)
     total = sum(row["n_queries"] for row in rows)
     assert total > 250  # ~97% of 300 resolve to known pods
+
+
+def test_alias_and_canonical_both_requested(spark, fixtures):
+    """resolve_upid(['pod', 'pod_name']) must produce BOTH columns."""
+    pods, services, events = fixtures
+    r = MetadataResolver(pods, services)
+    out = r.resolve_upid(events.limit(50), ["pod", "pod_name", "service", "service_name"])
+    cols = set(out.columns)
+    assert {"pod", "pod_name", "service", "service_name"} <= cols
+    row = out.where(F.col("pod").isNotNull()).first()
+    assert row["pod"] == row["pod_name"] and row["service"] == row["service_name"]

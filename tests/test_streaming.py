@@ -220,3 +220,25 @@ def test_stream_static_metadata_join(spark, events_dir, tmp_path):
         assert actual == expected
     finally:
         q.stop()
+
+
+def test_display_passthrough_stream_appends(spark, events_dir, tmp_path):
+    """px.display of a NON-aggregated stream must fall back to append
+    mode (complete is invalid without a streaming aggregation)."""
+    import pixie_spark.api as px
+
+    px.set_context(spark, tables={})
+    raw = st.stream_table(spark, events_dir, HTTP_EVENTS, max_files_per_trigger=4).select(
+        "time_", "req_path", "resp_status"
+    )
+    result = px.display(px.from_spark(raw), "raw_stream_out")
+    q = px.streams()["raw_stream_out"]
+    try:
+        ok = _wait_for(
+            lambda: q.lastProgress is not None
+            and q.lastProgress.get("numInputRows", -1) == 0
+            and result.count() == 400
+        )
+        assert ok, q.lastProgress
+    finally:
+        q.stop()

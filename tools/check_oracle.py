@@ -39,7 +39,9 @@ def _sort_key_scalar(v):
     if isinstance(v, (int, float)):
         if isinstance(v, float) and math.isnan(v):
             return (3, 0.0, "")
-        return (2, float(v), "")
+        # secondary exact key: float(v) collapses int64 > 2^53 (256-ns ties
+        # at epoch scale would sort in engine-arrival order)
+        return (2, float(v), str(v))
     return (4, 0.0, str(v))
 
 
