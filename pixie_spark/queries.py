@@ -1339,3 +1339,99 @@ def q_range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purchases.join(counts, ["event_id", "p_us"], "left").select(
         "event_id", "p_us", F.coalesce("n_recent_errors", F.lit(0)).alias("n_recent_errors")
     )
+
+
+@query(
+    "stratified_downsample",
+    """
+    WITH ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY list_reduce(
+                       list_concat([0::BIGINT],
+                           list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+                       (a, b) -> (a * 31 + b) % 1000000007), doc_id) AS rn
+        FROM documents
+    )
+    SELECT doc_id, source FROM ranked WHERE rn <= 20
+    """,
+    doc="Stratified downsampling (training-data mixing: cap each source's "
+    "contribution): deterministic n-per-stratum by ranking on the "
+    "content fingerprint — pseudo-random but reproducible across engines "
+    "and runs. One shuffle on the stratum key. The seeded-hash variant "
+    "for production is operators/sampling.stratified_downsample.",
+)
+def q_stratified_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(tx.fingerprint(F.col("text")), F.col("doc_id"))
+    return (
+        doc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("doc_id", "source")
+    )
+
+
+@query(
+    "sequence_packing",
+    """
+    WITH c AS (
+        SELECT doc_id, n_chars,
+               coalesce(sum(n_chars) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+        FROM documents
+    )
+    SELECT doc_id, n_chars, CAST(floor(cum_prev / 4096) AS BIGINT) AS pack_id
+    FROM c
+    """,
+    doc="Sequence packing (fill ~4096-char context windows in doc_id "
+    "order): pack_id = exclusive-prefix-sum DIV budget "
+    "(operators/sampling.sequence_packing). At 100 TB the prefix sum "
+    "becomes per-partition sums + a driver offset pass; same formula.",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.operators.sampling import sequence_packing
+
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return sequence_packing(doc, "n_chars", budget=4096, order_col="doc_id")
+
+
+@query(
+    "corpus_preprocess",
+    """
+    WITH stats AS (
+        SELECT doc_id, text,
+               len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_words,
+               len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                   / len(text) AS praw,
+               len(regexp_extract_all(lower(text),
+                   '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS n_stop,
+               len(regexp_replace(text, '\\s+', '', 'g')) AS n_nospace
+        FROM documents
+    ),
+    quality AS (
+        SELECT doc_id, text,
+               (CASE WHEN n_words BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END
+                + CASE WHEN n_stop::DOUBLE / n_words > 0.01 THEN 1.0 ELSE 0.0 END
+                + CASE WHEN n_nospace::DOUBLE / n_words BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END
+                + CASE WHEN praw < 0.2 THEN 1.0 ELSE 0.0 END) / 4.0 AS q
+        FROM stats
+    ),
+    kept AS (SELECT doc_id, text FROM quality WHERE q >= 0.5),
+    dedup AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text)
+    SELECT k.doc_id, d.lang, d.source
+    FROM dedup k JOIN documents d ON k.doc_id = d.doc_id
+    """,
+    doc="Composite C4-style preprocessing pipeline: quality filter "
+    "(length/stopword/word-shape/punctuation rules) → exact dedup "
+    "(keep lowest id per identical text) → metadata projection. One map "
+    "stage + one content-hash shuffle + one keyed join — the whole "
+    "pipeline shape a 100 TB corpus cleanup runs.",
+)
+def q_corpus_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    kept = doc.where(tx.quality_score(F.col("text")) >= 0.5)
+    deduped = (
+        kept.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    )
+    return deduped.join(doc, "doc_id").select("doc_id", "lang", "source")

@@ -163,3 +163,43 @@ def test_cluster_paths(spark):
     out = {r["path"]: r["path_template"] for r in cluster_paths(df).collect()}
     assert out["/api/v1/items/17"] == "/api/v1/items/*"
     assert out["/healthz"] == "/healthz"
+
+
+def test_stratified_downsample_caps_and_determinism(spark, docs):
+    from pixie_spark.operators.sampling import stratified_downsample
+
+    out = stratified_downsample(docs, "source", 3)
+    counts = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    assert all(c <= 3 for c in counts.values())
+    again = stratified_downsample(docs, "source", 3)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_sequence_packing_budget(spark, docs):
+    from pixie_spark.operators.sampling import sequence_packing
+
+    out = sequence_packing(docs.select("doc_id", "n_chars"), "n_chars", 4096, "doc_id")
+    packs = out.groupBy("pack_id").agg(F.sum("n_chars").alias("total")).collect()
+    max_doc = docs.agg(F.max("n_chars")).first()[0]
+    # contiguous packing: every pack ≤ budget + one straddling doc
+    assert all(r["total"] <= 4096 + max_doc for r in packs)
+    # packs are contiguous ranges of the ordering column
+    rows = out.orderBy("doc_id").collect()
+    pack_seq = [r["pack_id"] for r in rows]
+    assert pack_seq == sorted(pack_seq)
+
+
+def test_proportional_sample_ratios(spark, docs):
+    from pixie_spark.operators.sampling import proportional_sample
+
+    fractions = {"src0": 1.0, "src1": 0.2}
+    srcs = [r["source"] for r in docs.select("source").distinct().collect()]
+    fr = {s: fractions.get(s, 0.0) for s in srcs}
+    out = proportional_sample(docs, "source", fr)
+    counts = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    full = {r["source"]: r["count"] for r in docs.groupBy("source").count().collect()}
+    assert counts.get("src0", 0) == full["src0"]  # fraction 1.0 keeps all
+    assert 0 < counts.get("src1", 0) < full["src1"]
+    assert set(counts) <= {"src0", "src1"}
