@@ -38,6 +38,9 @@ HEADLINE = [
     "asof_join",
     "sessionize",
     "multi_join_star",
+    "range_join_error_context",
+    "corpus_preprocess",
+    "funnel_conversion",
 ]
 
 

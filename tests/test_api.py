@@ -231,3 +231,11 @@ def test_merge_requires_keys_and_defaults_right_on(ctx):
         df.merge(px.DataFrame("test_table"), how="inner")
     out = df.merge(px.DataFrame("test_table"), how="inner", left_on="col2")
     assert len(collect_rows(out)) == 5
+
+
+def test_strptime_microsecond_exact():
+    """Regression: float64 timestamp() quantizes sub-second parts at
+    ~238ns near current epochs; strptime must be ns-exact."""
+    got = px.strptime("2026-08-13 00:00:00.123456", "%Y-%m-%d %H:%M:%S.%f")
+    base = px.strptime("2026-08-13", "%Y-%m-%d")
+    assert got - base == 123_456_000
