@@ -51,7 +51,7 @@ _register(
         "equal", "notEqual", "approxEqual",
         "greaterThan", "greaterThanEqual", "lessThan", "lessThanEqual",
         "time_to_int64", "int64_to_time",
-        "mean", "sum", "max", "min", "count", "quantiles",
+        "mean", "sum", "max", "min", "count", "quantiles", "quantiles_json",
     ],
 )
 _register(

@@ -189,3 +189,11 @@ def quantiles(x, probs: list[float] | None = None, accuracy: int = 10000) -> Col
     arr = F.percentile_approx(_c(x), F.array(*[F.lit(p) for p in probs]), F.lit(accuracy))
     names = [f"p{str(p).replace('0.', '').ljust(2, '0')}" for p in probs]
     return F.struct(*[arr[i].alias(names[i]) for i in range(len(probs))])
+
+
+def quantiles_json(x, probs: list[float] | None = None, accuracy: int = 10000) -> Column:
+    """Reference-shaped quantiles output: a JSON STRING like the
+    serialized t-digest display form ('{"p50": ..., "p99": ...}',
+    ST_QUANTILES semantic type) — so scripts using the reference idiom
+    ``px.pluck_float64(df.q, 'p99')`` work verbatim."""
+    return F.to_json(quantiles(x, probs, accuracy))

@@ -304,3 +304,17 @@ def test_percentile_approx_is_mergeable(spark):
     exact = df.agg(F.percentile("x", F.lit(0.9)).alias("p")).first()["p"]
     assert abs(single - exact) / exact < 0.02
     assert abs(many - exact) / exact < 0.02
+
+
+def test_quantiles_json_pluck_idiom(spark):
+    """The reference's script idiom works verbatim on the JSON-shaped
+    quantiles: px.pluck_float64(quantiles_json(col), 'p99')
+    (math_sketches.h ST_QUANTILES + json_ops pluck_float64)."""
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], ["x"])
+    q = df.agg(lookup("quantiles_json")("x").alias("q"))
+    row = q.select(
+        lookup("pluck_float64")("q", "p99").alias("p99"),
+        lookup("pluck_float64")("q", "p50").alias("p50"),
+    ).first()
+    assert row["p99"] == pytest.approx(99.0, abs=2)
+    assert row["p50"] == pytest.approx(50.0, abs=2)
