@@ -161,15 +161,17 @@ def display(df: PxDataFrame, name: str = "output") -> SparkDataFrame:
     table equivalent) and the queryable table is registered as the
     result; the handle is kept in ``streams()`` for stop/await."""
     sdf = df.to_spark() if isinstance(df, PxDataFrame) else df
+    # re-display under a name bound to an active stream: stop and unbind
+    # the old query first, whether the new frame is batch or streaming
+    prior = _ctx.get("streams", {}).pop(name, None)
+    if prior is not None:
+        try:
+            prior.stop()
+        except Exception:  # noqa: BLE001 — already stopped
+            pass
     if sdf.isStreaming:
         from pixie_spark.streaming import display_stream
 
-        prior = _ctx.get("streams", {}).get(name)
-        if prior is not None:  # re-display under an active name: replace
-            try:
-                prior.stop()
-            except Exception:  # noqa: BLE001 — already stopped
-                pass
         query = display_stream(sdf, name)
         _ctx.setdefault("streams", {})[name] = query
         result = _ctx["spark"].table(name)

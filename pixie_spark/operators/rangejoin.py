@@ -44,14 +44,24 @@ def range_join(
         )
     width = upper_ns - lower_ns
     keys = keys or []
+    overlap = (set(left.columns) & set(right.columns)) - set(keys)
+    if overlap:
+        raise ValueError(
+            f"left and right share non-key columns {sorted(overlap)} — alias them "
+            "apart first (the range filter would be ambiguous); left_time and "
+            "right_time must also be distinct names"
+        )
+    bucket_col = "__pixie_range_bucket"
+    while bucket_col in left.columns or bucket_col in right.columns:
+        bucket_col += "_"
 
     lb = F.expr(f"({left_time} + ({lower_ns})) DIV {width}")
-    l_exp = left.withColumn("__bucket", F.explode(F.array(lb, lb + 1)))
-    r_b = right.withColumn("__bucket", F.expr(f"{right_time} DIV {width}"))
+    l_exp = left.withColumn(bucket_col, F.explode(F.array(lb, lb + 1)))
+    r_b = right.withColumn(bucket_col, F.expr(f"{right_time} DIV {width}"))
 
-    joined = l_exp.join(r_b, ["__bucket", *keys], "inner")
+    joined = l_exp.join(r_b, [bucket_col, *keys], "inner")
     out = joined.where(
         (F.col(right_time) >= F.col(left_time) + lower_ns)
         & (F.col(right_time) <= F.col(left_time) + upper_ns)
     )
-    return out.drop("__bucket")
+    return out.drop(bucket_col)

@@ -57,4 +57,8 @@ def sequence_packing(
     """
     w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
     cum_prev = F.coalesce(F.sum(token_col).over(w), F.lit(0))
-    return df.withColumn("pack_id", F.floor(cum_prev / budget).cast("long"))
+    # decimal division: cum_prev is int64 and double division misbins
+    # beyond 2^53 (verified: 2^56-3 / 4096 lands one pack too high)
+    return df.withColumn(
+        "pack_id", F.floor(cum_prev.cast("decimal(38,0)") / budget).cast("long")
+    )

@@ -146,6 +146,11 @@ def embedding_dedup_pairs(
         # in a later where() would get it ANDed in FRONT and computed for
         # all n² combos instead of n²/2
         pairs = a.join(b, (F.col("id_a") < F.col("id_b")) & (score_expr() >= threshold))
+        # score recomputed in the projection for SURVIVING pairs only —
+        # Catalyst has no CSE across join condition and project, and a
+        # post-join filter would be pushed in FRONT of the cheap id check;
+        # survivors are a tiny fraction of the n^2/2 candidates, so the
+        # recompute is the cheaper side of the trade.
         return pairs.select("id_a", "id_b", score_expr().alias("score"))
     return pairs.select("id_a", "id_b", score_expr().alias("score")).where(
         F.col("score") >= threshold

@@ -147,7 +147,11 @@ def display_stream(
         return start(output_mode)
     try:
         return start("complete")
-    except Exception:  # noqa: BLE001 — no streaming aggregation → append
+    except Exception as e:  # noqa: BLE001
+        # fall back ONLY for the no-streaming-aggregation mode error;
+        # anything else (checkpoint, connectivity) must surface as-is
+        if "output mode" not in str(e).lower():
+            raise
         return start("append")
 
 
