@@ -276,6 +276,34 @@ def minhash_lsh_pairs(
     )
 
 
+def contamination_check(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_id_col: str = "doc_id",
+    probe_text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination detection: which corpus documents contain
+    any word n-gram from the probe set (e.g. an eval benchmark)?
+
+    Plan: shingle both sides (window-lead, codegen) → semi-join-style
+    equijoin on the shingle → per-doc hit counts. The probe side is
+    dimension-sized → broadcast; the corpus never shuffles. Output:
+    (doc, n_hits, n_probe_docs) per contaminated document.
+    """
+    c_idx = _shingle_index(corpus, id_col, text_col, n)
+    p_idx = _shingle_index(probes, probe_id_col, probe_text_col, n).select(
+        F.col("doc").alias("probe_doc"), "shingle"
+    )
+    hits = c_idx.join(F.broadcast(p_idx), "shingle")
+    return hits.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.countDistinct("probe_doc").alias("n_probe_docs"),
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """64-bit SimHash per doc: sign-sum of word-hash bits.
 

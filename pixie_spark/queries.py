@@ -1435,3 +1435,37 @@ def q_corpus_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
     )
     return deduped.join(doc, "doc_id").select("doc_id", "lang", "source")
+
+
+@query(
+    "contamination_check",
+    """
+    WITH w AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(ws) - 4, 0) + 1),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                             || ' ' || ws[i+3] || ' ' || ws[i+4]))) AS shingle
+        FROM w
+    ),
+    probe AS (SELECT doc_id AS probe_doc, shingle FROM sh WHERE doc_id < 5)
+    SELECT c.doc_id AS doc, count(*) AS n_hits,
+           count(DISTINCT p.probe_doc) AS n_probe_docs
+    FROM sh c JOIN probe p ON c.shingle = p.shingle
+    WHERE c.doc_id >= 5
+    GROUP BY c.doc_id
+    """,
+    doc="Benchmark-contamination check: corpus docs sharing any word "
+    "5-gram with a probe set (here: docs 0-4 as the stand-in benchmark). "
+    "Probe shingles broadcast; the corpus never shuffles "
+    "(operators/dedup.contamination_check).",
+)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    probes = doc.where(F.col("doc_id") < 5)
+    corpus = doc.where(F.col("doc_id") >= 5)
+    return dd.contamination_check(corpus, probes, "doc_id", "text", "doc_id", "text", n=5)
