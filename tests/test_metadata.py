@@ -267,3 +267,32 @@ def test_alias_and_canonical_both_requested(spark, fixtures):
     assert {"pod", "pod_name", "service", "service_name"} <= cols
     row = out.where(F.col("pod").isNotNull()).first()
     assert row["pod"] == row["pod_name"] and row["service"] == row["service_name"]
+
+
+def test_run_script_with_metadata_ctx(spark, fixtures):
+    """ExecuteScript end-to-end WITH metadata: a script string using
+    df.ctx, rolling windows, agg tuples, and multiple displays — the
+    full query-broker path (entry point 1, SURVEY §3)."""
+    pods, services, events = fixtures
+    px.set_context(
+        spark, tables={"http_events": events}, metadata=MetadataResolver(pods, services)
+    )
+    code = """
+df = px.DataFrame('http_events', start_time=0)
+df.svc = df.ctx['service']
+df.failure = df.resp_status >= 400
+per_svc = df.groupby(['svc']).agg(
+    n=('latency', 'px.count'),
+    err=('failure', lambda c: F.sum(c.cast('long'))),
+    q=('latency', 'px.quantiles'),
+)
+px.display(per_svc, 'svc_stats')
+px.display(df[df.failure][['svc', 'req_path', 'resp_status']], 'failures')
+"""
+    res = px.run_script(code)
+    assert set(res) == {"svc_stats", "failures"}
+    stats = res["svc_stats"].collect()
+    assert sum(r["n"] for r in stats) == 500
+    assert all(r["resp_status"] >= 400 for r in res["failures"].collect())
+    named = [r for r in stats if r["svc"] is not None]
+    assert named and all(r["q"]["p99"] >= r["q"]["p50"] for r in named)
