@@ -262,6 +262,61 @@ def otel_export_spans(
     return None
 
 
+def _rows_to_otel_logs(rows, body_col: str, ts_col: str, severity_col: str | None, attr_cols: list[str]):
+    out = []
+    for r in rows:
+        d = r.asDict()
+        if d.get(ts_col) is None or d.get(body_col) is None:
+            continue
+        rec = {
+            "timeUnixNano": int(d[ts_col]),
+            "body": {"stringValue": str(d[body_col])},
+            "attributes": [
+                {"key": a, "value": {"stringValue": str(d[a])}} for a in attr_cols
+            ],
+        }
+        if severity_col and d.get(severity_col) is not None:
+            rec["severityText"] = str(d[severity_col])
+        out.append({"resourceLogs": [{"scopeLogs": [{"logRecords": [rec]}]}]})
+    return out
+
+
+def otel_export_logs(
+    df: DataFrame,
+    out_dir: str,
+    body_col: str,
+    ts_col: str = "time_",
+    severity_col: str | None = None,
+    attr_cols: list[str] | None = None,
+    checkpoint_dir: str | None = None,
+    exporter: Callable | None = None,
+):
+    """OTel LOGS export (ref: otel_export_sink_node.cc log config) —
+    completes the metrics/spans/logs sink triple; same foreachBatch
+    plumbing, one log record per row."""
+    attr_cols = attr_cols or []
+    os.makedirs(out_dir, exist_ok=True)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        payloads = _rows_to_otel_logs(
+            batch_df.collect(), body_col, ts_col, severity_col, attr_cols
+        )
+        if exporter is not None:
+            exporter(payloads)
+        else:
+            with open(os.path.join(out_dir, f"logs-{batch_id:06d}.jsonl"), "w") as f:
+                for p in payloads:
+                    f.write(json.dumps(p) + "\n")
+
+    if df.isStreaming:
+        writer = df.writeStream.foreachBatch(sink).outputMode("append")
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        return writer.start()
+    sink(df, 0)
+    return None
+
+
 def otel_export(
     df: DataFrame,
     out_dir: str,

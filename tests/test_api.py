@@ -239,3 +239,14 @@ def test_strptime_microsecond_exact():
     got = px.strptime("2026-08-13 00:00:00.123456", "%Y-%m-%d %H:%M:%S.%f")
     base = px.strptime("2026-08-13", "%Y-%m-%d")
     assert got - base == 123_456_000
+
+
+def test_dataframe_select_and_relative_time(ctx):
+    """px.DataFrame(select=[...]) projection and relative start_time
+    ('-5m' resolves against now — 2024 fixture data is all older)."""
+    df = px.DataFrame("duration_table", select=["time_"])
+    assert df.columns == ["time_"]
+    recent = px.DataFrame("duration_table", start_time="-5m")
+    assert recent.to_spark().count() == 0
+    all_rows = px.DataFrame("duration_table", start_time=0)
+    assert all_rows.to_spark().count() == 10

@@ -242,3 +242,23 @@ def test_display_passthrough_stream_appends(spark, events_dir, tmp_path):
         assert ok, q.lastProgress
     finally:
         q.stop()
+
+
+def test_otel_log_export_batch(spark, tmp_path):
+    out_dir = str(tmp_path / "otel_logs")
+    df = spark.createDataFrame(
+        [(1_000, "request failed", "ERROR", "api"), (2_000, None, "INFO", "api")],
+        ["time_", "msg", "level", "service"],
+    )
+    st.otel_export_logs(
+        df, out_dir, body_col="msg", severity_col="level", attr_cols=["service"]
+    )
+    files = os.listdir(out_dir)
+    recs = [
+        json.loads(line)["resourceLogs"][0]["scopeLogs"][0]["logRecords"][0]
+        for f in files
+        for line in open(os.path.join(out_dir, f))
+    ]
+    assert len(recs) == 1  # null body skipped, not crashed
+    assert recs[0]["body"]["stringValue"] == "request failed"
+    assert recs[0]["severityText"] == "ERROR"
