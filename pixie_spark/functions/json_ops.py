@@ -17,8 +17,13 @@ def _path(key: str) -> str:
 
 
 def pluck(col, key: str) -> Column:
-    """Extract a JSON field as string (json_ops.cc 'pluck')."""
-    return F.get_json_object(_c(col), _path(key))
+    """Extract a JSON field as string (json_ops.cc 'pluck').
+
+    The reference PluckUDF returns '' — not NULL — for a missing key,
+    null value, or unparseable JSON (json_ops.h:39-56), so ported scripts
+    comparing `pluck(...) == ''` or grouping on the result keep the same
+    groups. Coalesce matches that."""
+    return F.coalesce(F.get_json_object(_c(col), _path(key)), F.lit(""))
 
 
 def pluck_int64(col, key: str) -> Column:

@@ -58,7 +58,21 @@ class MetadataResolver:
         dim_cols = ["upid"] + sorted({c for c in cols}) + (
             ["start_time", "stop_time"] if time_col else []
         )
-        dim = self.pods.select(*[F.col(c).alias(f"__md_{c}") for c in dim_cols])
+        pods = self.pods
+        if time_col is None:
+            # K8S_PODS carries [start_time, stop_time) validity windows; a
+            # upid with multiple validity rows (pod restart epochs) would
+            # fan out event rows in the untimed path. Keep only the latest
+            # validity row per upid (window over the broadcast-small dim).
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("upid").orderBy(F.col("start_time").desc())
+            pods = (
+                pods.withColumn("__md_rn", F.row_number().over(w))
+                .where(F.col("__md_rn") == 1)
+                .drop("__md_rn")
+            )
+        dim = pods.select(*[F.col(c).alias(f"__md_{c}") for c in dim_cols])
         cond = df[upid_col] == F.col("__md_upid")
         if time_col:
             cond = (

@@ -13,7 +13,18 @@ def _c(x) -> Column:
 
 
 def regex_match(pattern: str, col) -> Column:
-    """Full/partial match per RE2 'PartialMatch' semantics → rlike."""
+    """Full-string match: the reference's RegexMatchUDF uses
+    RE2::FullMatch — "the regex pattern must match the full string"
+    (regex_ops.h:40-64) — so anchor the pattern around a non-capturing
+    group. rlike alone would be PartialMatch (substring) semantics.
+    Dialect note: reference is RE2, Spark is Java regex; the common core
+    (no lookbehind on the RE2 side) behaves identically.
+    """
+    return _c(col).rlike(f"^(?:{pattern})$")
+
+
+def regex_search(pattern: str, col) -> Column:
+    """Substring (RE2 PartialMatch) semantics → plain rlike."""
     return _c(col).rlike(pattern)
 
 

@@ -38,9 +38,13 @@ def uri_parse(col) -> Column:
     )
 
 
-def uri_recompose(scheme, host, port, path, query, user_info=None, fragment=None) -> Column:
-    """The reference's 'uri_recompose': rebuild a URI string from parts
-    (all 7 reference fields; user_info/fragment optional)."""
+def uri_recompose(scheme, user_info, host, port, path, query, fragment) -> Column:
+    """The reference's 'uri_recompose': rebuild a URI string from parts.
+
+    Positional order matches the reference exactly —
+    (scheme, userInfo, host, port, path, query, fragment), uri_ops.h:104,
+    167-173 — so a verbatim-ported PxL call binds each argument to the
+    right part."""
     def c(x):
         return x if isinstance(x, Column) else F.lit(x)
 

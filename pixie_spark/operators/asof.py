@@ -79,14 +79,18 @@ def sessionize(
     key_col: str,
     time_col: str,
     gap: int,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Assign session ids per key: a new session starts when the gap from
     the previous event exceeds ``gap`` (same units as time_col).
 
     Adds: session_id (0-based per key), session_start (time of first
-    event in the session).
+    event in the session). Pass ``tiebreak_col`` (a unique column) to make
+    the running sum deterministic when events share a timestamp — without
+    it, which of two tied rows "starts" a session is engine-dependent.
     """
-    w = Window.partitionBy(key_col).orderBy(time_col)
+    order = [time_col] if tiebreak_col is None else [time_col, tiebreak_col]
+    w = Window.partitionBy(key_col).orderBy(*order)
     prev = F.lag(time_col).over(w)
     is_new = F.when(prev.isNull() | ((F.col(time_col) - prev) > gap), 1).otherwise(0)
     df2 = df.withColumn("__new", is_new).withColumn(

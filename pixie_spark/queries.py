@@ -457,10 +457,14 @@ def q_math_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
         dround(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
         F.abs(F.col("l_partkey").cast("long") - 100).alias("abs_diff"),
-        F.ceil("l_quantity").alias("ceil_qty"),
-        F.floor("l_quantity").alias("floor_qty"),
+        # DuckDB ceil/floor return DOUBLE; Spark's return LongType. Cast to
+        # double so the driver's value-hash (dtype-sensitive) agrees.
+        F.ceil("l_quantity").cast("double").alias("ceil_qty"),
+        F.floor("l_quantity").cast("double").alias("floor_qty"),
         (F.col("l_orderkey") % 7).cast("long").alias("mod7"),
-        (F.floor(F.col("l_extendedprice") / 1000) * 1000).alias("price_bin"),
+        (F.floor(F.col("l_extendedprice") / 1000) * 1000)
+        .cast("double")
+        .alias("price_bin"),
     )
 
 
@@ -857,11 +861,11 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize",
     """
     WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
-    l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev FROM e),
+    l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
     n AS (SELECT *, CASE WHEN prev IS NULL OR ts_us - prev > 3600000000 THEN 1 ELSE 0 END AS nw
           FROM l),
-    s AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY ts_us
-                                  ROWS UNBOUNDED PRECEDING) - 1 AS session_id FROM n)
+    s AS (SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                  ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id FROM n)
     SELECT event_id, user_id, session_id,
            min(ts_us) OVER (PARTITION BY user_id, session_id) AS session_start_us
     FROM s
@@ -877,7 +881,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", F.expr("ts DIV 1000").alias("ts_us")
     )
-    out = sessionize(ev, "user_id", "ts_us", gap=3_600_000_000)
+    out = sessionize(ev, "user_id", "ts_us", gap=3_600_000_000, tiebreak_col="event_id")
     return out.select(
         "event_id", "user_id", "session_id",
         F.col("session_start").alias("session_start_us"),

@@ -123,8 +123,12 @@ def test_json_pluck(spark):
         lookup("pluck")("j", "s").alias("s"),
         lookup("pluck_int64")("j", "$.a.b").alias("i"),
         lookup("pluck_float64")("j", "f").alias("f"),
+        lookup("pluck")("j", "missing").alias("m"),
     ).first()
     assert row["s"] == "x" and row["i"] == 3 and row["f"] == 1.5
+    # reference PluckUDF returns '' (not NULL) for a missing key
+    # (json_ops.h:39-56)
+    assert row["m"] == ""
 
 
 def test_script_reference_shape(spark):
@@ -141,10 +145,29 @@ def test_script_reference_shape(spark):
 def test_regex_ops(spark):
     df = spark.createDataFrame([Row(s="GET /api/v1/items/123")])
     row = df.select(
-        lookup("regex_match")(r"/api/v\d+/", "s").alias("m"),
+        lookup("regex_match")(r"GET /api/v\d+/items/\d+", "s").alias("m"),
         lookup("regex_replace")(r"\d+", "s", "N").alias("r"),
     ).first()
     assert row["m"] is True and row["r"] == "GET /api/vN/items/N"
+
+
+def test_regex_match_is_full_match(spark):
+    """Reference RegexMatchUDF = RE2::FullMatch (regex_ops.h:40-64): the
+    pattern must cover the WHOLE string. 'abc' matches 'abc' but not
+    'abcd'; regex_search keeps substring semantics."""
+    from pixie_spark.functions.regex_ops import regex_search
+
+    df = spark.createDataFrame([Row(s="abc"), Row(s="abcd")])
+    rows = {
+        r["s"]: (r["m"], r["p"])
+        for r in df.select(
+            "s",
+            lookup("regex_match")("abc", "s").alias("m"),
+            regex_search("abc", "s").alias("p"),
+        ).collect()
+    }
+    assert rows["abc"] == (True, True)
+    assert rows["abcd"] == (False, True)
 
 
 def test_select_conditional(spark):
@@ -265,7 +288,10 @@ def test_uri_parse_recompose(spark):
         lookup("uri_parse")("u").alias("p")
     ).select(
         lookup("uri_recompose")(
-            F.col("p.scheme"), F.col("p.host"), F.col("p.port"), F.col("p.path"), F.col("p.query")
+            # reference positional order: scheme, userInfo, host, port,
+            # path, query, fragment (uri_ops.h:167-173)
+            F.col("p.scheme"), F.col("p.user_info"), F.col("p.host"),
+            F.col("p.port"), F.col("p.path"), F.col("p.query"), F.lit(""),
         ).alias("u2")
     ).first()["u2"]
     assert out == "https://example.com:8443/api/v1?x=1&y=2"

@@ -41,6 +41,32 @@ def test_orphan_upids_stay_null(spark, fixtures):
     assert out.count() == events.count()  # left join never drops rows
 
 
+def test_restart_epochs_no_fanout(spark, fixtures):
+    """A upid with multiple [start_time, stop_time) validity rows (pod
+    restart epochs) must NOT fan out event rows in the untimed
+    resolve_upid path — the resolver keeps only the latest validity row
+    per upid (K8S_PODS windows, reference k8s metadata store)."""
+    pods, services, events = fixtures
+    first = pods.first()
+    # upid is STRUCT<high, low> (uint128 halves)
+    upid_lit = F.struct(
+        F.lit(first["upid"]["high"]).alias("high"),
+        F.lit(first["upid"]["low"]).alias("low"),
+    )
+    restarted = pods.unionByName(
+        pods.where(F.col("upid") == upid_lit)
+        .withColumn("start_time", F.col("start_time") + F.lit(10**9))
+        .withColumn("pod_name", F.concat(F.col("pod_name"), F.lit("-r2")))
+    )
+    r = MetadataResolver(restarted, services)
+    out = r.resolve_upid(events, ["pod_name"])
+    assert out.count() == events.count()  # no duplicate event rows
+    # and the row that survives is the LATEST epoch
+    got = out.where(F.col("upid") == upid_lit).select("pod_name").first()
+    if got is not None:
+        assert got["pod_name"].endswith("-r2")
+
+
 def test_metadata_join_is_broadcast(spark, fixtures):
     pods, services, events = fixtures
     r = MetadataResolver(pods, services)

@@ -45,6 +45,23 @@ def _sort_key_scalar(v):
     return (4, 0.0, str(v))
 
 
+def _dtype_mismatches(sdf, odf):
+    """Columns whose pandas dtype *kind* differs between engines.
+
+    Kind-level (int vs float vs bool vs object vs datetime) is the right
+    granularity: the driver's value-hash distinguishes 23 from 23.0 but
+    not int32 from int64. Null-coerced columns (int→float64 when nulls
+    present) coerce identically in both engines' pandas conversions, so
+    kinds still agree when values do.
+    """
+    bad = []
+    for c in sdf.columns:
+        sk, ok = sdf[c].dtype.kind, odf[c].dtype.kind
+        if sk != ok:
+            bad.append((c, str(sdf[c].dtype), str(odf[c].dtype)))
+    return bad
+
+
 def normalize(rows, colnames):
     out = []
     for row in rows:
@@ -111,6 +128,13 @@ def main() -> int:
             ok = False
         elif sorted(sdf.columns) != sorted(odf.columns):
             print(f"FAIL {name}: columns spark={sorted(sdf.columns)} duckdb={sorted(odf.columns)}")
+            ok = False
+        elif _dtype_mismatches(sdf, odf):
+            # Dtype-strict: the driver hashes raw values, where int 23 !=
+            # float 23.0 even though Python == says otherwise (round-1
+            # math_ops/sessionize failures). Compare pandas dtype kinds.
+            for c, sk, okd in _dtype_mismatches(sdf, odf):
+                print(f"FAIL {name}: dtype of '{c}' spark={sk} duckdb={okd}")
             ok = False
         else:
             s_rows = normalize(sdf.to_dict("records"), list(sdf.columns))
