@@ -12,15 +12,18 @@ flags) mapped onto Structured Streaming.
   late rows beyond the watermark are dropped rather than flushed into a
   stale window.
 - ``otel_export`` / ``display_stream``: GRPCSink/OTelExportSink
-  equivalents via foreachBatch (otel_export_sink_node.cc re-expressed as
-  a sink callback writing OTLP-shaped JSON; swap the writer for a real
-  OTLP exporter in production).
+  equivalents via foreachBatch + foreachPartition (otel_export_sink_node.cc
+  re-expressed as executor-side partition exporters writing OTLP-shaped
+  JSON; swap the per-partition writer for a real OTLP exporter in
+  production — export bandwidth scales with the cluster, nothing funnels
+  through the driver).
 """
 
 from __future__ import annotations
 
 import json
 import os
+from functools import partial
 from typing import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -155,6 +158,45 @@ def display_stream(
         return start("append")
 
 
+def _partition_exporter(
+    convert,
+    out_dir: str,
+    prefix: str,
+    batch_id: int,
+    exporter: Callable | None,
+):
+    """Build the per-partition export closure that runs ON EXECUTORS.
+
+    The reference's OTelExportSink posts OTLP from each Carnot instance
+    (otel_export_sink_node.cc) — the Spark analogue is each task posting
+    its own partition's payloads, not funneling the entire export volume
+    through the driver (a driver-side collect() serializes 100% of sink
+    traffic through one process at scale). ``convert`` and ``exporter``
+    must be picklable (module-level functions / simple closures). The
+    default exporter writes one JSONL file per (batch, partition); empty
+    partitions write nothing.
+    """
+
+    def run(rows_iter) -> None:
+        rows = list(rows_iter)
+        payloads = convert(rows)
+        if not payloads:
+            return
+        if exporter is not None:
+            exporter(payloads)
+            return
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        path = os.path.join(out_dir, f"{prefix}-{batch_id:06d}-p{pid:04d}.jsonl")
+        with open(path, "w") as f:
+            for p in payloads:
+                f.write(json.dumps(p) + "\n")
+
+    return run
+
+
 def _rows_to_otel_metrics(rows, name_col: str, value_col: str, ts_col: str, attr_cols: list[str]):
     out = []
     for r in rows:
@@ -245,13 +287,14 @@ def otel_export_spans(
     os.makedirs(out_dir, exist_ok=True)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        payloads = _rows_to_otel_spans(batch_df.collect(), name_col, start_col, end_col, attr_cols)
-        if exporter is not None:
-            exporter(payloads)
-        else:
-            with open(os.path.join(out_dir, f"spans-{batch_id:06d}.jsonl"), "w") as f:
-                for p in payloads:
-                    f.write(json.dumps(p) + "\n")
+        convert = partial(
+            _rows_to_otel_spans,
+            name_col=name_col, start_col=start_col, end_col=end_col,
+            attr_cols=attr_cols,
+        )
+        batch_df.foreachPartition(
+            _partition_exporter(convert, out_dir, "spans", batch_id, exporter)
+        )
 
     if df.isStreaming:
         writer = df.writeStream.foreachBatch(sink).outputMode("append")
@@ -298,15 +341,14 @@ def otel_export_logs(
     os.makedirs(out_dir, exist_ok=True)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        payloads = _rows_to_otel_logs(
-            batch_df.collect(), body_col, ts_col, severity_col, attr_cols
+        convert = partial(
+            _rows_to_otel_logs,
+            body_col=body_col, ts_col=ts_col, severity_col=severity_col,
+            attr_cols=attr_cols,
         )
-        if exporter is not None:
-            exporter(payloads)
-        else:
-            with open(os.path.join(out_dir, f"logs-{batch_id:06d}.jsonl"), "w") as f:
-                for p in payloads:
-                    f.write(json.dumps(p) + "\n")
+        batch_df.foreachPartition(
+            _partition_exporter(convert, out_dir, "logs", batch_id, exporter)
+        )
 
     if df.isStreaming:
         writer = df.writeStream.foreachBatch(sink).outputMode("append")
@@ -330,24 +372,26 @@ def otel_export(
     """px.export(df, px.otel.Data(...)) equivalent
     (ref: otel_export_sink_node.cc, plan.proto:365-549).
 
-    foreachBatch maps each micro-batch's rows to OTLP-JSON metric
-    payloads; the default exporter writes them as JSONL under out_dir
-    (one file per batch). Pass ``exporter(payloads)`` to ship over real
-    OTLP/gRPC instead — the Spark-side plumbing is identical.
+    foreachBatch + foreachPartition map each micro-batch's rows to
+    OTLP-JSON metric payloads ON THE EXECUTORS; the default exporter
+    writes them as JSONL under out_dir (one file per batch+partition).
+    Pass a picklable ``exporter(payloads)`` to ship over real OTLP/gRPC
+    instead — it runs once per partition, executor-side, so export
+    bandwidth scales with the cluster instead of bottlenecking on the
+    driver.
     """
     attr_cols = attr_cols or []
     os.makedirs(out_dir, exist_ok=True)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        payloads = _rows_to_otel_metrics(
-            batch_df.collect(), name_col, value_col, ts_col, attr_cols
+        convert = partial(
+            _rows_to_otel_metrics,
+            name_col=name_col, value_col=value_col, ts_col=ts_col,
+            attr_cols=attr_cols,
         )
-        if exporter is not None:
-            exporter(payloads)
-        else:
-            with open(os.path.join(out_dir, f"batch-{batch_id:06d}.jsonl"), "w") as f:
-                for p in payloads:
-                    f.write(json.dumps(p) + "\n")
+        batch_df.foreachPartition(
+            _partition_exporter(convert, out_dir, "batch", batch_id, exporter)
+        )
 
     if df.isStreaming:
         writer = df.writeStream.foreachBatch(sink).outputMode("update")

@@ -262,3 +262,15 @@ def test_otel_log_export_batch(spark, tmp_path):
     assert len(recs) == 1  # null body skipped, not crashed
     assert recs[0]["body"]["stringValue"] == "request failed"
     assert recs[0]["severityText"] == "ERROR"
+
+
+def test_no_driver_collect_in_streaming_sinks():
+    """The OTel sinks must export from EXECUTORS (foreachPartition), never
+    funnel the export volume through the driver — a driver-side collect()
+    in a sink serializes 100% of sink traffic through one process at
+    scale (same class of assert as test_plans.py's no-Python-UDF check)."""
+    import inspect
+
+    src = inspect.getsource(st)
+    assert ".collect()" not in src
+    assert "foreachPartition" in src
