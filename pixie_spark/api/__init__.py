@@ -26,7 +26,14 @@ from pyspark.sql import DataFrame as SparkDataFrame
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from pixie_spark.api.dataframe import PxDataFrame, PxGroupedFrame
+from pixie_spark.api.dataframe import (
+    DeferredCol,
+    MetadataCall,
+    MetadataExpr,
+    PxDataFrame,
+    PxGroupedFrame,
+    is_meta_sentinel,
+)
 from pixie_spark.api.timemod import (
     days,
     hours,
@@ -36,6 +43,7 @@ from pixie_spark.api.timemod import (
     parse_duration,
     resolve_time,
     seconds,
+    set_now,
     strptime,
 )
 from pixie_spark.functions.json_ops import script_reference
@@ -98,21 +106,65 @@ def from_spark(sdf: SparkDataFrame) -> PxDataFrame:
     return PxDataFrame(sdf)
 
 
-def run_script(code: str) -> dict[str, SparkDataFrame]:
-    """Execute a PxL-flavored Python script string against the bound
-    context and return its named results — the ExecuteScript entry point
-    (ref: query broker QueryExecutorImpl.Run,
-    src/vizier/services/query_broker/controllers/query_executor.go:167;
-    our 'compiler' is the Python interpreter + this module, Catalyst
-    replaces the logical planner).
+def register_module(name: str, source: str) -> None:
+    """Register a PxL library module (e.g. ``pxviews``) by source text;
+    scripts executed via run_script can then ``import <name>``. The text
+    goes through the same PxL lowering as scripts (api.pxl)."""
+    _ctx.setdefault("modules", {})[name] = source
 
-    The script sees ``px`` (this module) and ``F`` (pyspark functions);
-    results are whatever it passed to ``px.display``.
+
+def run_script(
+    code: str,
+    calls: list[tuple[str, dict]] | None = None,
+) -> dict[str, SparkDataFrame]:
+    """Execute a VERBATIM PxL script string against the bound context and
+    return its named results — the ExecuteScript entry point (ref: query
+    broker QueryExecutorImpl.Run, src/vizier/services/query_broker/
+    controllers/query_executor.go:167; the 'compiler' is CPython + the
+    api.pxl AST lowering, Catalyst replaces the logical planner).
+
+    The script may ``import px`` (and any library registered via
+    register_module — the reference preloads pxviews the same way,
+    src/carnot/planner/compiler_state/registry_info.h pxl_lib). Boolean
+    operators on columns are lowered exactly as the reference frontend
+    does (see api.pxl). ``calls`` invokes the script's top-level
+    functions afterward — the vis.json execution model, where the UI
+    supplies (function, args) pairs — and registers each return under the
+    function's name; results are those plus whatever hit ``px.display``.
     """
+    import sys
+    import types as pytypes
+
     import pixie_spark.api as px_module
 
+    from pixie_spark.api.pxl import compile_pxl
+
     _ctx["results"] = {}
-    exec(compile(code, "<pxl_script>", "exec"), {"px": px_module, "F": F})  # noqa: S102
+    saved: dict[str, object] = {"px": sys.modules.get("px")}
+    sys.modules["px"] = px_module
+    injected: dict[str, object] = {}
+    try:
+        # libraries may import px AND each other — install each into
+        # sys.modules as it is built, in registration order
+        for name, src in _ctx.get("modules", {}).items():
+            mod = pytypes.ModuleType(name)
+            mod.__dict__["px"] = px_module
+            saved.setdefault(name, sys.modules.get(name))
+            sys.modules[name] = mod
+            exec(compile_pxl(src, f"<{name}>"), mod.__dict__)  # noqa: S102
+            injected[name] = mod
+        g = {"px": px_module, "F": F, **injected}
+        exec(compile_pxl(code), g)  # noqa: S102
+        for fn_name, kwargs in calls or []:
+            out = g[fn_name](**kwargs)
+            if out is not None:
+                display(out, fn_name)
+    finally:
+        for name, old in saved.items():
+            if old is None:
+                sys.modules.pop(name, None)
+            else:
+                sys.modules[name] = old
     return results()
 
 
@@ -192,8 +244,12 @@ def results() -> dict[str, SparkDataFrame]:
     return dict(_ctx["results"])
 
 
-def debug(df: PxDataFrame) -> str:
-    """px.debug → the optimized/physical plan (explain passthrough)."""
+def debug(df: PxDataFrame, name: str = "debug") -> str:
+    """px.debug(df[, name]) → the optimized/physical plan (explain
+    passthrough); the reference's form registers a debug-named result
+    (pixie_module.h), so the frame is also registered under _{name}."""
+    sdf0 = df.to_spark() if isinstance(df, PxDataFrame) else df
+    _ctx["results"][f"_{name}"] = sdf0
     import contextlib
     import io
 
@@ -218,6 +274,283 @@ def uint128(s: str) -> tuple[int, int]:
     v = int(hexstr, 16)
     mask = (1 << 64) - 1
     return ((v >> 64) & mask, v & mask)
+
+
+# =============================================================================
+# PxL verbatim-compat surface (corpus scripts + pxviews run literally)
+# =============================================================================
+
+
+def _col_or_lit(x):
+    return x if isinstance(x, Column) else F.lit(x)
+
+
+def _and(a, b):
+    """AST-lowered ``and`` (api.pxl): Column-aware, Python semantics for
+    plain values (reference frontend ProcessBoolOp equivalent). Unrealized
+    metadata operands defer (df.ctx['ns'] == ns and df.service != '')."""
+    if is_meta_sentinel(a) or is_meta_sentinel(b):
+        return DeferredCol(lambda x, y: _col_or_lit(x) & _col_or_lit(y), [a, b])
+    if isinstance(a, Column) or isinstance(b, Column):
+        return _col_or_lit(a) & _col_or_lit(b)
+    return a and b
+
+
+def _or(a, b):
+    if is_meta_sentinel(a) or is_meta_sentinel(b):
+        return DeferredCol(lambda x, y: _col_or_lit(x) | _col_or_lit(y), [a, b])
+    if isinstance(a, Column) or isinstance(b, Column):
+        return _col_or_lit(a) | _col_or_lit(b)
+    return a or b
+
+
+def _not(a):
+    if is_meta_sentinel(a):
+        return DeferredCol(lambda x: ~_col_or_lit(x), [a])
+    if isinstance(a, Column):
+        return ~a
+    return not a
+
+
+def select(cond, if_true, if_false):
+    """px.select (conditionals.cc) — metadata-aware: any unrealized
+    metadata operand defers the whole conditional (corpus idiom:
+    px.select(cond, px.pod_id_to_pod_name(...), px.nslookup(...)))."""
+    from pixie_spark.functions.conditionals import select as _sel
+
+    if any(is_meta_sentinel(x) for x in (cond, if_true, if_false)):
+        return DeferredCol(
+            lambda c, t, f: _sel(_col_or_lit(c), _col_or_lit(t), _col_or_lit(f)),
+            [cond, if_true, if_false],
+        )
+    return _sel(cond, if_true, if_false)
+
+
+def _semantic_type(name: str, doc: str):
+    def wrap(x):
+        return x
+
+    wrap.__name__ = name
+    wrap.__doc__ = doc + (
+        " Identity at the value level: semantic types drive UI formatting "
+        "in the reference (pixie_module.h type objects); engine semantics "
+        "are unchanged."
+    )
+    return wrap
+
+
+DurationNanos = _semantic_type("DurationNanos", "ST_DURATION_NS annotation.")
+Percent = _semantic_type("Percent", "ST_PERCENT annotation.")
+Bytes = _semantic_type("Bytes", "ST_BYTES annotation.")
+Pod = _semantic_type("Pod", "ST_POD_NAME annotation.")
+Service = _semantic_type("Service", "ST_SERVICE_NAME annotation.")
+Namespace = _semantic_type("Namespace", "ST_NAMESPACE_NAME annotation.")
+Node = _semantic_type("Node", "ST_NODE_NAME annotation.")
+UPID = _semantic_type("UPID", "ST_UPID annotation.")
+Duration = _semantic_type("Duration", "duration annotation.")
+Time = _semantic_type("Time", "ST_TIME annotation.")
+
+
+def parse_time(x, ref_now: int | None = None) -> int:
+    """px.parse_time: absolute ns, relative '-5m' strings, or ints →
+    absolute epoch ns (compile-time fn in the reference)."""
+    return resolve_time(x, now() if ref_now is None else ref_now)
+
+
+def _exec_hostname() -> Column:
+    """px._exec_hostname (exec_funcs): the executing host's name."""
+    import socket
+
+    return F.lit(socket.gethostname())
+
+
+def _exec_host_num_cpus() -> Column:
+    """px._exec_host_num_cpus (exec_funcs): CPUs on the executing host."""
+    import os as _os
+
+    return F.lit(_os.cpu_count())
+
+
+def _service_match(col: Column, service) -> Column:
+    """Reference has_service_name semantics: the service column is either
+    a plain name or a JSON list of names (multi-service pods)."""
+    c = _col_or_lit(col)
+    v = _col_or_lit(service)
+    in_list = F.coalesce(
+        F.array_contains(F.from_json(c, "array<string>"), v), F.lit(False)
+    )
+    return F.coalesce((c == v) | in_list, F.lit(False))
+
+
+def has_service_name(col, service) -> Column | DeferredCol:
+    """px.has_service_name(service_col, name) — works on realized columns
+    AND on unrealized ctx expressions (df[px.has_service_name(
+    df.ctx['service'], svc)] is a corpus idiom)."""
+    if is_meta_sentinel(col):
+        return DeferredCol(lambda c: _service_match(c, service), [col])
+    return _service_match(col, service)
+
+
+def nslookup(ip) -> MetadataCall:
+    """px.nslookup: reverse lookup of an IP. Resolved against the pod-IP
+    dimension with fallback to the input (the reference falls back to the
+    raw address when PTR resolution fails, dns_ops.cc)."""
+    return MetadataCall("nslookup", ip, fallback_to_key=True)
+
+
+def __getattr__(name: str):
+    """Module-level fallback (PEP 562): px.<fn> resolves through the
+    function REGISTRY (px.sum, px.floor, px.pluck_float64, ...) and the
+    metadata SCALAR_LOOKUPS (px.ip_to_pod_id, px.pod_id_to_pod_name, ...)
+    so corpus scripts bind every name the reference's px module exposes."""
+    from pixie_spark.functions import REGISTRY
+    from pixie_spark.functions.metadata import SCALAR_LOOKUPS
+
+    if name in REGISTRY:
+        return REGISTRY[name]
+    if name in SCALAR_LOOKUPS:
+        def factory(arg, _name=name):
+            return MetadataCall(_name, arg)
+
+        factory.__name__ = name
+        factory.__doc__ = (
+            f"px.{name}: scalar metadata lookup (metadata_ops.cc) realized "
+            "as a broadcast dimension join on assignment."
+        )
+        return factory
+    raise AttributeError(f"module 'px' has no attribute {name!r}")
+
+
+# --- UDTF surface (md_udtfs.cc:32-59) ---------------------------------------
+
+
+def _spark_or_raise() -> SparkSession:
+    spark = _ctx["spark"]
+    if spark is None:
+        raise RuntimeError("px.set_context(spark, ...) first")
+    return spark
+
+
+def GetTables() -> PxDataFrame:  # noqa: N802 — PxL name
+    """UDTF GetTables (md_udtfs_impl.h:124-138): (table_name, table_desc)
+    over the registered table store."""
+    spark = _spark_or_raise()
+    from pixie_spark.schemas import SOURCE_SCHEMAS
+
+    rows = sorted(
+        {
+            **{n: f"registered source table ({len(s.fields)} columns)" for n, s in SOURCE_SCHEMAS.items()},
+            **{n: f"bound table ({len(df.columns)} columns)" for n, df in _ctx["tables"].items()},
+        }.items()
+    )
+    return PxDataFrame(
+        spark.createDataFrame(rows, "table_name: string, table_desc: string")
+    )
+
+
+def GetSchemas() -> PxDataFrame:  # noqa: N802
+    """UDTF GetSchemas (md_udtfs_impl.h:200-208): one row per column —
+    (table_name, column_name, column_type, pattern_type, column_desc)."""
+    spark = _spark_or_raise()
+    from pixie_spark.schemas import SOURCE_SCHEMAS
+
+    rows = []
+    seen = set()
+    for tname, schema in SOURCE_SCHEMAS.items():
+        seen.add(tname)
+        for f in schema.fields:
+            md = f.metadata or {}
+            rows.append(
+                (
+                    tname, f.name, f.dataType.simpleString().upper(),
+                    md.get("pattern_type", "GENERAL"),
+                    md.get("semantic_type", ""),
+                )
+            )
+    for tname, df in _ctx["tables"].items():
+        if tname in seen:
+            continue
+        for f in df.schema.fields:
+            rows.append((tname, f.name, f.dataType.simpleString().upper(), "GENERAL", ""))
+    return PxDataFrame(
+        spark.createDataFrame(
+            rows,
+            "table_name: string, column_name: string, column_type: string, "
+            "pattern_type: string, column_desc: string",
+        )
+    )
+
+
+def _func_rows(predicate) -> list[tuple[str, str, str]]:
+    import inspect
+
+    from pixie_spark.functions import REGISTRY
+
+    rows = []
+    for name, fn in sorted(REGISTRY.items()):
+        if not predicate(name):
+            continue
+        try:
+            args = ", ".join(inspect.signature(fn).parameters)
+        except (TypeError, ValueError):
+            args = ""
+        rows.append((name, "COLUMN", args))
+    return rows
+
+
+_UDA_NAMES = {"mean", "sum", "max", "min", "count", "quantiles", "quantiles_json", "any"}
+
+
+def GetUDFList() -> PxDataFrame:  # noqa: N802
+    """UDTF GetUDFList (md_udtfs_impl.h:581-594): (name, return_type, args)
+    for scalar functions in the registry."""
+    spark = _spark_or_raise()
+    return PxDataFrame(
+        spark.createDataFrame(
+            _func_rows(lambda n: n not in _UDA_NAMES),
+            "name: string, return_type: string, args: string",
+        )
+    )
+
+
+def GetUDAList() -> PxDataFrame:  # noqa: N802
+    """UDTF GetUDAList (md_udtfs_impl.h:642): aggregate functions."""
+    spark = _spark_or_raise()
+    return PxDataFrame(
+        spark.createDataFrame(
+            _func_rows(lambda n: n in _UDA_NAMES),
+            "name: string, return_type: string, args: string",
+        )
+    )
+
+
+def GetUDTFList() -> PxDataFrame:  # noqa: N802
+    """UDTF GetUDTFList (md_udtfs_impl.h:489-504): the table-generating
+    functions themselves — (name, executor, init_args, output_relation)."""
+    spark = _spark_or_raise()
+    udtfs = {
+        "GetTables": "UDTF_ALL_KELVIN",
+        "GetSchemas": "UDTF_ALL_KELVIN",
+        "GetAgentStatus": "UDTF_ONE_KELVIN",
+        "GetUDFList": "UDTF_ONE_KELVIN",
+        "GetUDAList": "UDTF_ONE_KELVIN",
+        "GetUDTFList": "UDTF_ONE_KELVIN",
+        "GetProfilerSamplingPeriodMS": "UDTF_ALL_AGENTS",
+        "GetLinuxHeadersStatus": "UDTF_ALL_AGENTS",
+        "GetTracepointStatus": "UDTF_ONE_KELVIN",
+        "GetDebugTableInfo": "UDTF_ALL_AGENTS",
+    }
+    rows = [(name, executor, "", "") for name, executor in sorted(udtfs.items())]
+    return PxDataFrame(
+        spark.createDataFrame(
+            rows, "name: string, executor: string, init_args: string, output_relation: string"
+        )
+    )
+
+
+def GetAgentStatus() -> PxDataFrame:  # noqa: N802
+    """PxL-name alias for get_agent_status (md_udtfs_impl.h:290-303)."""
+    return PxDataFrame(get_agent_status())
 
 
 __all__ = [

@@ -30,11 +30,100 @@ from pixie_spark.functions.math_ops import bin as _bin
 _INTERNAL = ("_sdf", "_rolling_ns", "_streaming", "_groups")
 
 
+def _realize_meta(sdf: SparkDataFrame, value, out_name: str) -> SparkDataFrame:
+    """Realize a MetadataExpr / (possibly nested) MetadataCall into a
+    concrete column ``out_name`` via the bound resolver's broadcast
+    joins. Nested call args are materialized into temp columns first."""
+    from pixie_spark.api import _get_metadata_resolver
+    from pixie_spark.functions.metadata import SCALAR_LOOKUPS
+
+    resolver = _get_metadata_resolver()
+    if isinstance(value, MetadataExpr):
+        return resolver.resolve_ctx(sdf, value.attr, out_name)
+    if isinstance(value, MetadataCall):
+        arg = value.arg
+        tmp = None
+        if is_meta_sentinel(arg):
+            tmp = f"__meta_arg_{out_name}"
+            sdf = _realize_meta(sdf, arg, tmp)
+            key = F.col(tmp)
+        elif isinstance(arg, Column):
+            key = arg
+        else:
+            key = F.lit(arg)
+        hops = SCALAR_LOOKUPS[value.name]
+        out = resolver.lookup_expr(
+            sdf, hops, key, out_name, fallback_to_key=value.fallback_to_key
+        )
+        return out.drop(tmp) if tmp else out
+    if isinstance(value, DeferredCol):
+        realized, temps = [], []
+        for i, a in enumerate(value.args):
+            if is_meta_sentinel(a):
+                tmp = f"__dc_{out_name}_{i}"
+                sdf = _realize_meta(sdf, a, tmp)
+                temps.append(tmp)
+                realized.append(F.col(tmp))
+            else:
+                realized.append(a)
+        sdf = sdf.withColumn(out_name, value.builder(*realized))
+        return sdf.drop(*temps)
+    raise TypeError(f"not a metadata expression: {value!r}")
+
+
 class MetadataExpr:
-    """Sentinel returned by df.ctx[attr]; realized on assignment."""
+    """Sentinel returned by df.ctx[attr]; realized on assignment or when
+    used inside a filter (df[df.ctx['node'] == node])."""
 
     def __init__(self, attr: str):
         self.attr = attr
+
+    def __eq__(self, other):  # noqa: PLW0645 — PxL comparison semantics
+        return DeferredCol(lambda c: c == _lit(other), [self])
+
+    def __ne__(self, other):  # noqa: PLW0645
+        return DeferredCol(lambda c: c != _lit(other), [self])
+
+    def __hash__(self):
+        return id(self)
+
+
+class MetadataCall:
+    """Sentinel for a scalar metadata UDF call — px.ip_to_pod_id(col),
+    px.pod_id_to_pod_name(...), px.nslookup(...). Realized on assignment
+    as a broadcast-lookup join chain (functions.metadata.SCALAR_LOOKUPS).
+    ``arg`` may be a Column, a MetadataExpr, or another MetadataCall
+    (calls nest in the corpus: pod_id_to_pod_name(ip_to_pod_id(ip)))."""
+
+    def __init__(self, name: str, arg, fallback_to_key: bool = False):
+        self.name = name
+        self.arg = arg
+        self.fallback_to_key = fallback_to_key
+
+
+class DeferredCol:
+    """A scalar expression over unrealized metadata: builder(*args) where
+    sentinel args (MetadataExpr / MetadataCall / DeferredCol) are realized
+    into temp columns first. Lets metadata calls compose inside ordinary
+    expressions — px.select(cond, px.pod_id_to_pod_name(...),
+    px.nslookup(...)), `df.ctx['ns'] == ns and df.service != ''` — the
+    way the reference planner folds metadata UDFs into Map expressions."""
+
+    def __init__(self, builder: Callable[..., Column], args: list):
+        self.builder = builder
+        self.args = args
+
+
+def _lit(x):
+    return x if isinstance(x, Column) else F.lit(x)
+
+
+def is_meta_sentinel(x) -> bool:
+    return isinstance(x, (MetadataExpr, MetadataCall, DeferredCol))
+
+
+# backward-compat name (filter-predicate special case of DeferredCol)
+MetadataPredicate = DeferredCol
 
 
 class CtxAccessor:
@@ -91,15 +180,8 @@ class PxDataFrame:
         self._assign(name, value)
 
     def _assign(self, name: str, value: Any) -> None:
-        if isinstance(value, MetadataExpr):
-            from pixie_spark.api import _get_metadata_resolver
-
-            resolver = _get_metadata_resolver()
-            attr = value.attr
-            resolved = resolver.resolve_upid(self._sdf, [attr])
-            if attr != name:
-                resolved = resolved.withColumnRenamed(attr, name)
-            object.__setattr__(self, "_sdf", resolved)
+        if is_meta_sentinel(value):
+            object.__setattr__(self, "_sdf", _realize_meta(self._sdf, value, name))
             return
         col = value if isinstance(value, Column) else F.lit(value)
         object.__setattr__(self, "_sdf", self._sdf.withColumn(name, col))
@@ -107,8 +189,16 @@ class PxDataFrame:
     def __getitem__(self, key):
         if isinstance(key, str):
             return self._sdf[key]
-        if isinstance(key, list):
-            return self._wrap(self._sdf.select(*key))  # keep (dataframe.h:184)
+        if isinstance(key, (list, tuple)):
+            # per-column exact-name lookup: select('latency(p50)') would
+            # PARSE the string as an expression; df[name] resolves the
+            # literal column name (corpus scripts use names with parens;
+            # tuple form is the corpus's df['a', 'b', ...] keep)
+            return self._wrap(self._sdf.select(*[self._sdf[c] for c in key]))
+        if is_meta_sentinel(key):
+            tmp = "__meta_pred"
+            sdf = _realize_meta(self._sdf, key, tmp)
+            return self._wrap(sdf.where(F.col(tmp)).drop(tmp))
         if isinstance(key, Column):
             return self._wrap(self._sdf.where(key))  # filter (dataframe.h:206)
         raise TypeError(f"unsupported indexer {type(key)}")
@@ -214,12 +304,22 @@ class PxGroupedFrame:
         self._by = by
 
     def agg(self, **aggs) -> PxDataFrame:
+        from pixie_spark.functions.collections import any as _any_fn
+
+        dtypes = dict(self._parent._sdf.dtypes)
         cols = []
         for out_name, spec in aggs.items():
             if isinstance(spec, tuple):
                 col_name, fn = spec
                 fn = lookup(fn) if isinstance(fn, str) else fn
-                cols.append(fn(F.col(col_name)).alias(out_name))
+                col = F.col(col_name)
+                # PxL numeric aggregates accept booleans (mean(failure) =
+                # error rate, sum(failure) = error count — corpus idiom);
+                # Spark's avg/sum reject BOOLEAN, so coerce here where the
+                # schema is known. px.any keeps the original type.
+                if dtypes.get(col_name) == "boolean" and fn is not _any_fn:
+                    col = col.cast("long")
+                cols.append(fn(col).alias(out_name))
             elif isinstance(spec, Column):
                 cols.append(spec.alias(out_name))
             else:
@@ -229,7 +329,15 @@ class PxGroupedFrame:
         if rolling and rolling[0] not in by:
             by = [rolling[0]] + by
         sdf = self._parent._sdf
-        out = sdf.groupBy(*by).agg(*cols) if by else sdf.agg(*cols)
+        if not cols:
+            # PxL's groupby(keys).agg() with NO aggregates = the distinct
+            # key combinations (corpus idiom for "list the pods/nodes");
+            # Spark's agg() requires >=1 expression, so map to distinct.
+            if not by:
+                raise ValueError("agg() with no aggregates needs group keys")
+            out = sdf.select(*[sdf[c] for c in by]).distinct()
+        else:
+            out = sdf.groupBy(*by).agg(*cols) if by else sdf.agg(*cols)
         result = self._parent._wrap(out)
         # rolling applies to exactly ONE agg (rolling_ir semantics) — a
         # sticky window would silently re-inject time_ into every later

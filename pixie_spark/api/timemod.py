@@ -23,9 +23,21 @@ _DUR_RE = re.compile(r"^(-?)(\d+)(ns|us|ms|s|m|h|d)$")
 _UNITS = {"ns": NS, "us": US, "ms": MS, "s": SECOND, "m": MINUTE, "h": HOUR, "d": DAY}
 
 
+_now_override: int | None = None
+
+
 def now() -> int:
-    """px.now() → current time ns."""
-    return _time.time_ns()
+    """px.now() → current time ns. Pinnable via set_now(...) so scripts
+    with relative ranges ('-30s') evaluate against fixture time — the
+    reference's compiler does the same (time of compilation is the
+    reference point, pixie_module.h px.now)."""
+    return _now_override if _now_override is not None else _time.time_ns()
+
+
+def set_now(ns: int | None) -> None:
+    """Pin (or with None, unpin) the px.now() reference point."""
+    global _now_override
+    _now_override = ns
 
 
 def nanos(n: float) -> int:

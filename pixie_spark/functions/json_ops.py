@@ -16,6 +16,22 @@ def _path(key: str) -> str:
     return key if key.startswith("$") else f"$.{key}"
 
 
+def _is_struct(col) -> bool:
+    """True when ``col`` is a RESOLVED struct column (e.g. a bound
+    ``df.latency_quantiles`` from the facade). The reference's quantiles
+    output is plucked with the same pluck UDFs as JSON strings
+    (math_sketches.h ST_QUANTILES), so pluck* accept both: struct →
+    field access, string → JSON path. Unresolved columns fall through to
+    the JSON path (their type is unknowable pre-analysis)."""
+    if not isinstance(col, Column):
+        return False
+    try:
+        expr = col._jc.node().expression()  # noqa: SLF001 — classic Column
+        return expr.resolved() and expr.dataType().typeName() == "struct"
+    except Exception:  # noqa: BLE001 — unresolved / connect-mode column
+        return False
+
+
 def pluck(col, key: str) -> Column:
     """Extract a JSON field as string (json_ops.cc 'pluck').
 
@@ -23,14 +39,20 @@ def pluck(col, key: str) -> Column:
     null value, or unparseable JSON (json_ops.h:39-56), so ported scripts
     comparing `pluck(...) == ''` or grouping on the result keep the same
     groups. Coalesce matches that."""
+    if _is_struct(col):
+        return F.coalesce(col.getField(key).cast("string"), F.lit(""))
     return F.coalesce(F.get_json_object(_c(col), _path(key)), F.lit(""))
 
 
 def pluck_int64(col, key: str) -> Column:
+    if _is_struct(col):
+        return col.getField(key).cast("long")
     return F.get_json_object(_c(col), _path(key)).cast("long")
 
 
 def pluck_float64(col, key: str) -> Column:
+    if _is_struct(col):
+        return col.getField(key).cast("double")
     return F.get_json_object(_c(col), _path(key)).cast("double")
 
 

@@ -36,6 +36,67 @@ _UPID_ACCESSORS = {
 # ctx['service'] is the canonical PxL accessor for the service name
 _SERVICE_ALIASES = ("service", "service_name")
 
+# ctx resolution for frames that carry pod_id but no upid (post-agg frames
+# in the pxviews corpus: groupby(['pod_id', ...]) then df.ctx['pod'])
+_POD_ID_ACCESSORS = {
+    "pod_name": "pod_name",
+    "pod": "pod_name",
+    "namespace": "namespace",
+    "node_name": "node_name",
+    "node": "node_name",
+    "pod_ip": "pod_ip",
+    "service_id": "service_id",
+    "pod_phase": "phase",
+}
+
+# ctx accessors resolved from the containers dimension (keyed by upid)
+_CONTAINER_ACCESSORS = {
+    "container": "container_name",
+    "container_name": "container_name",
+    "container_id": "container_id",
+    "cmdline": "cmdline",
+}
+
+# px.X_to_Y scalar-lookup UDFs (metadata_ops.cc) → (dim, key, value) hops;
+# a list of hops expresses chains like pod_id → service_id → service_name
+SCALAR_LOOKUPS: dict[str, list[tuple[str, str, str]]] = {
+    "ip_to_pod_id": [("pods", "pod_ip", "pod_id")],
+    "ip_to_service_id": [("pods", "pod_ip", "service_id")],
+    "pod_id_to_pod_name": [("pods", "pod_id", "pod_name")],
+    "pod_id_to_namespace": [("pods", "pod_id", "namespace")],
+    "pod_id_to_node_name": [("pods", "pod_id", "node_name")],
+    "pod_name_to_status": [("pods", "pod_name", "phase")],
+    "pod_name_to_start_time": [("pods", "pod_name", "start_time")],
+    "pod_name_to_pod_ip": [("pods", "pod_name", "pod_ip")],
+    "pod_name_to_namespace": [("pods", "pod_name", "namespace")],
+    "service_id_to_service_name": [("services", "service_id", "service_name")],
+    "service_name_to_service_id": [("services", "service_name", "service_id")],
+    "upid_to_pod_id": [("pods", "upid", "pod_id")],
+    "upid_to_pod_name": [("pods", "upid", "pod_name")],
+    "upid_to_namespace": [("pods", "upid", "namespace")],
+    "upid_to_node_name": [("pods", "upid", "node_name")],
+    "upid_to_service_id": [("pods", "upid", "service_id")],
+    "pod_id_to_service_name": [
+        ("pods", "pod_id", "service_id"),
+        ("services", "service_id", "service_name"),
+    ],
+    "pod_id_to_service_id": [("pods", "pod_id", "service_id")],
+    "upid_to_service_name": [
+        ("pods", "upid", "service_id"),
+        ("services", "service_id", "service_name"),
+    ],
+    "upid_to_container_name": [("containers", "upid", "container_name")],
+    "upid_to_container_id": [("containers", "upid", "container_id")],
+    "upid_to_cmdline": [("containers", "upid", "cmdline")],
+    "container_id_to_status": [("containers", "container_id", "status")],
+    # px.nslookup (src/carnot/funcs/net/net_ops.cc): reverse lookup of an
+    # IP. A per-row resolver(3) call is an executor-killing anti-pattern at
+    # scale; resolve against the pod-IP dimension instead (fallback_to_key
+    # on the MetadataCall returns the raw IP for non-cluster addresses,
+    # matching the reference's miss behavior).
+    "nslookup": [("pods", "pod_ip", "pod_name")],
+}
+
 
 class MetadataResolver:
     """Holds the k8s dimension tables and rewrites ctx[...] accessors into
@@ -48,11 +109,19 @@ class MetadataResolver:
         services: DataFrame | None = None,
         replicasets: DataFrame | None = None,
         deployments: DataFrame | None = None,
+        containers: DataFrame | None = None,
     ):
         self.pods = pods
         self.services = services
         self.replicasets = replicasets
         self.deployments = deployments
+        self.containers = containers
+
+    def _dim(self, name: str) -> DataFrame:
+        d = getattr(self, name, None)
+        if d is None:
+            raise ValueError(f"no {name} dimension bound on the resolver")
+        return d
 
     def _join_pods(self, df: DataFrame, upid_col: str, cols: list[str], time_col: str | None) -> DataFrame:
         dim_cols = ["upid"] + sorted({c for c in cols}) + (
@@ -131,6 +200,75 @@ class MetadataResolver:
             if "service_id" not in attrs:
                 out = out.drop("service_id")
         return out
+
+    def resolve_ctx(
+        self, df: DataFrame, attr: str, out_name: str, time_col: str | None = None
+    ) -> DataFrame:
+        """df.ctx[attr] for ANY frame shape: upid-keyed frames resolve via
+        the pods dim (as the reference's metadata rules do); post-agg
+        frames that only carry pod_id resolve via pod_id (the pxviews
+        corpus does this constantly); container attrs via the containers
+        dim; 'pid' is computed from the upid directly."""
+        if attr == "pid":
+            from pixie_spark.types import upid_to_pid
+
+            return df.withColumn(out_name, upid_to_pid(F.col("upid")))
+        if attr in _CONTAINER_ACCESSORS:
+            return self.lookup_expr(
+                df, [("containers", "upid", _CONTAINER_ACCESSORS[attr])],
+                F.col("upid"), out_name,
+            )
+        if "upid" in df.columns:
+            resolved = self.resolve_upid(df, [attr], time_col=time_col)
+            return resolved.withColumnRenamed(attr, out_name) if attr != out_name else resolved
+        if "pod_id" in df.columns:
+            return self.resolve_pod_id(df, attr, out_name)
+        raise KeyError(
+            f"ctx[{attr!r}] needs a upid or pod_id column; frame has {df.columns}"
+        )
+
+    def resolve_pod_id(self, df: DataFrame, attr: str, out_name: str) -> DataFrame:
+        if attr in _POD_ID_ACCESSORS:
+            hops = [("pods", "pod_id", _POD_ID_ACCESSORS[attr])]
+        elif attr in _SERVICE_ALIASES:
+            hops = [
+                ("pods", "pod_id", "service_id"),
+                ("services", "service_id", "service_name"),
+            ]
+        else:
+            raise KeyError(f"unknown pod_id ctx attr {attr!r}")
+        return self.lookup_expr(df, hops, F.col("pod_id"), out_name)
+
+    def lookup_expr(
+        self,
+        df: DataFrame,
+        hops: list[tuple[str, str, str]],
+        key: Column,
+        out_name: str,
+        fallback_to_key: bool = False,
+    ) -> DataFrame:
+        """Generic scalar-lookup chain keyed by an arbitrary Column
+        expression: each (dim, key_attr, value_attr) hop is one broadcast
+        left join; the final value lands in ``out_name``. This is the
+        engine behind every px.X_to_Y metadata UDF (SCALAR_LOOKUPS) — the
+        reference's per-row hash lookup against the k8s metadata snapshot
+        becomes a planner-visible broadcast hash join with identical
+        asymptotics. fallback_to_key=True coalesces misses to the key
+        itself (px.nslookup semantics)."""
+        cur = key
+        for i, (dim_name, key_attr, value_attr) in enumerate(hops):
+            dim = self._dim(dim_name)
+            mk, mv = f"__lk{i}_k", f"__lk{i}_v"
+            d = F.broadcast(
+                dim.select(F.col(key_attr).alias(mk), F.col(value_attr).alias(mv))
+                .where(F.col(mk).isNotNull())
+                .dropDuplicates([mk])
+            )
+            df = df.join(d, cur.eqNullSafe(F.col(mk)), "left").drop(mk)
+            cur = F.col(mv)
+        out = F.coalesce(cur, key) if fallback_to_key else cur
+        df = df.withColumn(out_name, out)
+        return df.drop(*[f"__lk{i}_v" for i in range(len(hops))])
 
     # individual accessors (generated API parity with metadata_ops.cc) -------
 

@@ -97,6 +97,15 @@ NETWORK_STATS = _schema(
     field("tx_drops", INT64, pattern_type="METRIC_COUNTER"),
 )
 
+STACK_TRACES = _schema(
+    # ref: src/stirling/source_connectors/perf_profiler/stack_traces_table.h
+    field("time_", TIME64NS, nullable=False),
+    field("upid", UINT128, "ST_UPID", nullable=False),
+    field("stack_trace_id", INT64),
+    field("stack_trace", STRING, pattern_type="STRUCTURED"),
+    field("count", INT64, pattern_type="METRIC_COUNTER"),
+)
+
 DNS_EVENTS = _schema(
     field("time_", TIME64NS, nullable=False),
     field("upid", UINT128, "ST_UPID", nullable=False),
@@ -131,6 +140,16 @@ K8S_PODS = _schema(
     field("stop_time", TIME64NS),
 )
 
+K8S_CONTAINERS = _schema(
+    # per-process container attribution: ctx['container'/'cmdline'] and
+    # container_id_to_status resolve against this dim
+    field("upid", UINT128, "ST_UPID", nullable=False),
+    field("container_id", STRING),
+    field("container_name", STRING, "ST_CONTAINER_NAME"),
+    field("cmdline", STRING),
+    field("status", STRING, "ST_CONTAINER_STATUS"),
+)
+
 K8S_SERVICES = _schema(
     field("service_id", STRING, nullable=False),
     field("service_name", STRING, "ST_SERVICE_NAME"),
@@ -163,7 +182,9 @@ SOURCE_SCHEMAS: dict[str, T.StructType] = {
     "process_stats": PROCESS_STATS,
     "network_stats": NETWORK_STATS,
     "dns_events": DNS_EVENTS,
+    "stack_traces.beta": STACK_TRACES,
     "k8s_pods": K8S_PODS,
+    "k8s_containers": K8S_CONTAINERS,
     "k8s_services": K8S_SERVICES,
     "k8s_replicasets": K8S_REPLICASETS,
     "k8s_deployments": K8S_DEPLOYMENTS,

@@ -75,6 +75,135 @@ def k8s_fixtures(spark: SparkSession, n_pods: int = 10, seed: int = 42):
     )
 
 
+def k8s_containers_fixture(spark: SparkSession, n_pods: int = 10) -> DataFrame:
+    """Containers dimension: one container per pod's process upid, with
+    container ids/names/cmdlines and a status (FIXTURES.md §6)."""
+    from pixie_spark.schemas import K8S_CONTAINERS
+
+    rows = []
+    for i in range(n_pods):
+        upid = _upid(i % 3 + 1, 1000 + i, BASE_NS - ((i % 48) + 1) * HOUR_NS)
+        rows.append(
+            (
+                upid,
+                f"containerd://c-{i:04d}",
+                f"app-{i % 3}",
+                f"/bin/server --port={8080 + i}",
+                "CONTAINER_STATUS_RUNNING" if i % 5 else "CONTAINER_STATUS_WAITING",
+            )
+        )
+    return spark.createDataFrame(rows, K8S_CONTAINERS)
+
+
+def process_stats_fixture(
+    spark: SparkSession, n_pods: int = 10, samples_per_pod: int = 40, seed: int = 45
+) -> DataFrame:
+    """process_stats-like table: per-upid MONOTONIC cpu/io counters and
+    gauge memory values sampled every ~10s (process_stats_table.h)."""
+    from pixie_spark.schemas import PROCESS_STATS
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n_pods):
+        upid = _upid(i % 3 + 1, 1000 + i, BASE_NS - ((i % 48) + 1) * HOUR_NS)
+        utime = ktime = rchar = wchar = rbytes = wbytes = 0
+        majf = minf = 0
+        for s in range(samples_per_pod):
+            t = BASE_NS + s * 10_000_000_000
+            utime += int(rng.randint(1_000_000, 500_000_000))
+            ktime += int(rng.randint(1_000_000, 100_000_000))
+            rchar += int(rng.randint(0, 1 << 20))
+            wchar += int(rng.randint(0, 1 << 19))
+            rbytes += int(rng.randint(0, 1 << 18))
+            wbytes += int(rng.randint(0, 1 << 17))
+            majf += int(rng.randint(0, 2))
+            minf += int(rng.randint(0, 100))
+            rows.append(
+                (
+                    t, upid, majf, minf, utime, ktime,
+                    int(rng.randint(4, 64)),
+                    int(rng.randint(1 << 28, 1 << 31)),
+                    int(rng.randint(1 << 26, 1 << 29)),
+                    rchar, wchar, rbytes, wbytes,
+                )
+            )
+    return spark.createDataFrame(rows, PROCESS_STATS)
+
+
+def network_stats_fixture(
+    spark: SparkSession, n_pods: int = 10, samples_per_pod: int = 40, seed: int = 46
+) -> DataFrame:
+    """network_stats-like table keyed by pod_id: monotonic rx/tx counters
+    (network_stats_table.h)."""
+    from pixie_spark.schemas import NETWORK_STATS
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n_pods):
+        rxb = txb = rxp = txp = rxe = txe = rxd = txd = 0
+        for s in range(samples_per_pod):
+            t = BASE_NS + s * 10_000_000_000
+            rxb += int(rng.randint(1 << 10, 1 << 20))
+            txb += int(rng.randint(1 << 10, 1 << 19))
+            rxp += int(rng.randint(10, 1000))
+            txp += int(rng.randint(10, 800))
+            rxe += int(rng.randint(0, 2))
+            txe += int(rng.randint(0, 2))
+            rxd += int(rng.randint(0, 3))
+            txd += int(rng.randint(0, 3))
+            rows.append((t, f"pod-id-{i:04d}", rxb, txb, rxp, txp, rxe, txe, rxd, txd))
+    return spark.createDataFrame(rows, NETWORK_STATS)
+
+
+def stack_traces_fixture(
+    spark: SparkSession, n_pods: int = 10, n: int = 400, seed: int = 47
+) -> DataFrame:
+    """stack_traces.beta-like table: folded-stack strings with counts
+    (perf_profiler stack_traces_table.h)."""
+    from pixie_spark.schemas import STACK_TRACES
+
+    rng = np.random.RandomState(seed)
+    frames = ["main", "runtime.schedule", "net/http.serve", "db.query",
+              "json.Marshal", "crypto/tls.handshake", "gc.scan"]
+    rows = []
+    for i in range(n):
+        pod = int(rng.randint(0, n_pods))
+        upid = _upid(pod % 3 + 1, 1000 + pod, BASE_NS - (pod % 48 + 1) * HOUR_NS)
+        depth = int(rng.randint(2, 5))
+        stack = ";".join(frames[int(rng.randint(0, len(frames)))] for _ in range(depth))
+        rows.append(
+            (
+                BASE_NS + (i % 60) * 10_000_000_000,
+                upid,
+                int(hash(stack) & 0x7FFFFFFF),
+                stack,
+                int(rng.randint(1, 50)),
+            )
+        )
+    return spark.createDataFrame(rows, STACK_TRACES)
+
+
+def observability_context(spark: SparkSession, n_pods: int = 10):
+    """One-call setup for the verbatim-corpus tests: every source table
+    the pxl_scripts corpus scans plus a fully-populated MetadataResolver.
+    Returns (tables_dict, resolver)."""
+    from pixie_spark.functions.metadata import MetadataResolver
+
+    pods, services = k8s_fixtures(spark, n_pods=n_pods)
+    tables = {
+        "http_events": http_events_fixture(spark, n_pods=n_pods),
+        "process_stats": process_stats_fixture(spark, n_pods=n_pods),
+        "conn_stats": conn_stats_fixture(spark, n_pods=n_pods),
+        "network_stats": network_stats_fixture(spark, n_pods=n_pods),
+        "dns_events": dns_events_fixture(spark, n_pods=n_pods),
+        "stack_traces.beta": stack_traces_fixture(spark, n_pods=n_pods),
+    }
+    resolver = MetadataResolver(
+        pods, services, containers=k8s_containers_fixture(spark, n_pods=n_pods)
+    )
+    return tables, resolver
+
+
 def dns_events_fixture(
     spark: SparkSession, n: int = 300, n_pods: int = 10, seed: int = 44
 ) -> DataFrame:
@@ -126,7 +255,15 @@ def conn_stats_fixture(
     rows = []
     for i in range(n_pods):
         upid = _upid(i % 3 + 1, 1000 + i, BASE_NS - ((i % 48) + 1) * HOUR_NS)
+        # each pod traces a server-side series (trace_role=2, the inbound
+        # connection) AND a client-side series (trace_role=1, its outbound
+        # connection to a peer pod) — conn_stats_table.h keys counters by
+        # (upid, remote_addr, trace_role). One client points outside the
+        # cluster to exercise the nslookup fallback-to-IP path.
+        peer = (i + 1) % n_pods
+        client_remote = "203.0.113.9" if i == 1 else f"10.0.0.{peer + 1}"
         sent, recv, opened = 0, 0, 0
+        csent, crecv, copened = 0, 0, 0
         for s in range(samples_per_pod):
             t = BASE_NS + s * 10_000_000_000
             if i == 0 and s == samples_per_pod // 2:
@@ -138,6 +275,15 @@ def conn_stats_fixture(
                 (
                     t, upid, f"10.0.0.{i+1}", 8080, 2, 2, 1, bool(i % 2),
                     opened, max(opened - 1, 0), 1, sent, recv,
+                )
+            )
+            csent += int(rng.randint(100, 5_000))
+            crecv += int(rng.randint(100, 10_000))
+            copened += int(rng.randint(0, 2))
+            rows.append(
+                (
+                    t, upid, client_remote, 8080, 1, 2, 1, bool(i % 2),
+                    copened, max(copened - 1, 0), 1, csent, crecv,
                 )
             )
     return spark.createDataFrame(rows, CONN_STATS)

@@ -11,7 +11,9 @@ from pixie_spark.sources.fixtures import BASE_NS, conn_stats_fixture
 
 @pytest.fixture(scope="module")
 def conn(spark):
-    return conn_stats_fixture(spark)
+    # the upid-grouped counter assertions below assume ONE series per upid;
+    # keep the server-side series (the client series tests net_flow_graph)
+    return conn_stats_fixture(spark).where(F.col("trace_role") == 2)
 
 
 WIN = 60_000_000_000  # 1 min windows over 10s samples
