@@ -133,7 +133,9 @@ def run_script(
     function's name; results are those plus whatever hit ``px.display``.
     """
     import sys
+    import time
     import types as pytypes
+    import uuid
 
     import pixie_spark.api as px_module
 
@@ -143,6 +145,11 @@ def run_script(
     saved: dict[str, object] = {"px": sys.modules.get("px")}
     sys.modules["px"] = px_module
     injected: dict[str, object] = {}
+    # execution log read back by GetCronScriptHistory (the cron-script
+    # store analogue); id is content-derived so re-runs share an id
+    run_ts = time.time_ns()
+    t_start = time.perf_counter_ns()
+    compile_ns, err = 0, ""
     try:
         # libraries may import px AND each other — install each into
         # sys.modules as it is built, in registration order
@@ -154,17 +161,30 @@ def run_script(
             exec(compile_pxl(src, f"<{name}>"), mod.__dict__)  # noqa: S102
             injected[name] = mod
         g = {"px": px_module, "F": F, **injected}
-        exec(compile_pxl(code), g)  # noqa: S102
+        c0 = time.perf_counter_ns()
+        compiled = compile_pxl(code)
+        compile_ns = time.perf_counter_ns() - c0
+        exec(compiled, g)  # noqa: S102
         for fn_name, kwargs in calls or []:
             out = g[fn_name](**kwargs)
             if out is not None:
                 display(out, fn_name)
+    except Exception as e:  # noqa: BLE001 — logged, then re-raised
+        err = f"{type(e).__name__}: {e}"
+        raise
     finally:
         for name, old in saved.items():
             if old is None:
                 sys.modules.pop(name, None)
             else:
                 sys.modules[name] = old
+        exec_ns = time.perf_counter_ns() - t_start - compile_ns
+        _ctx.setdefault("script_history", []).append(
+            (
+                str(uuid.uuid5(uuid.NAMESPACE_OID, code)), run_ts, err,
+                exec_ns, compile_ns, 0, 0,
+            )
+        )
     return results()
 
 
@@ -538,7 +558,9 @@ def GetUDTFList() -> PxDataFrame:  # noqa: N802
         "GetProfilerSamplingPeriodMS": "UDTF_ALL_AGENTS",
         "GetLinuxHeadersStatus": "UDTF_ALL_AGENTS",
         "GetTracepointStatus": "UDTF_ONE_KELVIN",
-        "GetDebugTableInfo": "UDTF_ALL_AGENTS",
+        "GetCronScriptHistory": "UDTF_ONE_KELVIN",
+        "_DebugMDGetWithPrefix": "UDTF_ALL_AGENTS",
+        "_DebugTableInfo": "UDTF_ALL_AGENTS",
     }
     rows = [(name, executor, "", "") for name, executor in sorted(udtfs.items())]
     return PxDataFrame(
@@ -553,10 +575,171 @@ def GetAgentStatus() -> PxDataFrame:  # noqa: N802
     return PxDataFrame(get_agent_status())
 
 
+def _executors() -> list[tuple[int, str]]:
+    """(asid, host) per live executor — the 'agent' enumeration behind
+    the per-agent UDTFs. In the reference an agent is a PEM on a node;
+    the Spark analogue is an executor (local mode: driver only)."""
+    spark = _spark_or_raise()
+    sc = spark.sparkContext
+    out = []
+    try:
+        mem_status = sc._jsc.sc().getExecutorMemoryStatus()  # noqa: SLF001
+        it = mem_status.iterator()
+        i = 0
+        while it.hasNext():
+            out.append((i, str(it.next()._1())))
+            i += 1
+    except Exception:  # noqa: BLE001
+        out = [(0, "driver")]
+    return out
+
+
+def GetProfilerSamplingPeriodMS() -> PxDataFrame:  # noqa: N802
+    """UDTF GetProfilerSamplingPeriodMS (md_udtfs_impl.h:366-380): one row
+    per agent — (asid, profiler_sampling_period_ms). The period comes from
+    engine config (`pixie.profiler.sampling_period_ms`, default 11 ms —
+    stirling's perf-profiler default) rather than a PEM RPC."""
+    spark = _spark_or_raise()
+    try:
+        period = int(spark.conf.get("pixie.profiler.sampling_period_ms"))
+    except Exception:  # noqa: BLE001 — unset
+        period = 11
+    rows = [(asid, period) for asid, _ in _executors()]
+    return PxDataFrame(
+        spark.createDataFrame(rows, "asid: long, profiler_sampling_period_ms: long")
+    )
+
+
+def GetLinuxHeadersStatus() -> PxDataFrame:  # noqa: N802
+    """UDTF GetLinuxHeadersStatus (md_udtfs_impl.h:420-434): one row per
+    agent — (asid, kernel_headers_installed). Genuinely probed from
+    /lib/modules/$(uname -r)/build; in local mode every executor shares
+    the driver host, so the probe runs once driver-side."""
+    import os
+    import platform
+
+    spark = _spark_or_raise()
+    installed = os.path.isdir(f"/lib/modules/{platform.release()}/build")
+    rows = [(asid, installed) for asid, _ in _executors()]
+    return PxDataFrame(
+        spark.createDataFrame(rows, "asid: long, kernel_headers_installed: boolean")
+    )
+
+
+def GetDebugMDWithPrefix(prefix: str = "") -> PxDataFrame:  # noqa: N802
+    """UDTF _DebugMDGetWithPrefix (md_udtfs_impl.h:731-744): dump the
+    metadata state store as (key, value) rows filtered by key prefix. The
+    reference walks the agent's k8s object index (etcd-style '/pod/...'
+    keys); the same keys are derived here from the bound dimension tables
+    (broadcast-small by design — the collect carries the same volume the
+    reference's dump RPC does)."""
+    spark = _spark_or_raise()
+    resolver = _get_metadata_resolver()
+    rows: list[tuple[str, str]] = []
+    for r in resolver.pods.select("namespace", "pod_name", "pod_id").collect():
+        # pod_name is 'ns/name' form; key uses the bare name like the MDS index
+        bare = r["pod_name"].split("/", 1)[-1]
+        rows.append((f"/pod/{r['namespace']}/{bare}", r["pod_id"]))
+    if resolver.services is not None:
+        for r in resolver.services.select("namespace", "service_name", "service_id").collect():
+            bare = r["service_name"].split("/", 1)[-1]
+            rows.append((f"/service/{r['namespace']}/{bare}", r["service_id"]))
+    rows = [kv for kv in rows if kv[0].startswith(prefix)]
+    return PxDataFrame(spark.createDataFrame(rows, "key: string, value: string"))
+
+
+def GetDebugTableInfo() -> PxDataFrame:  # noqa: N802
+    """UDTF _DebugTableInfo (md_udtfs_impl.h:795-858): per bound table —
+    size/batch stats from the table store. Spark analogue: Catalyst plan
+    statistics (sizeInBytes) and scan partition counts stand in for the
+    reference's hot/cold batch accounting; fields the Spark table store
+    genuinely lacks (expiry, compaction) report 0/-1."""
+    spark = _spark_or_raise()
+    rows = []
+    for i, (name, df) in enumerate(sorted(_ctx["tables"].items())):
+        try:
+            size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())  # noqa: SLF001
+        except Exception:  # noqa: BLE001
+            size = -1
+        try:
+            nparts = df.rdd.getNumPartitions()
+        except Exception:  # noqa: BLE001
+            nparts = -1
+        rows.append((0, name, i, nparts, 0, size, nparts, 0, size, 0, -1, -1))
+    return PxDataFrame(
+        spark.createDataFrame(
+            rows,
+            "asid: long, name: string, id: long, batches_added: long, "
+            "batches_expired: long, bytes_added: long, num_batches: long, "
+            "compacted_batches: long, size: long, cold_size: long, "
+            "max_table_size: long, min_time: long",
+        )
+    )
+
+
+def _i64(v: int) -> int:
+    """Two's-complement fold of a uint64 into Spark's signed long."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def GetTracepointStatus() -> PxDataFrame:  # noqa: N802
+    """UDTF GetTracepointStatus (md_udtfs_impl.h:869-893): dynamically
+    attached collectors with lifecycle state. The reference lists eBPF
+    tracepoints registered with MDS; the engine analogue is the active
+    Structured Streaming queries — dynamically attached continuous
+    collectors whose states map onto the same
+    pending/running/failed/terminated vocabulary."""
+    spark = _spark_or_raise()
+    rows = []
+    for q in spark.streams.active:
+        hi, lo = uint128(str(q.id))
+        state, status = ("running" if q.isActive else "terminated"), ""
+        exc = q.exception()
+        if exc is not None:
+            state, status = "failed", exc.desc.splitlines()[0] if exc.desc else ""
+        name = q.name or str(q.id)
+        rows.append(((_i64(hi), _i64(lo)), name, state, status, name))
+    return PxDataFrame(
+        spark.createDataFrame(
+            rows,
+            "tracepoint_id: struct<high: long, low: long>, name: string, "
+            "state: string, status: string, output_tables: string",
+        )
+    )
+
+
+def GetCronScriptHistory() -> PxDataFrame:  # noqa: N802
+    """UDTF GetCronScriptHistory (md_udtfs_impl.h:987-1014): one row per
+    recorded script execution — (script_id, timestamp, error_message,
+    execution_time_ns, compilation_time_ns, bytes_processed,
+    records_processed). Fed by run_script's execution log (the analogue
+    of the cron-script store). Spark executes lazily, so bytes/records
+    aren't known at script return and report 0 — the reference also
+    reports 0 for unavailable stats (error path, impl.h:1050-1056)."""
+    spark = _spark_or_raise()
+    rows = list(_ctx.get("script_history", []))
+    return PxDataFrame(
+        spark.createDataFrame(
+            rows,
+            "script_id: string, timestamp: long, error_message: string, "
+            "execution_time_ns: long, compilation_time_ns: long, "
+            "bytes_processed: long, records_processed: long",
+        )
+    )
+
+
+# the reference registers the debug UDTFs under leading-underscore names
+# (md_udtfs.cc:44-47); scripts call px._DebugMDGetWithPrefix(...)
+_DebugMDGetWithPrefix = GetDebugMDWithPrefix
+_DebugTableInfo = GetDebugTableInfo
+
 __all__ = [
     "DataFrame", "PxDataFrame", "PxGroupedFrame", "set_context",
     "register_table", "from_spark", "sql", "display", "results", "streams", "debug",
     "equals_any", "uint128", "make_upid", "script_reference",
     "now", "seconds", "minutes", "hours", "days", "millis",
     "strptime", "parse_duration",
+    "GetTables", "GetSchemas", "GetAgentStatus", "GetUDFList", "GetUDAList",
+    "GetUDTFList", "GetProfilerSamplingPeriodMS", "GetLinuxHeadersStatus",
+    "GetTracepointStatus", "GetCronScriptHistory",
 ]

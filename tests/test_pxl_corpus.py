@@ -266,6 +266,60 @@ def test_funcs_pxl(spark, ctx):
     assert out["table_funcs"].count() >= 8
 
 
+def test_agent_status_pxl(spark, ctx):
+    out = _run("agent_status/agent_status.pxl")
+    assert out["output"].count() >= 1
+
+
+def test_tracepoint_status_pxl(spark, ctx):
+    out = _run(
+        "tracepoint_status/tracepoint_status.pxl",
+        calls=[("tracepoint_info", {}), ("running_tracepoints", {})],
+    )
+    for name in ("tracepoint_info", "running_tracepoints"):
+        assert {"tracepoint_id", "name", "state", "status", "output_tables"} <= set(
+            out[name].columns
+        )
+
+
+def test_upids_pxl(spark, ctx):
+    out = _run(
+        "upids/upids.pxl",
+        calls=[("upids_for_namespace", {"start_time": "-1h", "namespace": "prod"})],
+    )
+    df = out["upids_for_namespace"]
+    assert df.count() > 0
+    assert {"pod", "container", "upid", "cmdline", "pod_create_time"} <= set(df.columns)
+
+
+def test_nodes_pxl(spark, ctx):
+    out = _run(
+        "nodes/nodes.pxl",
+        calls=[
+            ("nodes", {"start_time": "-1h"}),
+            ("pods_by_node", {"start_time": "-1h"}),
+            ("process_stats", {"start_time": "-1h"}),
+            ("network_stats", {"start_time": "-1h"}),
+        ],
+    )
+    assert out["nodes"].count() > 0
+    assert out["pods_by_node"].count() > 0
+    assert out["process_stats"].count() > 0
+    assert out["network_stats"].count() > 0
+
+
+def test_namespaces_pxl(spark, ctx):
+    out = _run(
+        "namespaces/namespaces.pxl",
+        calls=[
+            ("namespaces_for_cluster", {"start_time": "-1h"}),
+            ("process_stats_by_namespace", {"start_time": "-1h"}),
+        ],
+    )
+    assert out["namespaces_for_cluster"].count() > 0
+    assert out["process_stats_by_namespace"].count() > 0
+
+
 def test_pxviews_library_functions(spark, ctx):
     """Drive the pxviews library itself — every corpus dashboard builds
     on these views, so they must all produce rows on the fixtures."""
