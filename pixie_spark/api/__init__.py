@@ -332,6 +332,32 @@ def _not(a):
     return not a
 
 
+def _is_string_col(x) -> bool:
+    """True when ``x`` is a RESOLVED string-typed Column (facade columns
+    are bound AttributeReferences, so the type is knowable)."""
+    if not isinstance(x, Column):
+        return False
+    try:
+        expr = x._jc.node().expression()  # noqa: SLF001
+        return expr.resolved() and expr.dataType().typeName() == "string"
+    except Exception:  # noqa: BLE001 — unresolved / connect-mode column
+        return False
+
+
+def _add(a, b):
+    """AST-lowered ``+`` (api.pxl): PxL's add CONCATENATES strings (the
+    reference registers AddUDF<StringValue>, math_ops.h) while Spark's
+    Column ``+`` is numeric-only. String operands — literal or resolved
+    string Columns — route to concat; everything else keeps numeric +."""
+    if is_meta_sentinel(a) or is_meta_sentinel(b):
+        return DeferredCol(lambda x, y: _add(x, y), [a, b])
+    if isinstance(a, Column) or isinstance(b, Column):
+        if isinstance(a, str) or isinstance(b, str) or _is_string_col(a) or _is_string_col(b):
+            return F.concat(_col_or_lit(a), _col_or_lit(b))
+        return _col_or_lit(a) + _col_or_lit(b)
+    return a + b
+
+
 def select(cond, if_true, if_false):
     """px.select (conditionals.cc) — metadata-aware: any unrealized
     metadata operand defers the whole conditional (corpus idiom:

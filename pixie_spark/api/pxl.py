@@ -76,6 +76,15 @@ class _BoolOpLowering(ast.NodeTransformer):
             return self._px("_not", [node.operand])
         return node
 
+    def visit_BinOp(self, node: ast.BinOp):  # noqa: N802
+        """a + b → px._add(a, b): PxL's + concatenates strings (the
+        reference registers a string AddUDF); Spark Columns need concat.
+        px._add keeps numeric semantics for non-string operands."""
+        self.generic_visit(node)
+        if isinstance(node.op, ast.Add):
+            return self._px("_add", [node.left, node.right])
+        return node
+
 
 def compile_pxl(src: str, filename: str = "<pxl_script>"):
     """Source → code object with the PxL lowerings applied."""

@@ -72,7 +72,9 @@ _register(sql_ops, ["normalize_mysql", "normalize_pgsql"])
 _register(pii_ops, ["redact_pii_best_effort"])
 _register(
     protocols,
-    ["protocol_name", "http_resp_message", "kafka_api_key_name", "trace_role_name"],
+    ["protocol_name", "http_resp_message", "kafka_api_key_name", "trace_role_name",
+     "cql_opcode_name", "mux_frame_type_name", "amqp_frame_type_name",
+     "amqp_method_name"],
 )
 _register(net_ops, ["ip_is_private", "ip_to_int"])
 _register(request_path_ops, ["template_path"])

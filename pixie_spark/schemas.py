@@ -122,6 +122,113 @@ DNS_EVENTS = _schema(
     field("latency", INT64, "ST_DURATION_NS"),
 )
 
+# --- protocol trace tables (socket_tracer/*_table.h) -------------------------
+# Every socket-tracer table shares the canonical connection prefix
+# (canonical_types.h: kTime kUPID kRemoteAddr kRemotePort kLocalAddr
+# kLocalPort kTraceRole kEncrypted), then protocol payload columns, then
+# latency (kLatencyNS) where the protocol is request-response.
+
+
+def _proto_schema(*payload: T.StructField, latency: bool = True) -> T.StructType:
+    fields = [
+        field("time_", TIME64NS, nullable=False),
+        field("upid", UINT128, "ST_UPID", nullable=False),
+        field("remote_addr", STRING, "ST_IP_ADDRESS"),
+        field("remote_port", INT64, "ST_PORT"),
+        field("local_addr", STRING, "ST_IP_ADDRESS"),
+        field("local_port", INT64, "ST_PORT"),
+        field("trace_role", INT64, pattern_type="GENERAL_ENUM"),
+        field("encrypted", BOOLEAN),
+        *payload,
+    ]
+    if latency:
+        fields.append(field("latency", INT64, "ST_DURATION_NS"))
+    return _schema(*fields)
+
+
+# mysql_table.h:37-68
+MYSQL_EVENTS = _proto_schema(
+    field("req_cmd", INT64, pattern_type="GENERAL_ENUM"),
+    field("req_body", STRING, pattern_type="STRUCTURED"),
+    field("resp_status", INT64, pattern_type="GENERAL_ENUM"),
+    field("resp_body", STRING, pattern_type="STRUCTURED"),
+)
+
+# pgsql_table.h
+PGSQL_EVENTS = _proto_schema(
+    field("req_cmd", STRING, pattern_type="GENERAL_ENUM"),
+    field("req", STRING, pattern_type="STRUCTURED"),
+    field("resp", STRING, pattern_type="STRUCTURED"),
+)
+
+# redis_table.h
+REDIS_EVENTS = _proto_schema(
+    field("req_cmd", STRING, pattern_type="GENERAL_ENUM"),
+    field("req_args", STRING, pattern_type="STRUCTURED"),
+    field("resp", STRING, pattern_type="STRUCTURED"),
+)
+
+# cass_table.h
+CQL_EVENTS = _proto_schema(
+    field("req_op", INT64, pattern_type="GENERAL_ENUM"),
+    field("req_body", STRING, pattern_type="STRUCTURED"),
+    field("resp_op", INT64, pattern_type="GENERAL_ENUM"),
+    field("resp_body", STRING, pattern_type="STRUCTURED"),
+)
+
+# kafka_table.h
+KAFKA_EVENTS = _proto_schema(
+    field("req_cmd", INT64, pattern_type="GENERAL_ENUM"),
+    field("client_id", STRING),
+    field("req_body", STRING, pattern_type="STRUCTURED"),
+    field("resp", STRING, pattern_type="STRUCTURED"),
+)
+
+# mongodb_table.h
+MONGODB_EVENTS = _proto_schema(
+    field("req_cmd", STRING, pattern_type="GENERAL_ENUM"),
+    field("req_body", STRING, pattern_type="STRUCTURED"),
+    field("resp_status", STRING, pattern_type="GENERAL_ENUM"),
+    field("resp_body", STRING, pattern_type="STRUCTURED"),
+)
+
+# nats_table.h (no latency column — fire-and-forget messaging)
+NATS_EVENTS = _proto_schema(
+    field("cmd", STRING, pattern_type="GENERAL_ENUM"),
+    field("body", STRING, pattern_type="STRUCTURED"),
+    field("resp", STRING, pattern_type="STRUCTURED"),
+    latency=False,
+)
+
+# mux_table.h
+MUX_EVENTS = _proto_schema(
+    field("req_type", INT64, pattern_type="GENERAL_ENUM"),
+)
+
+# amqp_table.h
+AMQP_EVENTS = _proto_schema(
+    field("frame_type", INT64, pattern_type="GENERAL_ENUM"),
+    field("channel", INT64),
+    field("req_class_id", INT64, pattern_type="GENERAL_ENUM"),
+    field("req_method_id", INT64, pattern_type="GENERAL_ENUM"),
+    field("resp_class_id", INT64, pattern_type="GENERAL_ENUM"),
+    field("resp_method_id", INT64, pattern_type="GENERAL_ENUM"),
+    field("req_msg", STRING, pattern_type="STRUCTURED"),
+    field("resp_msg", STRING, pattern_type="STRUCTURED"),
+)
+
+# jvm_stats_table.h (jvm_stats connector, not socket tracer)
+JVM_STATS = _schema(
+    field("time_", TIME64NS, nullable=False),
+    field("upid", UINT128, "ST_UPID", nullable=False),
+    field("young_gc_time", INT64, "ST_DURATION_NS", pattern_type="METRIC_COUNTER"),
+    field("full_gc_time", INT64, "ST_DURATION_NS", pattern_type="METRIC_COUNTER"),
+    field("used_heap_size", INT64, "ST_BYTES", pattern_type="METRIC_GAUGE"),
+    field("total_heap_size", INT64, "ST_BYTES", pattern_type="METRIC_GAUGE"),
+    field("max_heap_size", INT64, "ST_BYTES", pattern_type="METRIC_GAUGE"),
+)
+
+
 # k8s metadata dimension tables — these replace the reference's ~100
 # metadata_ops UDFs with broadcast joins (SURVEY.md §2.4).
 
@@ -182,6 +289,16 @@ SOURCE_SCHEMAS: dict[str, T.StructType] = {
     "process_stats": PROCESS_STATS,
     "network_stats": NETWORK_STATS,
     "dns_events": DNS_EVENTS,
+    "mysql_events": MYSQL_EVENTS,
+    "pgsql_events": PGSQL_EVENTS,
+    "redis_events": REDIS_EVENTS,
+    "cql_events": CQL_EVENTS,
+    "kafka_events.beta": KAFKA_EVENTS,
+    "mongodb_events": MONGODB_EVENTS,
+    "nats_events.beta": NATS_EVENTS,
+    "mux_events": MUX_EVENTS,
+    "amqp_events": AMQP_EVENTS,
+    "jvm_stats": JVM_STATS,
     "stack_traces.beta": STACK_TRACES,
     "k8s_pods": K8S_PODS,
     "k8s_containers": K8S_CONTAINERS,

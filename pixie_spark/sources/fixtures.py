@@ -197,6 +197,17 @@ def observability_context(spark: SparkSession, n_pods: int = 10):
         "network_stats": network_stats_fixture(spark, n_pods=n_pods),
         "dns_events": dns_events_fixture(spark, n_pods=n_pods),
         "stack_traces.beta": stack_traces_fixture(spark, n_pods=n_pods),
+        "jvm_stats": jvm_stats_fixture(spark, n_pods=n_pods),
+        **{
+            name: protocol_events_fixture(spark, proto, n_pods=n_pods)
+            for name, proto in [
+                ("mysql_events", "mysql"), ("pgsql_events", "pgsql"),
+                ("redis_events", "redis"), ("cql_events", "cql"),
+                ("kafka_events.beta", "kafka"), ("mongodb_events", "mongodb"),
+                ("nats_events.beta", "nats"), ("mux_events", "mux"),
+                ("amqp_events", "amqp"),
+            ]
+        },
     }
     resolver = MetadataResolver(
         pods, services, containers=k8s_containers_fixture(spark, n_pods=n_pods)
@@ -241,6 +252,144 @@ def dns_events_fixture(
             )
         )
     return spark.createDataFrame(rows, DNS_EVENTS)
+
+
+# --- protocol trace fixtures (socket_tracer/*_table.h shapes) ----------------
+# One generator per protocol family, sharing the canonical connection
+# prefix: (time_, upid, remote_addr, remote_port, local_addr, local_port,
+# trace_role, encrypted). Roughly 70% of events are traced server-side
+# (trace_role=2) with the client pod's IP in remote_addr; the rest are
+# client-side traces of out-of-cluster servers (203.0.113.x), matching
+# the tracing model the *_data.pxl scripts document.
+
+_SQL_POOL = [
+    "SELECT * FROM orders WHERE customer_id = ?",
+    "SELECT id, total FROM orders WHERE o_orderdate > ?",
+    "INSERT INTO events (ts, kind) VALUES (?, ?)",
+    "UPDATE inventory SET qty = qty - 1 WHERE part_id = ?",
+    "SELECT COUNT(*) FROM lineitem",
+]
+
+
+def _proto_prefix(rng, i: int, n_pods: int, port: int):
+    """Canonical prefix values for event i: (time_, upid, remote_addr,
+    remote_port, local_addr, local_port, trace_role, encrypted)."""
+    pod = int(rng.randint(0, n_pods))
+    upid = _upid(pod % 3 + 1, 1000 + pod, BASE_NS - (pod % 48 + 1) * HOUR_NS)
+    server_side = rng.rand() < 0.7
+    if server_side:
+        caller = int(rng.randint(0, n_pods))
+        remote = f"10.0.0.{caller + 1}"
+    else:
+        remote = f"203.0.113.{int(rng.randint(1, 250))}"
+    return (
+        BASE_NS + i * 9_000_000_000,
+        upid,
+        remote,
+        int(rng.randint(30000, 60000)) if server_side else port,
+        f"10.0.0.{pod + 1}",
+        port if server_side else int(rng.randint(30000, 60000)),
+        2 if server_side else 1,
+        False,
+    )
+
+
+def _lat(rng) -> int:
+    return int(np.exp(rng.normal(np.log(8e5), 1.1)))
+
+
+def protocol_events_fixture(spark: SparkSession, protocol: str, n: int = 300, n_pods: int = 10) -> DataFrame:
+    """Protocol trace tables for the *_data/*_stats/*_flow_graph corpus
+    scripts. Payload columns follow the stirling table definitions
+    (socket_tracer/{mysql,pgsql,redis,cass,kafka,mongodb,nats,mux,amqp}_table.h)."""
+    from pixie_spark import schemas as S
+
+    seed = 50 + sum(ord(c) for c in protocol) % 37
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        pre = _proto_prefix(rng, i, n_pods, port={
+            "mysql": 3306, "pgsql": 5432, "redis": 6379, "cql": 9042,
+            "kafka": 9092, "mongodb": 27017, "nats": 4222, "mux": 1984,
+            "amqp": 5672,
+        }[protocol])
+        sql = _SQL_POOL[int(rng.randint(0, len(_SQL_POOL)))]
+        if protocol == "mysql":
+            # req_cmd 3 = COM_QUERY (protocols/mysql Command::kQuery)
+            rows.append((*pre, 3, sql, 0, f"Resultset rows = {int(rng.randint(0, 100))}", _lat(rng)))
+        elif protocol == "pgsql":
+            rows.append((*pre, "Query", sql, f"SELECT {int(rng.randint(0, 100))}", _lat(rng)))
+        elif protocol == "redis":
+            cmd = ["GET", "SET", "HGET", "INCR", "EXPIRE"][int(rng.randint(0, 5))]
+            rows.append((*pre, cmd, json.dumps([f"key:{int(rng.randint(0, 50))}"]), "OK", _lat(rng)))
+        elif protocol == "cql":
+            # req_op 7 = QUERY, resp_op 8 = RESULT (cass opcodes)
+            rows.append((*pre, 7, sql, 8, "Response type = ROWS", _lat(rng)))
+        elif protocol == "kafka":
+            # req_cmd 0 = Produce, 1 = Fetch (kafka APIKey)
+            cmd = int(rng.randint(0, 2))
+            topic = ["orders", "events", "logs"][int(rng.randint(0, 3))]
+            body = {
+                "topics": [{
+                    "name": topic,
+                    "partitions": [{"index": int(rng.randint(0, 3)),
+                                    "message_set": {"size": int(rng.randint(100, 10_000))}}],
+                }]
+            }
+            rows.append((*pre, cmd, f"client-{int(rng.randint(0, n_pods))}",
+                         json.dumps(body), json.dumps({"error_code": 0}), _lat(rng)))
+        elif protocol == "mongodb":
+            cmd = ["find", "insert", "update"][int(rng.randint(0, 3))]
+            rows.append((*pre, cmd, json.dumps({"collection": "users"}),
+                         "ok", json.dumps({"n": int(rng.randint(0, 10))}), _lat(rng)))
+        elif protocol == "nats":
+            cmd = ["PUB", "SUB", "MSG"][int(rng.randint(0, 3))]
+            rows.append((*pre, cmd,
+                         json.dumps({"subject": "orders.created", "payload_size": int(rng.randint(10, 500))}),
+                         "+OK"))
+        elif protocol == "mux":
+            # req_type 2 = Tdispatch (mux frame types)
+            rows.append((*pre, 2, _lat(rng)))
+        elif protocol == "amqp":
+            # frame_type 1 = METHOD; class 60 = Basic; method 40 publish / 60 deliver
+            method = 40 if rng.rand() < 0.5 else 60
+            rows.append((*pre, 1, 1, 60, method, 0, 0,
+                         json.dumps({"exchange": "amq.topic", "routing_key": "orders"}),
+                         "", _lat(rng)))
+        else:
+            raise ValueError(f"unknown protocol {protocol!r}")
+    schema = {
+        "mysql": S.MYSQL_EVENTS, "pgsql": S.PGSQL_EVENTS, "redis": S.REDIS_EVENTS,
+        "cql": S.CQL_EVENTS, "kafka": S.KAFKA_EVENTS, "mongodb": S.MONGODB_EVENTS,
+        "nats": S.NATS_EVENTS, "mux": S.MUX_EVENTS, "amqp": S.AMQP_EVENTS,
+    }[protocol]
+    return spark.createDataFrame(rows, schema)
+
+
+def jvm_stats_fixture(
+    spark: SparkSession, n_pods: int = 10, samples_per_pod: int = 30, seed: int = 48
+) -> DataFrame:
+    """jvm_stats table (jvm_stats_table.h): GC-time counters and heap
+    gauges sampled per java process."""
+    from pixie_spark.schemas import JVM_STATS
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n_pods):
+        upid = _upid(i % 3 + 1, 1000 + i, BASE_NS - ((i % 48) + 1) * HOUR_NS)
+        young, full = 0, 0
+        max_heap = 512 * 1024 * 1024
+        for s in range(samples_per_pod):
+            young += int(rng.randint(0, 5_000_000))
+            full += int(rng.randint(0, 500_000))
+            used = int(rng.randint(64, 400)) * 1024 * 1024
+            rows.append(
+                (
+                    BASE_NS + s * 10_000_000_000, upid, young, full,
+                    used, max(used + 64 * 1024 * 1024, 256 * 1024 * 1024), max_heap,
+                )
+            )
+    return spark.createDataFrame(rows, JVM_STATS)
 
 
 def conn_stats_fixture(

@@ -320,6 +320,147 @@ def test_namespaces_pxl(spark, ctx):
     assert out["process_stats_by_namespace"].count() > 0
 
 
+# --- protocol tracer scripts (mysql/pgsql/redis/cql/kafka/...) ---------------
+
+_DATA_ARGS = {"start_time": "-1h", "source_filter": "", "destination_filter": "",
+              "num_head": 100}
+
+
+def test_mysql_data_pxl(spark, ctx):
+    out = _run("mysql_data/mysql_data.pxl", calls=[("mysql_data", _DATA_ARGS)])
+    df = out["mysql_data"]
+    assert df.count() > 0
+    assert {"source", "destination", "req_cmd", "req_body", "resp_status",
+            "latency"} <= set(df.columns)
+
+
+def test_pgsql_data_pxl(spark, ctx):
+    out = _run("pgsql_data/pgsql_data.pxl", calls=[("pgsql_data", _DATA_ARGS)])
+    assert out["pgsql_data"].count() > 0
+
+
+def test_redis_data_pxl(spark, ctx):
+    out = _run("redis_data/redis_data.pxl", calls=[("redis_data", _DATA_ARGS)])
+    df = out["redis_data"]
+    assert df.count() > 0
+    assert {"req_cmd", "req_args", "resp"} <= set(df.columns)
+
+
+def test_cql_data_pxl(spark, ctx):
+    out = _run("cql_data/data.pxl", calls=[("cql_data", _DATA_ARGS)])
+    assert out["cql_data"].count() > 0
+
+
+def test_dns_data_pxl(spark, ctx):
+    out = _run("dns_data/data.pxl", calls=[("dns_data", _DATA_ARGS)])
+    df = out["dns_data"]
+    assert df.count() > 0
+    assert {"req_header", "resp_body", "latency"} <= set(df.columns)
+
+
+def test_kafka_data_pxl(spark, ctx):
+    out = _run("kafka_data/kafka_data.pxl", calls=[("kafka_data", _DATA_ARGS)])
+    assert out["kafka_data"].count() > 0
+
+
+def test_mongodb_data_pxl(spark, ctx):
+    out = _run("mongodb_data/mongodb_data.pxl", calls=[("mongodb_data", _DATA_ARGS)])
+    assert out["mongodb_data"].count() > 0
+
+
+def test_nats_data_pxl(spark, ctx):
+    out = _run("nats_data/nats_data.pxl", calls=[("nats_data", _DATA_ARGS)])
+    assert out["nats_data"].count() > 0
+
+
+def test_mux_data_pxl(spark, ctx):
+    out = _run("mux_data/data.pxl",
+               calls=[("mux_data", {"start_time": "-1h", "num_head": 100})])
+    assert out["mux_data"].count() > 0
+
+
+def test_amqp_data_pxl(spark, ctx):
+    args = {"start_time": "-1h", "source_filter": "", "destination_filter": ""}
+    out = _run(
+        "amqp_data/amqp_data.pxl",
+        calls=[("amqp_data", args), ("amqp_msg_stats", args),
+               ("amqp_flow_graph", {**args, "ns": "prod"})],
+    )
+    assert out["amqp_data"].count() > 0
+    assert out["amqp_msg_stats"].count() > 0
+
+
+def test_jvm_data_pxl(spark, ctx):
+    # top-level script with a '-1m' window; pin now inside the sample span
+    px.set_now(BASE_NS + 200 * 1_000_000_000)
+    try:
+        out = _run("jvm_data/stats.pxl")
+    finally:
+        px.set_now(BASE_NS + HOUR_NS)
+    df = out["output"]
+    assert df.count() > 0
+    assert {"pid", "used_heap_size", "cmdline"} <= set(df.columns)
+
+
+def test_mysql_stats_pxl(spark, ctx):
+    pod_args = {"start_time": "-1h", "pod": "prod/"}
+    out = _run(
+        "mysql_stats/mysql_stats.pxl",
+        calls=[("pod_mysql_let", pod_args), ("summary_mysql_let", pod_args),
+               ("latency_histogram", pod_args)],
+    )
+    assert out["pod_mysql_let"].count() > 0
+    assert out["latency_histogram"].count() > 0
+
+
+def test_redis_stats_pxl(spark, ctx):
+    pod_args = {"start_time": "-1h", "pod": "prod/"}
+    out = _run(
+        "redis_stats/redis_stats.pxl",
+        calls=[("pod_redis_let", pod_args), ("latency_histogram", pod_args)],
+    )
+    assert out["pod_redis_let"].count() > 0
+
+
+def test_pgsql_stats_pxl(spark, ctx):
+    pod_args = {"start_time": "-1h", "pod": "prod/"}
+    out = _run(
+        "pgsql_stats/pgsql_stats.pxl",
+        calls=[("pod_pgsql_let", pod_args), ("latency_histogram", pod_args)],
+    )
+    assert out["pod_pgsql_let"].count() > 0
+
+
+def test_mysql_flow_graph_pxl(spark, ctx):
+    out = _run(
+        "mysql_flow_graph/mysql_flow_graph.pxl",
+        calls=[("mysql_flow_graph",
+                {"start_time": "-1h", "ns": "prod", "source_filter": "",
+                 "destination_filter": ""})],
+    )
+    assert out["mysql_flow_graph"].count() > 0
+
+
+def test_redis_flow_graph_pxl(spark, ctx):
+    out = _run(
+        "redis_flow_graph/redis_flow_graph.pxl",
+        calls=[("redis_flow_graph",
+                {"start_time": "-1h", "ns": "prod", "source_filter": "",
+                 "destination_filter": ""})],
+    )
+    assert out["redis_flow_graph"].count() > 0
+
+
+def test_dns_query_summary_pxl(spark, ctx):
+    out = _run(
+        "dns_query_summary/dns_query_summary.pxl",
+        calls=[("dns_queries",
+                {"start_time": "-1h", "namespace": "", "pod_filter": "",
+                 "query_filter": "", "dns_server_filter": ""})],
+    )
+    assert out["dns_queries"].count() > 0
+
+
 def test_pxviews_library_functions(spark, ctx):
     """Drive the pxviews library itself — every corpus dashboard builds
     on these views, so they must all produce rows on the fixtures."""
