@@ -36,6 +36,7 @@ from pixie_spark.api.dataframe import (
 )
 from pixie_spark.api.timemod import (
     days,
+    format_duration,
     hours,
     millis,
     minutes,
@@ -189,9 +190,16 @@ def run_script(
 
 
 def get_agent_status() -> SparkDataFrame:
-    """px.GetAgentStatus() UDTF equivalent (ref: registrations
-    src/vizier/funcs/md_udtfs/md_udtfs.cc): one row per executor with
-    liveness info, generated driver-side from the scheduler's view."""
+    """px.GetAgentStatus() UDTF equivalent (md_udtfs_impl.h:288-303:
+    agent_id, asid, hostname, ip_address, agent_state, create_time,
+    last_heartbeat_ns, kernel_headers_installed): one row per executor
+    with liveness info, generated driver-side from the scheduler's view.
+    Keeps the engine-native executor/memory/cores columns alongside."""
+    import os
+    import platform
+    import socket
+    import time
+
     spark = _ctx["spark"]
     if spark is None:
         raise RuntimeError("px.set_context(spark, ...) first")
@@ -207,8 +215,28 @@ def get_agent_status() -> SparkDataFrame:
             rows.append((str(addr), int(mem._1()), int(mem._2())))
     except Exception:  # noqa: BLE001 — fall back to driver-only view
         rows = [("driver", 0, 0)]
+    headers = os.path.isdir(f"/lib/modules/{platform.release()}/build")
+    hostname = socket.gethostname()
+    try:
+        ip = socket.gethostbyname(hostname)
+    except OSError:
+        ip = "127.0.0.1"
+    start_ns = int(sc.startTime) * 1_000_000  # scheduler start, ms → ns
+    now_ns = time.time_ns()
+    out_rows = [
+        (
+            (0, asid), asid, hostname, ip, "AGENT_STATE_HEALTHY",
+            start_ns, now_ns, headers,
+            executor, maxb, freeb,
+        )
+        for asid, (executor, maxb, freeb) in enumerate(rows)
+    ]
     return spark.createDataFrame(
-        rows, "executor: string, max_memory_bytes: long, free_memory_bytes: long"
+        out_rows,
+        "agent_id: struct<high: long, low: long>, asid: long, hostname: string, "
+        "ip_address: string, agent_state: string, create_time: long, "
+        "last_heartbeat_ns: long, kernel_headers_installed: boolean, "
+        "executor: string, max_memory_bytes: long, free_memory_bytes: long",
     ).withColumn("total_cores", F.lit(sc.defaultParallelism))
 
 
@@ -364,6 +392,11 @@ def select(cond, if_true, if_false):
     px.select(cond, px.pod_id_to_pod_name(...), px.nslookup(...)))."""
     from pixie_spark.functions.conditionals import select as _sel
 
+    if isinstance(cond, bool):
+        # compile-time-constant condition (corpus idiom:
+        # px.select(pct_basis_entity == 'node', ...) on a script arg) —
+        # fold at build time, as the reference planner's constant folding
+        return if_true if cond else if_false
     if any(is_meta_sentinel(x) for x in (cond, if_true, if_false)):
         return DeferredCol(
             lambda c, t, f: _sel(_col_or_lit(c), _col_or_lit(t), _col_or_lit(f)),
@@ -596,9 +629,15 @@ def GetUDTFList() -> PxDataFrame:  # noqa: N802
     )
 
 
-def GetAgentStatus() -> PxDataFrame:  # noqa: N802
-    """PxL-name alias for get_agent_status (md_udtfs_impl.h:290-303)."""
-    return PxDataFrame(get_agent_status())
+def GetAgentStatus(include_kelvin: bool = True) -> PxDataFrame:  # noqa: N802
+    """PxL-name alias for get_agent_status (md_udtfs_impl.h:290-303).
+    ``include_kelvin`` mirrors the reference's init arg; the driver is
+    the Kelvin analogue, so False drops the driver row when executors
+    exist separately (a no-op in local mode, where it is the only row)."""
+    sdf = get_agent_status()
+    if not include_kelvin and sdf.count() > 1:
+        sdf = sdf.where(~F.col("executor").contains("driver"))
+    return PxDataFrame(sdf)
 
 
 def _executors() -> list[tuple[int, str]]:

@@ -205,8 +205,13 @@ class PxDataFrame:
 
     # --- operators ----------------------------------------------------------
 
-    def drop(self, cols: list[str] | str) -> "PxDataFrame":
-        """dataframe.h:157 (DropIR → Map in the reference)."""
+    def drop(self, cols: list[str] | str | None = None, columns: list[str] | str | None = None) -> "PxDataFrame":
+        """dataframe.h:157 (DropIR → Map in the reference). Accepts the
+        pandas-style ``columns=`` kwarg some corpus scripts use
+        (http_post_requests/data.pxl:43)."""
+        cols = columns if cols is None else cols
+        if cols is None:
+            raise TypeError("drop() needs a column list")
         cols = [cols] if isinstance(cols, str) else cols
         return self._wrap(self._sdf.drop(*cols))
 

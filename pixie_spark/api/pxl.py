@@ -13,10 +13,10 @@ running under CPython:
    (src/carnot/planner/compiler/ast_visitor.cc ProcessBoolOp).
 
 2. A handful of shipped scripts have a missing comma between keyword
-   arguments (e.g. service.pxl:101, an upstream bug their own frontend
-   must tolerate or the scripts are stale). ``fixup_missing_commas``
-   repairs exactly that pattern — a line ending in ``)`` followed by a
-   line starting with ``name=`` — and nothing else.
+   arguments (e.g. service.pxl:101, differential.pxl:30 — upstream bugs
+   their own frontend must tolerate or the scripts are stale).
+   ``fixup_missing_commas`` repairs exactly that pattern, guided by the
+   SyntaxError position, and nothing else.
 """
 
 from __future__ import annotations
@@ -24,29 +24,42 @@ from __future__ import annotations
 import ast
 import re
 
-_MISSING_COMMA = re.compile(r"(\)[ \t]*)\n(\s*[A-Za-z_][A-Za-z_0-9]*=)")
+
+_KWARG_LINE = re.compile(r"^\s*[A-Za-z_][A-Za-z_0-9]*=")
 
 
 def fixup_missing_commas(src: str) -> str:
-    """Repair the known upstream missing-comma-between-kwargs bug.
+    """Repair the known upstream missing-comma-between-kwargs bug
+    (service.pxl:101, differential.pxl:30 — scripts their own frontend
+    tolerates or that shipped stale).
 
-    Only applied when the source fails to compile, and only until it
-    compiles — a syntactically valid script is returned untouched."""
+    Only applied when the source fails to compile: CPython's SyntaxError
+    pinpoints the offending line; if the NEXT line looks like a keyword
+    argument (``name=...``), append a comma there and retry. Repaired
+    until it compiles or the error stops moving — a syntactically valid
+    script is returned untouched."""
     try:
         compile(src, "<pxl>", "exec")
         return src
     except SyntaxError:
         pass
     for _ in range(10):
-        fixed = _MISSING_COMMA.sub(r"\1,\n\2", src)
-        if fixed == src:
-            break
-        src = fixed
         try:
             compile(src, "<pxl>", "exec")
             return src
-        except SyntaxError:
-            continue
+        except SyntaxError as e:
+            lines = src.split("\n")
+            i = (e.lineno or 1) - 1
+            if (
+                0 <= i < len(lines) - 1
+                and lines[i].rstrip()
+                and not lines[i].rstrip().endswith((",", "(", "[", "{"))
+                and _KWARG_LINE.match(lines[i + 1])
+            ):
+                lines[i] = lines[i].rstrip() + ","
+                src = "\n".join(lines)
+                continue
+            return src
     return src
 
 

@@ -68,6 +68,26 @@ def days(n: float) -> int:
     return int(n * DAY)
 
 
+def format_duration(duration: int) -> str:
+    """px.format_duration (compile-time, pixie_module.cc:380-406): ns int
+    → largest whole unit string ('-7200000000000' → '-2h'). Scripts round-
+    trip it back through parse_duration for derived time ranges."""
+    negative = duration < 0
+    v = -duration if negative else duration
+    ms, s, m, h, d = 10**6, 10**9, 60 * 10**9, 3600 * 10**9, 86400 * 10**9
+    if v >= d:
+        out = f"{v // d}d"
+    elif v >= h:
+        out = f"{v // h}h"
+    elif v >= m:
+        out = f"{v // m}m"
+    elif v >= s:
+        out = f"{v // s}s"
+    else:
+        out = f"{v // ms}ms"
+    return f"-{out}" if negative else out
+
+
 def parse_duration(s: str) -> int:
     """'-5m' / '2s' / '1h' → signed ns (px.parse_duration)."""
     m = _DUR_RE.match(s.strip())

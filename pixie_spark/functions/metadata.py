@@ -220,7 +220,15 @@ class MetadataResolver:
             )
         if "upid" in df.columns:
             resolved = self.resolve_upid(df, [attr], time_col=time_col)
-            return resolved.withColumnRenamed(attr, out_name) if attr != out_name else resolved
+            if attr != out_name:
+                resolved = resolved.withColumnRenamed(attr, out_name)
+            # '' on miss for string attrs (reference metadata UDF parity —
+            # corpus scripts filter ctx misses with `df.pod != ''`)
+            if resolved.schema[out_name].dataType.typeName() == "string":
+                resolved = resolved.withColumn(
+                    out_name, F.coalesce(F.col(out_name), F.lit(""))
+                )
+            return resolved
         if "pod_id" in df.columns:
             return self.resolve_pod_id(df, attr, out_name)
         raise KeyError(
@@ -254,8 +262,12 @@ class MetadataResolver:
         reference's per-row hash lookup against the k8s metadata snapshot
         becomes a planner-visible broadcast hash join with identical
         asymptotics. fallback_to_key=True coalesces misses to the key
-        itself (px.nslookup semantics)."""
+        itself (px.nslookup semantics). String-valued lookups coalesce
+        misses to '' — every reference metadata UDF returns an empty
+        string, never null, for an unresolvable key (metadata_ops.h:112,
+        135, 156...), and corpus scripts test `== ''` accordingly."""
         cur = key
+        value_type = None
         for i, (dim_name, key_attr, value_attr) in enumerate(hops):
             dim = self._dim(dim_name)
             mk, mv = f"__lk{i}_k", f"__lk{i}_v"
@@ -266,7 +278,13 @@ class MetadataResolver:
             )
             df = df.join(d, cur.eqNullSafe(F.col(mk)), "left").drop(mk)
             cur = F.col(mv)
-        out = F.coalesce(cur, key) if fallback_to_key else cur
+            value_type = dim.schema[value_attr].dataType.typeName()
+        if fallback_to_key:
+            out = F.coalesce(cur, key)
+        elif value_type == "string":
+            out = F.coalesce(cur, F.lit(""))
+        else:
+            out = cur
         df = df.withColumn(out_name, out)
         return df.drop(*[f"__lk{i}_v" for i in range(len(hops))])
 

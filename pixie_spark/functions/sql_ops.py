@@ -37,9 +37,52 @@ def _normalize(col: Column, dollar_quotes: bool) -> Column:
     return c
 
 
-def normalize_mysql(col) -> Column:
-    return _normalize(_c(col), dollar_quotes=False)
+def _params_pattern(dollar_quotes: bool) -> str:
+    pats = ([_DOLLAR_LIT] if dollar_quotes else []) + [_STRING_LIT, _NUMBER_LIT]
+    return "|".join(f"(?:{p})" for p in pats)
 
 
-def normalize_pgsql(col) -> Column:
-    return _normalize(_c(col), dollar_quotes=True)
+def _normalize_json(c: Column, cmd_code, dollar_quotes: bool, query_codes: tuple) -> Column:
+    """Reference 2-arg form (sql_ops.cc NormalizeMySQLUDF /
+    NormalizePostgresSQLUDF): returns the NormalizeResult JSON
+    ``{"query": ..., "params": [...], "error": ""}``. Params are the
+    literal texts in occurrence order — the same literals the
+    placeholder rewrite removes. Unsupported cmd codes produce an error
+    JSON, as the reference does; the prepared-statement EXECUTE parse
+    path is folded into the query path (fixtures trace plain queries)."""
+    code = cmd_code if isinstance(cmd_code, Column) else F.lit(cmd_code)
+    params = F.regexp_extract_all(c, F.lit(_params_pattern(dollar_quotes)), 0)
+    ok = F.to_json(
+        F.struct(
+            _normalize(c, dollar_quotes).alias("query"),
+            params.alias("params"),
+            F.lit("").alias("error"),
+        )
+    )
+    err = F.to_json(
+        F.struct(
+            F.lit("").alias("query"),
+            F.array().cast("array<string>").alias("params"),
+            F.concat(F.lit("unsupported cmd_code "), code.cast("string")).alias("error"),
+        )
+    )
+    return F.when(code.isin(*query_codes), ok).otherwise(err)
+
+
+def normalize_mysql(col, cmd_code=None) -> Column:
+    """1-arg: the normalized query string (engine-native extension).
+    2-arg (reference signature, sql_ops.h:80): NormalizeResult JSON;
+    codes 3 = COM_QUERY, 23 = COM_STMT_EXECUTE."""
+    c = _c(col)
+    if cmd_code is None:
+        return _normalize(c, dollar_quotes=False)
+    return _normalize_json(c, cmd_code, dollar_quotes=False, query_codes=(3, 23))
+
+
+def normalize_pgsql(col, cmd_code=None) -> Column:
+    """1-arg: the normalized query string. 2-arg (reference signature,
+    sql_ops.h:51): NormalizeResult JSON; codes 'Query' / 'Execute'."""
+    c = _c(col)
+    if cmd_code is None:
+        return _normalize(c, dollar_quotes=True)
+    return _normalize_json(c, cmd_code, dollar_quotes=True, query_codes=("Query", "Execute"))

@@ -56,11 +56,15 @@ def bytes_to_hex(s) -> Column:
     return F.hex(_c(s).cast("binary"))
 
 
-def replace(s, search: str, replacement: str) -> Column:
-    """Literal (non-regex) substring replacement."""
-    return F.replace(
+def replace(pattern, s, replacement) -> Column:
+    """px.replace (regex_ops.cc:99-112): replaces all matches of the
+    REGEX pattern (first arg) in the string column (second arg) with the
+    replacement (third arg) — note the reference's (pattern, col, repl)
+    argument order, and that the dialect is Java regex here vs RE2
+    there (both cover the corpus's literal/char-class patterns)."""
+    return F.regexp_replace(
         _c(s),
-        F.lit(search) if isinstance(search, str) else search,
+        F.lit(pattern) if isinstance(pattern, str) else pattern,
         F.lit(replacement) if isinstance(replacement, str) else replacement,
     )
 

@@ -411,6 +411,9 @@ def conn_stats_fixture(
         # cluster to exercise the nslookup fallback-to-IP path.
         peer = (i + 1) % n_pods
         client_remote = "203.0.113.9" if i == 1 else f"10.0.0.{peer + 1}"
+        # one pod receives traffic FROM outside the cluster (inbound_conns
+        # looks for server-side series whose remote is not a known pod)
+        server_remote = "203.0.113.77" if i == 2 else f"10.0.0.{i+1}"
         sent, recv, opened = 0, 0, 0
         csent, crecv, copened = 0, 0, 0
         for s in range(samples_per_pod):
@@ -422,7 +425,7 @@ def conn_stats_fixture(
             opened += int(rng.randint(0, 3))
             rows.append(
                 (
-                    t, upid, f"10.0.0.{i+1}", 8080, 2, 2, 1, bool(i % 2),
+                    t, upid, server_remote, 8080, 2, 2, 1, bool(i % 2),
                     opened, max(opened - 1, 0), 1, sent, recv,
                 )
             )

@@ -273,9 +273,12 @@ def test_registry_size():
     assert len(REGISTRY) >= 60
 
 
-def test_replace_literal(spark):
+def test_replace_regex(spark):
+    """Reference arg order (regex_ops.cc:107): px.replace(pattern, col, repl)."""
     df = spark.createDataFrame([Row(s="a.b.c")])
-    assert df.select(lookup("replace")("s", ".", "-").alias("r")).first()["r"] == "a-b-c"
+    assert df.select(lookup("replace")(r"\.", "s", "-").alias("r")).first()["r"] == "a-b-c"
+    # first arg is a REGEX: '.' matches every character
+    assert df.select(lookup("replace")(".", "s", "x").alias("r")).first()["r"] == "xxxxx"
 
 
 def test_uri_parse_recompose(spark):

@@ -461,6 +461,193 @@ def test_dns_query_summary_pxl(spark, ctx):
     assert out["dns_queries"].count() > 0
 
 
+def test_cql_stats_pxl(spark, ctx):
+    pod_args = {"start_time": "-1h", "pod": "prod/"}
+    out = _run(
+        "cql_stats/cql_stats.pxl",
+        calls=[("pod_cql_let", pod_args), ("latency_histogram", pod_args),
+               ("cmd_timeseries", pod_args)],
+    )
+    assert out["pod_cql_let"].count() > 0
+
+
+def test_cql_flow_graph_pxl(spark, ctx):
+    out = _run(
+        "cql_flow_graph/cql_flow_graph.pxl",
+        calls=[("cql_flow_graph",
+                {"start_time": "-1h", "ns": "prod", "source_filter": "",
+                 "destination_filter": ""})],
+    )
+    assert out["cql_flow_graph"].count() > 0
+
+
+def test_pgsql_flow_graph_pxl(spark, ctx):
+    out = _run(
+        "pgsql_flow_graph/pgsql_flow_graph.pxl",
+        calls=[("pgsql_flow_graph",
+                {"start_time": "-1h", "ns": "prod", "source_filter": "",
+                 "destination_filter": ""})],
+    )
+    assert out["pgsql_flow_graph"].count() > 0
+
+
+def test_http_data_filtered_pxl(spark, ctx):
+    out = _run(
+        "http_data_filtered/data.pxl",
+        calls=[("http_data", {"start_time": "-1h", "svc": "", "pod": "",
+                              "req_path": "", "status_code": 200})],
+    )
+    assert out["http_data"].count() > 0
+
+
+def test_http_post_requests_pxl(spark, ctx):
+    out = _run("http_post_requests/data.pxl")
+    df = out["output"]
+    assert df.count() > 0
+
+
+def test_largest_http_request_pxl(spark, ctx):
+    out = _run("largest_http_request/data.pxl")
+    assert out["requests_of_max_size"].count() >= 1
+
+
+def test_http_trace_id_pxl(spark, ctx):
+    out = _run(
+        "http_trace_id/script.pxl",
+        calls=[("http_trace_data",
+                {"start_time": "-1h", "trace_header_name": "X-Request-Id",
+                 "trace_id_filter": ""})],
+    )
+    assert "req_path" in out["http_trace_data"].columns
+
+
+def test_inbound_outbound_conns_pxl(spark, ctx):
+    out = _run("inbound_conns/data.pxl",
+               calls=[("inbound_conns", {"start_time": "-1h", "ip_filter": ""})])
+    assert out["inbound_conns"].count() > 0
+    out = _run("outbound_conns/data.pxl",
+               calls=[("outbound_conns", {"start_time": "-1h", "ip_filter": ""})])
+    assert out["outbound_conns"].count() > 0
+
+
+def test_ip_pxl(spark, ctx):
+    args = {"start_time": "-1h", "ip": "10.0.0.2"}
+    out = _run(
+        "ip/ip.pxl",
+        calls=[("ip_info", args), ("pod_traffic_to_ip", args),
+               ("net_flow_graph", args), ("traffic_involving_ip", args)],
+    )
+    assert out["ip_info"].count() > 0
+
+
+def test_pid_memory_usage_pxl(spark, ctx):
+    # '-30s' window; pin now inside the process_stats sample span
+    px.set_now(BASE_NS + 390 * 1_000_000_000)
+    try:
+        out = _run("pid_memory_usage/usage.pxl")
+    finally:
+        px.set_now(BASE_NS + HOUR_NS)
+    assert out["output"].count() > 0
+
+
+def test_pod_memory_usage_pxl(spark, ctx):
+    px.set_now(BASE_NS + 390 * 1_000_000_000)
+    try:
+        out = _run("pod_memory_usage/pod.pxl")
+    finally:
+        px.set_now(BASE_NS + HOUR_NS)
+    assert out["output"].count() > 0
+
+
+def test_pod_lifetime_resource_pxl(spark, ctx):
+    px.set_now(BASE_NS + 390 * 1_000_000_000)
+    try:
+        out = _run("pod_lifetime_resource/resource.pxl")
+    finally:
+        px.set_now(BASE_NS + HOUR_NS)
+    assert out["output"].count() > 0
+
+
+def test_agent_status_diagnostics_pxl(spark, ctx):
+    out = _run("agent_status_diagnostics/agent_status.pxl")
+    assert out["output"].count() >= 1
+
+
+def test_jvm_stats_pxl(spark, ctx):
+    out = _run(
+        "jvm_stats/jvm_stats.pxl",
+        calls=[("jvm_stats", {"start_time": "-1h", "node_name": "", "pod": ""})],
+    )
+    assert out["jvm_stats"].count() > 0
+
+
+def test_perf_flamegraph_pxl(spark, ctx):
+    out = _run(
+        "perf_flamegraph/flamegraph.pxl",
+        calls=[("stacktraces",
+                {"start_time": "-1h", "node": "", "namespace": "", "pod": "",
+                 "pct_basis_entity": "node"})],
+    )
+    assert out["stacktraces"].count() > 0
+
+
+def test_differential_flamegraph_pxl(spark, ctx):
+    out = _run(
+        "differential_flamegraph/differential.pxl",
+        calls=[("differential_flamegraph",
+                {"start_time": "-1h", "namespace": "prod",
+                 "pod": "prod/frontend-0000", "baseline_pod": "prod/api-0001"})],
+    )
+    assert "stack_traces" in set(out) or out
+
+
+def test_service_stats_pxl(spark, ctx):
+    args = {"start_time": "-1h", "svc": "prod/frontend"}
+    out = _run(
+        "service_stats/service_stats.pxl",
+        calls=[("svc_let", args), ("http_code_histogram", args),
+               ("latency_histogram", args)],
+    )
+    assert out["svc_let"].count() > 0
+
+
+def test_service_edge_stats_pxl(spark, ctx):
+    out = _run(
+        "service_edge_stats/service_edge_stats.pxl",
+        calls=[("svc_edge_let",
+                {"start_time": "-1h", "requesting_svc": "prod/frontend",
+                 "responding_svc": "prod/api"})],
+    )
+    assert "latency_p50" in set(out["svc_edge_let"].columns) or out
+
+
+def test_service_resource_usage_pxl(spark, ctx):
+    out = _run(
+        "service_resource_usage/usage.pxl",
+        calls=[("services_for_cluster", {"start_time": "-1h"})],
+    )
+    assert out["services_for_cluster"].count() > 0
+
+
+def test_sql_queries_pxl(spark, ctx):
+    out = _run(
+        "sql_queries/normed_sql_queries.pxl",
+        calls=[("pod_sql_let", {"start_time": "-1h", "pod": "prod/"}),
+               ("summary_sql_let", {"start_time": "-1h", "pod": "prod/"})],
+    )
+    assert out["pod_sql_let"].count() > 0
+
+
+def test_sql_query_pxl(spark, ctx):
+    out = _run(
+        "sql_query/normed_sql_query.pxl",
+        calls=[("pod_sql_let",
+                {"start_time": "-1h", "pod": "prod/",
+                 "normed_query": "SELECT COUNT(*) FROM lineitem"})],
+    )
+    assert out["pod_sql_let"].count() > 0
+
+
 def test_pxviews_library_functions(spark, ctx):
     """Drive the pxviews library itself — every corpus dashboard builds
     on these views, so they must all produce rows on the fixtures."""
