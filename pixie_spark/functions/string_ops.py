@@ -69,8 +69,14 @@ def replace(pattern, s, replacement) -> Column:
     )
 
 
-def atoi(s) -> Column:
-    return _c(s).cast("long")
+def atoi(s, default=None) -> Column:
+    """string → int64; the reference's 2-arg form substitutes ``default``
+    for unparseable input (string_ops.cc AtoiUDF). try_cast keeps
+    malformed input null under ANSI mode instead of failing the job."""
+    out = _c(s).try_cast("long")
+    if default is not None:
+        out = F.coalesce(out, F.lit(default))
+    return out
 
 
 def itoa(x) -> Column:

@@ -217,6 +217,26 @@ AMQP_EVENTS = _proto_schema(
     field("resp_msg", STRING, pattern_type="STRUCTURED"),
 )
 
+# stirling_error_table.h / probe_status_table.h (collector self-reporting)
+STIRLING_ERROR = _schema(
+    field("time_", TIME64NS, nullable=False),
+    field("upid", UINT128, "ST_UPID", nullable=False),
+    field("source_connector", STRING),
+    field("status", INT64, pattern_type="GENERAL_ENUM"),
+    field("error", STRING),
+    field("context", STRING, pattern_type="STRUCTURED"),
+)
+
+PROBE_STATUS = _schema(
+    field("time_", TIME64NS, nullable=False),
+    field("upid", UINT128, "ST_UPID", nullable=False),
+    field("source_connector", STRING),
+    field("tracepoint", STRING),
+    field("status", INT64, pattern_type="GENERAL_ENUM"),
+    field("error", STRING),
+    field("info", STRING, pattern_type="STRUCTURED"),
+)
+
 # jvm_stats_table.h (jvm_stats connector, not socket tracer)
 JVM_STATS = _schema(
     field("time_", TIME64NS, nullable=False),
@@ -299,6 +319,8 @@ SOURCE_SCHEMAS: dict[str, T.StructType] = {
     "mux_events": MUX_EVENTS,
     "amqp_events": AMQP_EVENTS,
     "jvm_stats": JVM_STATS,
+    "stirling_error": STIRLING_ERROR,
+    "probe_status": PROBE_STATUS,
     "stack_traces.beta": STACK_TRACES,
     "k8s_pods": K8S_PODS,
     "k8s_containers": K8S_CONTAINERS,

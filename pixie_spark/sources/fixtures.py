@@ -198,6 +198,7 @@ def observability_context(spark: SparkSession, n_pods: int = 10):
         "dns_events": dns_events_fixture(spark, n_pods=n_pods),
         "stack_traces.beta": stack_traces_fixture(spark, n_pods=n_pods),
         "jvm_stats": jvm_stats_fixture(spark, n_pods=n_pods),
+        **dict(zip(["stirling_error", "probe_status"], stirling_error_fixtures(spark, n_pods=n_pods))),
         **{
             name: protocol_events_fixture(spark, proto, n_pods=n_pods)
             for name, proto in [
@@ -326,18 +327,37 @@ def protocol_events_fixture(spark: SparkSession, protocol: str, n: int = 300, n_
             # req_op 7 = QUERY, resp_op 8 = RESULT (cass opcodes)
             rows.append((*pre, 7, sql, 8, "Response type = ROWS", _lat(rng)))
         elif protocol == "kafka":
-            # req_cmd 0 = Produce, 1 = Fetch (kafka APIKey)
-            cmd = int(rng.randint(0, 2))
+            # req_cmd 0 = Produce, 1 = Fetch, 11 = JoinGroup, 14 = SyncGroup
+            # (kafka APIKey). Produce carries message sets in req_body;
+            # Fetch carries them in resp (kafka_overview unnests each
+            # side); Join/SyncGroup pairs share (group_id, generation_id,
+            # member_id) so the rebalancing delay join finds partners.
+            client = f"client-{int(rng.randint(0, n_pods))}"
+            r = rng.rand()
             topic = ["orders", "events", "logs"][int(rng.randint(0, 3))]
-            body = {
+            topics_body = {
                 "topics": [{
                     "name": topic,
                     "partitions": [{"index": int(rng.randint(0, 3)),
                                     "message_set": {"size": int(rng.randint(100, 10_000))}}],
                 }]
             }
-            rows.append((*pre, cmd, f"client-{int(rng.randint(0, n_pods))}",
-                         json.dumps(body), json.dumps({"error_code": 0}), _lat(rng)))
+            if r < 0.45:  # produce
+                rows.append((*pre, 0, client, json.dumps(topics_body),
+                             json.dumps({"error_code": 0}), _lat(rng)))
+            elif r < 0.9:  # fetch
+                rows.append((*pre, 1, client, json.dumps({"topics": [{"name": topic}]}),
+                             json.dumps(topics_body), _lat(rng)))
+            else:  # join + sync pair (rebalance)
+                gen = int(rng.randint(1, 5))
+                member = f"m-{int(rng.randint(0, 4))}"
+                group = {"group_id": "cg-1", "generation_id": gen, "member_id": member}
+                rows.append((*pre, 11, client, json.dumps({"group_id": "cg-1"}),
+                             json.dumps({"generation_id": gen, "member_id": member}),
+                             _lat(rng)))
+                t2 = (pre[0] + 50_000_000, *pre[1:])
+                rows.append((*t2, 14, client, json.dumps(group),
+                             json.dumps({"error_code": 0}), _lat(rng)))
         elif protocol == "mongodb":
             cmd = ["find", "insert", "update"][int(rng.randint(0, 3))]
             rows.append((*pre, cmd, json.dumps({"collection": "users"}),
@@ -364,6 +384,42 @@ def protocol_events_fixture(spark: SparkSession, protocol: str, n: int = 300, n_
         "nats": S.NATS_EVENTS, "mux": S.MUX_EVENTS, "amqp": S.AMQP_EVENTS,
     }[protocol]
     return spark.createDataFrame(rows, schema)
+
+
+def stirling_error_fixtures(spark: SparkSession, n_pods: int = 10, seed: int = 49):
+    """(stirling_error, probe_status): collector self-reporting tables
+    (stirling_error_table.h / probe_status_table.h). Status enum follows
+    statuspb: 0 = OK, 2 = UNKNOWN, 13 = INTERNAL."""
+    from pixie_spark.schemas import PROBE_STATUS, STIRLING_ERROR
+
+    rng = np.random.RandomState(seed)
+    connectors = ["socket_tracer", "perf_profiler", "jvm_stats", "process_stats"]
+    err_rows, probe_rows = [], []
+    for i in range(60):
+        pod = int(rng.randint(0, n_pods))
+        upid = _upid(pod % 3 + 1, 1000 + pod, BASE_NS - (pod % 48 + 1) * HOUR_NS)
+        t = BASE_NS + i * 30_000_000_000
+        conn = connectors[int(rng.randint(0, len(connectors)))]
+        failed = rng.rand() < 0.2
+        err_rows.append(
+            (
+                t, upid, conn, 13 if failed else 0,
+                "probe attach failed: permission denied" if failed else "",
+                json.dumps({"attempt": int(rng.randint(1, 4))}),
+            )
+        )
+        probe_rows.append(
+            (
+                t, upid, conn, f"{conn}__probe_{int(rng.randint(0, 5))}",
+                2 if failed else 0,
+                "kprobe target symbol missing" if failed else "",
+                json.dumps({"kernel": "6.1"}),
+            )
+        )
+    return (
+        spark.createDataFrame(err_rows, STIRLING_ERROR),
+        spark.createDataFrame(probe_rows, PROBE_STATUS),
+    )
 
 
 def jvm_stats_fixture(

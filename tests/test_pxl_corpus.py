@@ -648,6 +648,78 @@ def test_sql_query_pxl(spark, ctx):
     assert out["pod_sql_let"].count() > 0
 
 
+def test_kafka_overview_pxl(spark, ctx):
+    args = {"start_time": "-1h", "ns": "", "topic": ""}
+    out = _run(
+        "kafka_overview/kafka_overview.pxl",
+        calls=[("kafka_flow_graph", args), ("kafka_topics_overview", args),
+               ("kafka_brokers", args), ("kafka_producers", args),
+               ("kafka_consumers", args)],
+    )
+    assert out["kafka_flow_graph"].count() > 0
+    assert out["kafka_topics_overview"].count() > 0
+
+
+def test_kafka_consumer_rebalancing_pxl(spark, ctx):
+    out = _run(
+        "kafka_consumer_rebalancing/kafka_consumer_rebalancing.pxl",
+        calls=[
+            ("kafka_join_sync_group_events", {"start_time": "-1h", "consumer_group_id": ""}),
+            ("kafka_group_ids", {"start_time": "-1h"}),
+            ("kafka_join_sync_delay", {"start_time": "-1h", "consumer_group_id": ""}),
+        ],
+    )
+    assert out["kafka_group_ids"].count() > 0
+    delay = out["kafka_join_sync_delay"]
+    assert delay.count() > 0
+    assert delay.where(F.col("delay") < 0).count() == 0
+
+
+def test_kafka_producer_consumer_latency_pxl(spark, ctx):
+    out = _run(
+        "kafka_producer_consumer_latency/kafka_producer_consumer_latency.pxl",
+        calls=[("kafka_topics", {"start_time": "-1h", "namespace": "prod"})],
+    )
+    assert out["kafka_topics"].count() > 0
+
+
+def test_stirling_errors_pxl(spark, ctx):
+    out = _run(
+        "stirling_errors/stirling_errors.pxl",
+        calls=[
+            ("stirling_error", {"start_time": "-1h", "source_connector_filter": "",
+                                "num_head": 100}),
+            ("probe_status", {"start_time": "-1h", "tracepoint_filter": "",
+                              "num_head": 100}),
+        ],
+    )
+    assert out["stirling_error"].count() > 0
+    assert out["probe_status"].count() > 0
+    assert {"node", "source_connector", "status", "error"} <= set(
+        out["stirling_error"].columns
+    )
+
+
+def test_pixie_quality_metrics_pxl(spark, ctx):
+    px.set_now(BASE_NS + 390 * 1_000_000_000)  # '-300s' windows
+    try:
+        out = _run("pixie_quality_metrics/pixie_quality_metrics.pxl")
+    finally:
+        px.set_now(BASE_NS + HOUR_NS)
+    assert out and any(df.count() > 0 for df in out.values())
+
+
+def test_collect_agent_heaps_pxl(spark, ctx):
+    out = _run(
+        "collect_agent_heaps/collect_agent_heaps.pxl",
+        calls=[("collect_pprofs", {"asid": 0})],
+    )
+    df = out["collect_pprofs"]
+    rows = df.collect()
+    assert rows and set(df.columns) == {"asid", "hostname", "heap"}
+    assert all(r["heap"] for r in rows)
+
+
 def test_pxviews_library_functions(spark, ctx):
     """Drive the pxviews library itself — every corpus dashboard builds
     on these views, so they must all produce rows on the fixtures."""
