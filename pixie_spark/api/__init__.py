@@ -600,7 +600,7 @@ def _func_rows(predicate) -> list[tuple[str, str, str]]:
     return rows
 
 
-_UDA_NAMES = {"mean", "sum", "max", "min", "count", "quantiles", "quantiles_json", "any"}
+_UDA_NAMES = {"mean", "sum", "max", "min", "count", "quantiles", "quantiles_json", "any", "pprof"}
 
 
 def GetUDFList() -> PxDataFrame:  # noqa: N802

@@ -312,6 +312,24 @@ class PxGroupedFrame:
         from pixie_spark.functions.collections import any as _any_fn
 
         dtypes = dict(self._parent._sdf.dtypes)
+        # px.pprof is a PLAN-REWRITE aggregate, not a column expression:
+        # the reference's serialized-state UDA (pprof_ops.h:35-130)
+        # becomes a native histogram reduce + per-group encode
+        # (operators/pprof.py). Peel those specs off before the column
+        # loop; they join back on the group keys below.
+        pprof_specs: dict[str, tuple] = {}
+        for out_name, spec in list(aggs.items()):
+            if (
+                isinstance(spec, tuple)
+                and spec
+                and getattr(spec[-1], "_is_pprof_agg", False)
+            ):
+                if len(spec) != 4:
+                    raise TypeError(
+                        "px.pprof takes (stack_trace, count, period_ms, px.pprof)"
+                    )
+                pprof_specs[out_name] = spec[:-1]
+                del aggs[out_name]
         cols = []
         for out_name, spec in aggs.items():
             if isinstance(spec, tuple):
@@ -334,6 +352,26 @@ class PxGroupedFrame:
         if rolling and rolling[0] not in by:
             by = [rolling[0]] + by
         sdf = self._parent._sdf
+        if pprof_specs:
+            from pixie_spark.operators.pprof import pprof_profile
+
+            out = None
+            for out_name, (stack_c, count_c, period_c) in pprof_specs.items():
+                pp = pprof_profile(
+                    sdf, stack_c, count_c, period_c, group_cols=by
+                ).withColumnRenamed("pprof", out_name)
+                if out is None:
+                    out = pp
+                elif by:
+                    out = out.join(pp, by, "full")
+                else:
+                    out = out.crossJoin(pp)
+            if cols:
+                rest = sdf.groupBy(*by).agg(*cols) if by else sdf.agg(*cols)
+                out = out.join(rest, by, "full") if by else out.crossJoin(rest)
+            result = self._parent._wrap(out)
+            object.__setattr__(result, "_rolling_ns", None)
+            return result
         if not cols:
             # PxL's groupby(keys).agg() with NO aggregates = the distinct
             # key combinations (corpus idiom for "list the pods/nodes");

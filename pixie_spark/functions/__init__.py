@@ -100,6 +100,41 @@ _register_upid = {
 REGISTRY.update(_register_upid)
 
 
+def _asid():
+    """px.asid() (ASIDUDF, src/carnot/funcs/metadata/metadata_ops.h): the
+    short id of the agent EXECUTING the fragment — execution-context
+    state, not data. The engine's agent enumeration maps agents to
+    executors (api._executors()); in local mode that is the single
+    driver entry, asid 0, which is what every row scanned by this engine
+    gets. Per-agent UDTFs (GetProfilerSamplingPeriodMS et al.) emit a row
+    for asid 0 first, so merges on asid behave as in the reference."""
+    from pyspark.sql import functions as F
+
+    return F.lit(0).cast("long")
+
+
+REGISTRY["asid"] = _asid
+
+
+class _PProfAggMarker:
+    """px.pprof (pprof_ops.h:35, registered as 'pprof'): a 3-arg UDA that
+    the facade rewrites into a plan (histogram reduce + wire-format
+    encode, operators/pprof.py) rather than a column expression — its
+    serialized t-state has no scalar analogue."""
+
+    _is_pprof_agg = True
+    __name__ = "pprof"
+
+    def __call__(self, *_):
+        raise TypeError(
+            "px.pprof is an aggregate: df.agg(p=('stack_trace', 'count', "
+            "'profiler_sampling_period_ms', px.pprof))"
+        )
+
+
+REGISTRY["pprof"] = _PProfAggMarker()
+
+
 def lookup(name: str) -> Callable:
     """Resolve a PxL function name ('px.mean' or 'mean')."""
     key = name.removeprefix("px.")

@@ -1546,3 +1546,57 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = doc.where(F.col("doc_id") < 5)
     corpus = doc.where(F.col("doc_id") >= 5)
     return dd.contamination_check(corpus, probes, "doc_id", "text", "doc_id", "text", n=5)
+
+
+@query(
+    "pprof_profile",
+    """
+    SELECT CAST(10 AS BIGINT) AS period_ms,
+           CAST(count(*) AS BIGINT) AS n_stacks,
+           CAST(sum(n) AS BIGINT) AS total_samples
+    FROM (
+        SELECT concat('root;', event_type, ';u', CAST(user_id % 5 AS VARCHAR)) AS stack,
+               count(*) AS n
+        FROM events
+        GROUP BY 1
+    )
+    """,
+    doc="px.pprof UDA (ref: src/carnot/funcs/builtins/pprof_ops.h:35-130, "
+    "src/shared/pprof/pprof.cc:31-146): folded stacks -> pprof "
+    "profile.proto wire bytes. The Spark result ENCODES the histogram to "
+    "proto and DECODES it back (operators/pprof.py) — the oracle computes "
+    "the same stats directly in SQL, so a hash match proves the wire "
+    "round-trip preserves the histogram. Distinct-stack reduction is a "
+    "native partial+final hash agg; only the reduced histogram reaches "
+    "Python.",
+)
+def q_pprof_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.operators.pprof import decode_pprof, pprof_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    stacks = ev.select(
+        F.concat_ws(
+            ";", F.lit("root"), "event_type", F.concat(F.lit("u"), F.col("user_id") % 5)
+        ).alias("stack_trace"),
+        F.lit(1).alias("count"),
+        F.lit(10).alias("profiler_sampling_period_ms"),
+    )
+    prof = pprof_profile(stacks)
+
+    def _stats(it):
+        import pandas as pd
+
+        for pdf in it:
+            for blob in pdf["pprof"]:
+                period_ms, histo = decode_pprof(bytes(blob))
+                yield pd.DataFrame(
+                    {
+                        "period_ms": [period_ms],
+                        "n_stacks": [len(histo)],
+                        "total_samples": [sum(histo.values())],
+                    }
+                )
+
+    return prof.mapInPandas(
+        _stats, "period_ms long, n_stacks long, total_samples long"
+    )
