@@ -126,26 +126,135 @@ def sample_per_group(df: DataFrame, group_cols: list[str], n: int, seed: int = 4
     return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= n).drop("_rn")
 
 
-# --- stubbed model kernels (libraries unavailable in this environment) -------
+# --- model kernels: real ONNX/sentencepiece path when the libs exist, -------
+# --- deterministic stub otherwise (libraries unavailable in this container) --
 
 _EMBED_DIM = 32
 
 
-def text_embedding(col: Column) -> Column:
-    """STUB of _text_embedding (ONNX transformer in the reference).
+def have_onnxruntime() -> bool:
+    try:
+        import onnxruntime  # noqa: F401
 
-    Deterministic fake: 32 floats derived from xxhash64(text, i)/2^63 —
-    stable across runs/engines, exercises the same array<float> plumbing
-    (storage, similarity search, kmeans) as a real encoder. Swap the body
-    for a pandas_udf ONNX call in production.
+        return True
+    except ImportError:
+        return False
+
+
+def have_sentencepiece() -> bool:
+    try:
+        import sentencepiece  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+# per-worker model cache: an executor python process loads each model ONCE
+# and reuses it across Arrow batches — reloading per batch would dominate
+# inference time. Keyed by path so several models can coexist.
+_MODEL_CACHE: dict = {}
+
+
+def _load_sp(tokenizer_path: str):
+    import sentencepiece as spm
+
+    key = ("sp", tokenizer_path)
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = spm.SentencePieceProcessor(model_file=tokenizer_path)
+    return _MODEL_CACHE[key]
+
+
+def _load_onnx(model_path: str):
+    import onnxruntime as ort
+
+    key = ("onnx", model_path)
+    if key not in _MODEL_CACHE:
+        # executors run many task threads; keep ORT single-threaded per
+        # session so Spark's parallelism, not ORT's, owns the cores
+        opts = ort.SessionOptions()
+        opts.intra_op_num_threads = 1
+        opts.inter_op_num_threads = 1
+        _MODEL_CACHE[key] = ort.InferenceSession(
+            model_path, opts, providers=["CPUExecutionProvider"]
+        )
+    return _MODEL_CACHE[key]
+
+
+def _onnx_embed_udf(model_path: str, tokenizer_path: str, max_len: int = 128):
+    """pandas_udf running a transformer encoder via onnxruntime with mean
+    pooling — the real _text_embedding (ml_ops.cc uses an embedded ONNX
+    sentence encoder). Arrow-batched: one session.run per pandas batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<float>")
+    def embed(texts):
+        import pandas as pd
+
+        sp = _load_sp(tokenizer_path)
+        sess = _load_onnx(model_path)
+        ids = [sp.encode(t or "")[:max_len] for t in texts]
+        width = max(1, max((len(i) for i in ids), default=1))
+        input_ids = np.zeros((len(ids), width), dtype=np.int64)
+        mask = np.zeros((len(ids), width), dtype=np.int64)
+        for r, seq in enumerate(ids):
+            input_ids[r, : len(seq)] = seq
+            mask[r, : len(seq)] = 1
+        feeds = {"input_ids": input_ids, "attention_mask": mask}
+        feeds = {k: v for k, v in feeds.items() if k in {i.name for i in sess.get_inputs()}}
+        (hidden,) = sess.run(None, feeds)[:1]  # (batch, seq, dim)
+        if hidden.ndim == 3:  # mean-pool over real tokens
+            denom = np.maximum(mask.sum(axis=1, keepdims=True), 1)
+            hidden = (hidden * mask[:, :, None]).sum(axis=1) / denom
+        return pd.Series([row.astype(np.float32).tolist() for row in hidden])
+
+    return embed
+
+
+def text_embedding(col: Column, model_path: str | None = None, tokenizer_path: str | None = None) -> Column:
+    """_text_embedding (ml_ops.cc:32-39 — ONNX transformer encoder).
+
+    With ``model_path`` + ``tokenizer_path`` and onnxruntime/sentencepiece
+    installed, runs REAL inference via an Arrow-batched pandas_udf with a
+    per-worker session cache. Without a model path (this container has no
+    inference libs), a deterministic fake: 32 floats from
+    xxhash64(text, i)/2^63 — stable across runs/engines, exercising the
+    same array<float> plumbing (storage, ANN, kmeans) as a real encoder.
     """
+    if model_path is not None:
+        if not (have_onnxruntime() and have_sentencepiece()):
+            raise ImportError(
+                "text_embedding(model_path=...) needs onnxruntime + "
+                "sentencepiece; call without model_path for the "
+                "deterministic stub"
+            )
+        return _onnx_embed_udf(model_path, tokenizer_path or model_path)(col)
     return F.array(
         *[(F.xxhash64(col, F.lit(i)) / F.lit(float(2**63))).cast("float") for i in range(_EMBED_DIM)]
     )
 
 
-def encode_sentence_piece(col: Column) -> Column:
-    """STUB of _encode_sentence_piece: deterministic fake token ids from
-    word hashes (real tokenizer lib unavailable here)."""
+def encode_sentence_piece(col: Column, model_path: str | None = None) -> Column:
+    """_encode_sentence_piece (ml_ops.cc): text → token ids.
+
+    With ``model_path`` + the sentencepiece lib, real tokenization via an
+    Arrow-batched pandas_udf (per-worker processor cache). Otherwise a
+    deterministic fake: word-hash ids mod 32000."""
+    if model_path is not None:
+        if not have_sentencepiece():
+            raise ImportError(
+                "encode_sentence_piece(model_path=...) needs sentencepiece; "
+                "call without model_path for the deterministic stub"
+            )
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<int>")
+        def encode(texts):
+            import pandas as pd
+
+            sp = _load_sp(model_path)
+            return pd.Series([sp.encode(t or "") for t in texts])
+
+        return encode(col)
     words = F.filter(F.split(col, r"\s+"), lambda w: w != "")
     return F.transform(words, lambda w: F.pmod(F.xxhash64(w), F.lit(32000)).cast("int"))

@@ -1,12 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The decode kernels themselves are STUBBED (image/audio libraries are not
-available in this environment): ``decode_image`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake decoder (seeded by content hash) produces stable
-"features" so the Spark-side plumbing — schema, batch iteration,
-partitioning, column pruning — is fully real and testable.
+``decode_image`` runs a REAL Pillow decode→resize→featurize whenever
+Pillow is installed (lib-gated; ImportError otherwise — never a silent
+fake). With ``fake=True`` a deterministic fake decoder (seeded by
+content hash) produces stable "features" so the Spark-side plumbing —
+schema, batch iteration, partitioning, column pruning — is fully real
+and testable in containers without image libraries.
 
 At 100 TB: binary payloads stay out of shuffles (process in the map
 stage, carry only extracted features + metadata forward); batch size is
@@ -66,13 +66,34 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     return raw / 65535.0
 
 
-def decode_image(payload: bytes) -> np.ndarray:
-    """Real image decode — NOT AVAILABLE in this environment.
+def have_pillow() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
 
-    Production wiring: PIL/torchvision decode inside the same mapInPandas
-    kernel below; only this function changes.
+        return True
+    except ImportError:
+        return False
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Real image decode+featurize: PIL decode → resize to 16×16 gray →
+    flattened [0,1] floats (same FEATURE_DIM-float contract as the fake,
+    so downstream ANN/kmeans plumbing is identical). Runs whenever Pillow
+    is installed; raises ImportError otherwise — the caller chose
+    fake=False, so a silent fake would be a correctness lie.
     """
-    raise NotImplementedError("image codecs not available in this environment; use fake=True")
+    if not have_pillow():
+        raise ImportError(
+            "image decode needs Pillow; call extract_features(fake=True) "
+            "for the deterministic stub"
+        )
+    import io
+
+    import PIL.Image
+
+    side = int(FEATURE_DIM**0.5)
+    img = PIL.Image.open(io.BytesIO(payload)).convert("L").resize((side, side))
+    return np.asarray(img, dtype=np.float32).reshape(-1)[:FEATURE_DIM] / 255.0
 
 
 def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
