@@ -106,16 +106,42 @@ def lang_id(text: Column) -> Column:
     return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
 
 
+_FP_BLOCK = 32
+# 31^k mod M for k = 0.._FP_BLOCK — literal lookup table so block powers
+# stay exact integers (float pow loses precision above 2^53)
+_FP_POWS = [1]
+for _ in range(_FP_BLOCK):
+    _FP_POWS.append((_FP_POWS[-1] * 31) % FINGERPRINT_MOD)
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic polynomial rolling hash of the full string:
     fold(acc*31 + codepoint) mod 1e9+7. Pure integer arithmetic → identical
-    in any engine; used for cheap exact-dup detection and sharding."""
-    chars = F.split(text, "")
-    return F.aggregate(
-        chars,
-        F.lit(0).cast("long"),
-        lambda acc, ch: (acc * 31 + F.ascii(ch)) % FINGERPRINT_MOD,
-    )
+    in any engine; used for cheap exact-dup detection and sharding.
+
+    Evaluated BLOCK-WISE: the string splits into 32-char blocks and the
+    fold steps once per block — acc' = (acc * 31^len(b) + poly(b)) mod M,
+    with poly(b) unrolled as 32 native char terms. Same value as the
+    per-char fold (associativity of the Horner form), but the interpreted
+    HOF lambda runs len/32 times instead of len times — the per-char form
+    was the one interpreted-expression hot spot in the text_stats bench.
+    Overflow-safe: acc < M ≈ 1e9, 31^32 mod M < M, so acc * pow < 1e18 <
+    int64 max; poly(b) ≤ 32 · 255 · M ≪ int64 max.
+    """
+    blocks = F.regexp_extract_all(text, F.lit(f"(?s).{{1,{_FP_BLOCK}}}"), 0)
+    # long literals: ascii (int32) times a ~1e9 power overflows int32
+    pows = F.array(*[F.lit(p).cast("long") for p in _FP_POWS])
+
+    def _step(acc: Column, b: Column) -> Column:
+        n = F.length(b)
+        # Σ ascii(b[i]) * 31^(len-1-i); chars past the block end contribute 0
+        poly = F.lit(0).cast("long")
+        for i in range(_FP_BLOCK):
+            term = F.ascii(F.substring(b, i + 1, 1)) * F.element_at(pows, n - i)
+            poly = poly + F.when(F.lit(i) < n, term).otherwise(0)
+        return (acc * F.element_at(pows, n + 1) + poly) % FINGERPRINT_MOD
+
+    return F.aggregate(blocks, F.lit(0).cast("long"), _step)
 
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

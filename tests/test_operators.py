@@ -224,3 +224,18 @@ def test_proportional_sample_ratios(spark, docs):
     assert counts.get("src0", 0) == full["src0"]  # fraction 1.0 keeps all
     assert 0 < counts.get("src1", 0) < full["src1"]
     assert set(counts) <= {"src0", "src1"}
+
+
+def test_fingerprint_blockwise_equals_per_char(spark):
+    """The 32-char block-wise Horner fold must equal the per-char fold
+    exactly (same polynomial, fewer interpreted steps) — including at
+    block boundaries, across newlines, and on non-ASCII codepoints."""
+    cases = ["", "a", "x" * 31, "y" * 32, "z" * 33, "w" * 97,
+             "line1\nline2\ttab", "né ☃ mixed", "long " * 300]
+    df = spark.createDataFrame([(c,) for c in cases], ["t"])
+    got = [r[0] for r in df.select(tx.fingerprint(F.col("t"))).collect()]
+    for c, g in zip(cases, got):
+        expected = 0
+        for ch in c:
+            expected = (expected * 31 + ord(ch)) % 1_000_000_007
+        assert g == expected, repr(c[:20])
