@@ -322,3 +322,157 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "score", "rank")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a kmeans coarse quantizer
+    splits the corpus into ``n_lists`` inverted lists; each query scores
+    only the ``nprobe`` lists whose centroids are nearest.
+
+    The faiss IVF-Flat structure re-expressed as a Spark plan:
+    - train: Lloyd's in numpy over a bounded deterministic corpus sample
+      (_train_quantizer — the faiss convention; O(1) in corpus size);
+    - index: one narrow (id, list_id) projection. At scale this is the
+      write-time layout — corpus parquet partitioned BY list_id, built
+      once, so a query's probe set maps to partition pruning and reads
+      nprobe/n_lists of the data;
+    - search: queries broadcast (query batches are small), equijoin on
+      list_id — never a cross join — then exact cosine within the probed
+      lists and a per-query window top-k.
+
+    List assignment / probe selection run as an Arrow-batched pandas_udf
+    doing ONE numpy matmul per batch against the (n_lists × dim) centroid
+    matrix — BLAS beats any per-centroid SQL chain, and unlike codegen
+    expressions (compile time and code size grow linearly in n_lists;
+    measured 25s of pure compile at n_lists=8·dim=64) it scales to the
+    faiss-style n_lists ≈ √N regime. Candidate SCORING stays a native
+    left-assoc SQL chain — fixed dim, pair-granular, codegen-friendly.
+    Expected recall follows the IVF curve: P(true neighbor in probed
+    lists) ≈ nprobe/n_lists for isotropic data, much higher for
+    clustered data — the recall test pins it empirically.
+    """
+    if centroids is None:
+        centroids = _train_quantizer(corpus, vec_col, n_lists, dim, seed)
+    n_lists = len(centroids)
+    if not centroids:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, vec_id long, score double, rank int"
+        )
+    cmat = np.array(centroids)  # (n_lists, dim) — serialized into the UDFs
+    cnorm2 = (cmat**2).sum(axis=1)  # |c|² per list
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def assign_list(vecs):
+        import pandas as pd
+
+        x = np.array([np.asarray(v, dtype=np.float64)[:dim] for v in vecs])
+        if not len(x):
+            return pd.Series([], dtype="int32")
+        # argmin ||x-c||² = argmin(|c|² - 2x·c): |x|² is constant per row
+        d = cnorm2[None, :] - 2.0 * (x @ cmat.T)
+        return pd.Series(d.argmin(axis=1)).astype("int32")
+
+    @pandas_udf("array<int>")
+    def probe_lists(vecs):
+        import pandas as pd
+
+        x = np.array([np.asarray(v, dtype=np.float64)[:dim] for v in vecs])
+        if not len(x):
+            return pd.Series([], dtype="object")
+        d = cnorm2[None, :] - 2.0 * (x @ cmat.T)
+        order = np.argsort(d, axis=1)[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    def el(col: str, i: int) -> str:
+        return f"CAST(element_at({col}, {i + 1}) AS DOUBLE)"
+
+    norm = "sqrt(" + " + ".join(f"({el(vec_col, i)} * {el(vec_col, i)})" for i in range(dim)) + ")"
+
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.expr(norm).alias("c_norm"),
+        assign_list(F.col(vec_col)).alias("list_id"),
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.expr(norm).alias("q_norm"),
+        F.explode(probe_lists(F.col(vec_col))).alias("list_id"),
+    )
+
+    dot = " + ".join(f"({el('q_vec', i)} * {el('c_vec', i)})" for i in range(dim))
+    scored = (
+        c.join(F.broadcast(q), "list_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            F.expr(f"({dot}) / (q_norm * c_norm)").alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
+def _train_quantizer(
+    df: DataFrame,
+    vec_col: str,
+    n_lists: int,
+    dim: int,
+    seed: int = 42,
+    sample_size: int = 8192,
+    max_iter: int = 10,
+) -> list[list[float]]:
+    """Coarse-quantizer training: Lloyd's in numpy over a bounded,
+    deterministic corpus sample. This is the faiss convention — the
+    quantizer trains on ≤~10⁴ sampled vectors in memory (2 MB at
+    dim=64) regardless of corpus size, so training cost is O(1) in the
+    data while assignment/search stay distributed. The sample is chosen
+    by seeded-hash rank: stable across runs, partitionings, and engines.
+
+    (The distributed trainer, functions/ml_ops.kmeans_fit, remains the
+    right tool when the MODEL must see every row — its per-iteration
+    Spark jobs are codegen-compile-bound at small k, ~5s/iter, which is
+    pure overhead for quantizer training.)
+    """
+    rows = (
+        df.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("v").cast("array<float>").cast("string"), F.lit(seed)))
+        .limit(sample_size)
+        .collect()
+    )
+    if not rows:
+        return []
+    x = np.array([list(map(float, r["v"][:dim])) for r in rows])
+    n_lists = min(n_lists, len(x))
+    centroids = x[:n_lists].copy()
+    for _ in range(max_iter):
+        d2 = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        new = centroids.copy()
+        for kk in range(n_lists):
+            members = x[assign == kk]
+            if len(members):
+                new[kk] = members.mean(axis=0)
+        if np.allclose(new, centroids, atol=1e-9):
+            break
+        centroids = new
+    return [list(map(float, c)) for c in centroids]

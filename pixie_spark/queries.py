@@ -818,6 +818,25 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_topk(emb, queries_df, "vec_id", "embedding", k=10, n_planes=4, n_tables=8, dim=64)
 
 
+@query(
+    "ann_ivf_topk",
+    None,  # approximate by construction — rows-only; recall vs brute force in tests.
+    doc="ANN scale path #2: IVF (inverted-file) with a kmeans coarse "
+    "quantizer (operators/similarity.ivf_topk; faiss IVF-Flat structure "
+    "as a Spark plan). Corpus assigned to n_lists inverted lists; a "
+    "query scores only its nprobe nearest lists. At 100 TB the corpus "
+    "parquet is partitioned BY list_id at write time → probing becomes "
+    "partition pruning, reading nprobe/n_lists of the data. Recall + "
+    "probe-pruning invariants in tests/test_operators.py.",
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 8)
+    return sim.ivf_topk(
+        emb, queries_df, "vec_id", "embedding", k=10, n_lists=8, nprobe=3, dim=64
+    )
+
+
 # =============================================================================
 # Time-series operators beyond the reference algebra (SURVEY §2.3 gaps)
 # =============================================================================

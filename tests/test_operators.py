@@ -239,3 +239,33 @@ def test_fingerprint_blockwise_equals_per_char(spark):
         for ch in c:
             expected = (expected * 31 + ord(ch)) % 1_000_000_007
         assert g == expected, repr(c[:20])
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, emb):
+    """IVF-Flat analogue (operators/similarity.ivf_topk): kmeans coarse
+    quantizer + nprobe-list probing. Probing half the lists on clustered
+    synthetic data must recover well above nprobe/n_lists of the exact
+    top-5, and every (query, hit) score it does return is exact cosine —
+    identical to brute force to double precision."""
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = sim.brute_force_topk(emb, queries, k=5)
+    approx = sim.ivf_topk(emb, queries, k=5, n_lists=8, nprobe=4, dim=64)
+    e = {(r["query_id"], r["vec_id"]): r["score"] for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]): r["score"] for r in approx.collect()}
+    assert len(set(e) & set(a)) / len(e) >= 0.5
+    for key in set(e) & set(a):
+        assert a[key] == pytest.approx(e[key], abs=1e-9)
+
+
+def test_ivf_topk_probes_prune_lists(spark, emb):
+    """nprobe=n_lists degenerates to exact search over all lists — the
+    probe-pruning invariant: fewer probes is a subset of more probes."""
+    queries = emb.where(F.col("vec_id") < 5)
+    full = sim.ivf_topk(emb, queries, k=5, n_lists=4, nprobe=4, dim=64)
+    pruned = sim.ivf_topk(emb, queries, k=5, n_lists=4, nprobe=1, dim=64)
+    f = {(r["query_id"], r["vec_id"]) for r in full.collect()}
+    p = {(r["query_id"], r["vec_id"]) for r in pruned.collect()}
+    exact = sim.brute_force_topk(emb, queries, k=5)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    assert f == e  # all lists probed == brute force
+    assert len(p) > 0
