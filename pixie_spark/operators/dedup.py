@@ -207,10 +207,29 @@ def minhash_signatures(
     xxhash64(i, shingle). One explode + one groupBy; signature is
     num_hashes longs (num_hashes*8 bytes/doc)."""
     idx = _shingle_index(df, id_col, text_col, n)
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(num_hashes)
-    ]
-    sig = idx.groupBy("doc").agg(*aggs)
+    # Two string hashes per shingle row, materialized BEFORE the agg;
+    # the num_hashes minwise functions are derived bitwise (h1 ^ rot(h2,
+    # i) — Kirsch-Mitzenmacher-style double hashing, XOR-rotate instead
+    # of +i· to stay overflow-free under ANSI). Hashing the shingle
+    # string num_hashes times was the measured hot spot (64 string
+    # hashes/row ≫ 2 hashes + 64 bitwise mixes); materializing h1/h2 in
+    # a projection matters because Catalyst does no CSE across the 64
+    # aggregate input expressions.
+    hashed = idx.select(
+        "doc",
+        F.xxhash64("shingle").alias("h1"),
+        F.xxhash64("shingle", F.lit(-1)).alias("h2"),
+    )
+
+    def _mix(i: int) -> Column:
+        if i == 0:
+            return F.col("h1").bitwiseXOR(F.col("h2"))
+        rot = F.shiftleft("h2", i).bitwiseOR(F.shiftrightunsigned("h2", 64 - i))
+        return F.col("h1").bitwiseXOR(rot)
+
+    sig = hashed.groupBy("doc").agg(
+        *[F.min(_mix(i)).alias(f"h{i}") for i in range(num_hashes)]
+    )
     return sig.select("doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
 
 
