@@ -106,6 +106,36 @@ def _shingle_arrays_direct(df: DataFrame, id_col: str, text_col: str, n: int) ->
     return rows.groupBy("doc").agg(F.array_distinct(F.collect_list("shingle")).alias("sh"))
 
 
+def _hashed_shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc, sid: long) — one row per shingle POSITION, shingle identified
+    by xxhash64 over its n words directly (no string concat is ever
+    materialized; xxhash64 length-prefixes each input so word-boundary
+    ambiguity can't alias two different n-grams). Everything past this
+    point moves 8-byte longs instead of ~n·word-length strings — the
+    dominant shuffle-volume win for the dedup family at corpus scale.
+    """
+    win = Window.partitionBy("doc").orderBy("pos")
+    w = _word_rows(df, id_col, text_col)
+    leads = [F.col("word").alias("w0")] + [
+        F.lead("word", j).over(win).alias(f"w{j}") for j in range(1, n)
+    ]
+    return (
+        w.select("doc", *leads)
+        .where(F.col(f"w{n - 1}").isNotNull())
+        .select("doc", F.xxhash64(*[f"w{j}" for j in range(n)]).alias("sid"))
+    )
+
+
+def _hashed_shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc, sh: array<long> DISTINCT shingle ids) in ONE shuffle — the
+    8-byte twin of _shingle_arrays_direct (same window→groupBy plan)."""
+    return (
+        _hashed_shingle_rows(df, id_col, text_col, n)
+        .groupBy("doc")
+        .agg(F.array_distinct(F.collect_list("sid")).alias("sh"))
+    )
+
+
 def _pairs_from_posting_lists(postings: DataFrame, docs_col: str = "docs") -> DataFrame:
     """(doc_a, doc_b) distinct pairs co-occurring in any posting list.
 
@@ -137,6 +167,12 @@ def jaccard_pairs(
     shingle frequencies. Exact Jaccard is then computed from the full
     shingle arrays (array_intersect) for candidates only.
 
+    The ENTIRE pipeline — counting, ranking, posting lists, and the
+    final intersect — runs on 8-byte xxhash64 shingle ids; no shingle
+    string is ever materialized or shuffled ("exact" is exact modulo
+    64-bit hash collisions, ~k²/2⁶⁴ per doc — negligible for real
+    documents, and the standard trade in production dedup).
+
     Shuffles: shingle-df count, one prefix self-join on shingle, two
     array lookups — all on keys, never a cross product. Output:
     (doc_a, doc_b, jaccard) with doc_a < doc_b.
@@ -149,11 +185,14 @@ def jaccard_pairs(
     merge_nodes_rule.h:36-44); without it the self-join recomputes the
     whole shingle subtree once per side (measured 10× slowdown).
     """
-    sh = _shingle_arrays_direct(df, id_col, text_col, n).localCheckpoint()
+    sh = _hashed_shingle_arrays(df, id_col, text_col, n).localCheckpoint()
     idx = sh.select("doc", F.explode("sh").alias("shingle"))
     dfreq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfreq"))
 
     # Rarity-first global order per doc; prefix = |X| - ceil(t|X|) + 1.
+    # The order key is (dfreq, sid) — PPJoin is lossless under ANY global
+    # total order, so ordering by 8-byte hashed ids instead of strings
+    # changes nothing except comparison cost.
     ranked = (
         idx.join(dfreq, "shingle")
         .groupBy("doc")
@@ -206,19 +245,19 @@ def minhash_signatures(
     """MinHash signature per doc: sig[i] = min over shingles of
     xxhash64(i, shingle). One explode + one groupBy; signature is
     num_hashes longs (num_hashes*8 bytes/doc)."""
-    idx = _shingle_index(df, id_col, text_col, n)
-    # Two string hashes per shingle row, materialized BEFORE the agg;
-    # the num_hashes minwise functions are derived bitwise (h1 ^ rot(h2,
-    # i) — Kirsch-Mitzenmacher-style double hashing, XOR-rotate instead
-    # of +i· to stay overflow-free under ANSI). Hashing the shingle
-    # string num_hashes times was the measured hot spot (64 string
-    # hashes/row ≫ 2 hashes + 64 bitwise mixes); materializing h1/h2 in
-    # a projection matters because Catalyst does no CSE across the 64
-    # aggregate input expressions.
-    hashed = idx.select(
+    # Two longs per shingle row, materialized BEFORE the agg; the
+    # num_hashes minwise functions are derived bitwise (h1 ^ rot(h2, i)
+    # — Kirsch-Mitzenmacher-style double hashing, XOR-rotate instead of
+    # +i· to stay overflow-free under ANSI). Hashing the shingle
+    # num_hashes times was the measured hot spot (64 string hashes/row ≫
+    # 2 hashes + 64 bitwise mixes); materializing h1/h2 in a projection
+    # matters because Catalyst does no CSE across the 64 aggregate input
+    # expressions. h1 IS the hashed shingle id (already a 64-bit
+    # avalanche of the n words — no shingle string is ever built).
+    hashed = _hashed_shingle_rows(df, id_col, text_col, n).select(
         "doc",
-        F.xxhash64("shingle").alias("h1"),
-        F.xxhash64("shingle", F.lit(-1)).alias("h2"),
+        F.col("sid").alias("h1"),
+        F.xxhash64("sid").alias("h2"),
     )
 
     def _mix(i: int) -> Column:
@@ -308,13 +347,16 @@ def contamination_check(
     any word n-gram from the probe set (e.g. an eval benchmark)?
 
     Plan: shingle both sides (window-lead, codegen) → semi-join-style
-    equijoin on the shingle → per-doc hit counts. The probe side is
-    dimension-sized → broadcast; the corpus never shuffles. Output:
+    equijoin on the 8-byte hashed shingle id — no shingle string is
+    built on either side. The probe side is dimension-sized →
+    broadcast; the corpus never shuffles. Output:
     (doc, n_hits, n_probe_docs) per contaminated document.
     """
-    c_idx = _shingle_index(corpus, id_col, text_col, n)
-    p_idx = _shingle_index(probes, probe_id_col, probe_text_col, n).select(
-        F.col("doc").alias("probe_doc"), "shingle"
+    c_idx = _hashed_shingle_arrays(corpus, id_col, text_col, n).select(
+        "doc", F.explode("sh").alias("shingle")
+    )
+    p_idx = _hashed_shingle_arrays(probes, probe_id_col, probe_text_col, n).select(
+        F.col("doc").alias("probe_doc"), F.explode("sh").alias("shingle")
     )
     hits = c_idx.join(F.broadcast(p_idx), "shingle")
     return hits.groupBy("doc").agg(
