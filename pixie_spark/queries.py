@@ -18,9 +18,10 @@ Conventions that make the driver's order-insensitive value-hash stable:
 DuckDB dialect notes encoded in the oracles: natural log is ``ln`` (DuckDB
 ``log`` is base-10), ``strpos`` ≈ Spark ``instr``, ``string_split_regex``
 ≈ ``split``, ``epoch_us`` ≈ ``unix_micros``, ``json_extract_string`` ≈
-``get_json_object``; events.ts is TIMESTAMP(NANOS) parquet — Spark reads
-it as long ns (TIME64NS convention), DuckDB truncates to µs, so event
-times are always compared at µs via exact integer division.
+``get_json_object``; events.ts is normalized by ``load_table`` to long ns
+(TIME64NS convention) whatever the physical parquet type (nanos or
+timestamp[us]/NTZ); DuckDB sees µs, so event times are always compared
+at µs via exact integer division.
 """
 
 from __future__ import annotations
@@ -82,10 +83,11 @@ def query(name: str, oracle: Optional[str], doc: str = ""):
     "table is partitioned by a time bucket so the range prunes partitions.",
 )
 def q_memory_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")  # ts: long ns
     lo = 1_704_412_800 * 1_000_000_000  # 2024-01-05 UTC
     hi = 1_705_708_800 * 1_000_000_000  # 2024-01-20 UTC
-    return ev.where((F.col("ts") >= lo) & (F.col("ts") < hi)).select(
+    # range applied on the physical column inside load_table → PushedFilters
+    ev = load_table(spark, sf_dir, "events", time_range_ns=(lo, hi))  # ts: long ns
+    return ev.select(
         "event_id",
         F.expr("ts DIV 1000").alias("ts_us"),
         "event_type",

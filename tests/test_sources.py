@@ -1,0 +1,109 @@
+"""Regression tests for the ts-normalization layer in ``load_table``.
+
+Round 2 lesson: the testdata fixtures switched from TIMESTAMP(NANOS) to
+timestamp[us] parquet between rounds and every events consumer crashed at
+analysis time. ``normalize_ts_ns`` must map ANY physical time type
+(nanos-as-long, timestamp[us]/NTZ, instant) onto the engine's TIME64NS
+long-ns convention — these tests fabricate each physical variant so a
+future fixture change can never break silently again.
+"""
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from pixie_spark.sources import load_table, normalize_ts_ns
+
+TS_US = [1_704_067_200_000_000, 1_704_412_800_000_000, 1_705_708_799_999_999]
+EXPECTED_NS = [us * 1000 for us in TS_US]
+
+
+def _write(tmpdir, arrow_type, values):
+    path = str(tmpdir / "events.parquet")
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(values, arrow_type),
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, path)
+    return str(tmpdir)
+
+
+def test_load_table_us_ntz(spark, tmp_path):
+    """timestamp[us] (no tz) → Spark TIMESTAMP_NTZ → exact long ns."""
+    d = _write(tmp_path, pa.timestamp("us"), TS_US)
+    df = load_table(spark, d, "events")
+    assert dict(df.dtypes)["ts"] == "bigint"
+    got = [r.ts for r in df.orderBy("event_id").collect()]
+    assert got == EXPECTED_NS
+
+
+def test_load_table_us_utc(spark, tmp_path):
+    """timestamp[us, UTC] → Spark TIMESTAMP (instant) → exact long ns."""
+    d = _write(tmp_path, pa.timestamp("us", tz="UTC"), TS_US)
+    df = load_table(spark, d, "events")
+    assert dict(df.dtypes)["ts"] == "bigint"
+    got = [r.ts for r in df.orderBy("event_id").collect()]
+    assert got == EXPECTED_NS
+
+
+def test_load_table_nanos(spark, tmp_path):
+    """TIMESTAMP(NANOS) parquet → nanosAsLong read → passthrough ns."""
+    d = _write(tmp_path, pa.timestamp("ns"), [us * 1000 for us in TS_US])
+    df = load_table(spark, d, "events")
+    assert dict(df.dtypes)["ts"] == "bigint"
+    got = [r.ts for r in df.orderBy("event_id").collect()]
+    assert got == EXPECTED_NS
+
+
+def test_normalize_not_cast_truncation(spark, tmp_path):
+    """The µs fraction must survive — cast('long') would truncate to
+    seconds; the third fixture row ends in .999999s."""
+    d = _write(tmp_path, pa.timestamp("us"), TS_US)
+    df = load_table(spark, d, "events")
+    last = df.orderBy("event_id").collect()[-1].ts
+    assert last % 1_000_000_000 == 999_999_000
+
+
+def test_time_range_pushdown_on_physical_column(spark, tmp_path):
+    """time_range_ns applies the predicate on the PHYSICAL timestamp so
+    it reaches the parquet reader (PushedFilters on ts, not on the
+    derived ns column)."""
+    d = _write(tmp_path, pa.timestamp("us"), TS_US)
+    lo, hi = EXPECTED_NS[1], EXPECTED_NS[2]
+    df = load_table(spark, d, "events", time_range_ns=(lo, hi))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "GreaterThanOrEqual(ts" in pushed and "LessThan(ts" in pushed
+    got = [r.ts for r in df.collect()]
+    assert got == [EXPECTED_NS[1]]  # [lo, hi) excludes the upper bound
+
+
+def test_time_range_matches_post_filter(spark, sf_dir):
+    """Pushdown path ≡ filtering the normalized column (real fixtures)."""
+    lo = 1_704_412_800 * 1_000_000_000
+    hi = 1_705_708_800 * 1_000_000_000
+    fast = load_table(spark, sf_dir, "events", time_range_ns=(lo, hi))
+    slow = load_table(spark, sf_dir, "events").where(
+        (F.col("ts") >= lo) & (F.col("ts") < hi)
+    )
+    probe = [
+        "count(1) AS c",
+        "min(ts) AS lo",
+        "max(ts) AS hi",
+        "sum(ts % 1000000000) AS frac",
+    ]
+    assert fast.selectExpr(*probe).collect() == slow.selectExpr(*probe).collect()
+
+
+def test_normalize_noop_without_ts(spark):
+    df = spark.range(3).withColumnRenamed("id", "x")
+    out = normalize_ts_ns(df)
+    assert out.columns == ["x"]
+    assert out.count() == 3
