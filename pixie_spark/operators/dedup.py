@@ -239,6 +239,24 @@ def jaccard_pairs(
     )
 
 
+def _minhash_mix(i: int) -> Column:
+    """i-th minwise function from two base hashes: h1 ^ rot(h2, i) —
+    Kirsch-Mitzenmacher-style double hashing, XOR-rotate instead of +i·
+    to stay overflow-free under ANSI."""
+    if i == 0:
+        return F.col("h1").bitwiseXOR(F.col("h2"))
+    rot = F.shiftleft("h2", i).bitwiseOR(F.shiftrightunsigned("h2", 64 - i))
+    return F.col("h1").bitwiseXOR(rot)
+
+
+def _sig_from_hashed(hashed: DataFrame, num_hashes: int) -> DataFrame:
+    """(doc, signature: array<long>) from (doc, h1, h2) shingle rows."""
+    sig = hashed.groupBy("doc").agg(
+        *[F.min(_minhash_mix(i)).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return sig.select("doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64
 ) -> DataFrame:
@@ -246,30 +264,44 @@ def minhash_signatures(
     xxhash64(i, shingle). One explode + one groupBy; signature is
     num_hashes longs (num_hashes*8 bytes/doc)."""
     # Two longs per shingle row, materialized BEFORE the agg; the
-    # num_hashes minwise functions are derived bitwise (h1 ^ rot(h2, i)
-    # — Kirsch-Mitzenmacher-style double hashing, XOR-rotate instead of
-    # +i· to stay overflow-free under ANSI). Hashing the shingle
-    # num_hashes times was the measured hot spot (64 string hashes/row ≫
-    # 2 hashes + 64 bitwise mixes); materializing h1/h2 in a projection
-    # matters because Catalyst does no CSE across the 64 aggregate input
-    # expressions. h1 IS the hashed shingle id (already a 64-bit
-    # avalanche of the n words — no shingle string is ever built).
+    # num_hashes minwise functions are derived bitwise (_minhash_mix).
+    # Hashing the shingle num_hashes times was the measured hot spot (64
+    # string hashes/row ≫ 2 hashes + 64 bitwise mixes); materializing
+    # h1/h2 in a projection matters because Catalyst does no CSE across
+    # the 64 aggregate input expressions. h1 IS the hashed shingle id
+    # (already a 64-bit avalanche of the n words — no shingle string is
+    # ever built).
     hashed = _hashed_shingle_rows(df, id_col, text_col, n).select(
         "doc",
         F.col("sid").alias("h1"),
         F.xxhash64("sid").alias("h2"),
     )
+    return _sig_from_hashed(hashed, num_hashes)
 
-    def _mix(i: int) -> Column:
-        if i == 0:
-            return F.col("h1").bitwiseXOR(F.col("h2"))
-        rot = F.shiftleft("h2", i).bitwiseOR(F.shiftrightunsigned("h2", 64 - i))
-        return F.col("h1").bitwiseXOR(rot)
 
-    sig = hashed.groupBy("doc").agg(
-        *[F.min(_mix(i)).alias(f"h{i}") for i in range(num_hashes)]
-    )
-    return sig.select("doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
+def _band_entries(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(doc, band, bucket) LSH index rows: bucket = hash of the band's
+    signature slice. Docs can only become candidates inside a (band,
+    bucket) posting list — the cross-product never materializes."""
+    return sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("signature", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
 def minhash_lsh_pairs(
@@ -290,26 +322,7 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes).localCheckpoint()
-
-    band_entries = sig.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("signature", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    band_entries = _band_entries(sig, bands, rows_per_band)
 
     # candidate pairs from bucket posting lists (no self-join; see
     # _pairs_from_posting_lists) — LSH guarantees short lists except for
@@ -331,6 +344,54 @@ def minhash_lsh_pairs(
         .withColumn("est_jaccard", est)
         .where(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def minhash_lsh_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 64,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Banded MinHash-LSH candidates verified by EXACT Jaccard — the
+    standard production shape (LSH recall stage + exact verify stage):
+    candidates only ever meet inside a (band, bucket) posting list, and
+    the expensive set intersection runs on candidates only, never on the
+    cross-product.
+
+    Output (doc_a, doc_b, jaccard) is a SUBSET of the exact all-pairs
+    result by construction (verification is exact). At the default
+    rows_per_band=1 (bands == num_hashes) a true pair is a candidate iff
+    ANY of the num_hashes minwise values agree — a pair with Jaccard ≥ t
+    is missed with P ≈ (1-t)^num_hashes (≤ 6e-20 at t=0.5, 64 hashes),
+    so on any real corpus the output EQUALS the exact result; the gate
+    oracle-checks that equality against all-pairs SQL.
+    """
+    rows_per_band = num_hashes // bands
+    sh = _hashed_shingle_arrays(df, id_col, text_col, n).localCheckpoint()
+    hashed = sh.select("doc", F.explode("sh").alias("sid")).select(
+        "doc",
+        F.col("sid").alias("h1"),
+        F.xxhash64("sid").alias("h2"),
+    )
+    sig = _sig_from_hashed(hashed, num_hashes)
+    cands = _pairs_from_posting_lists(
+        _band_entries(sig, bands, rows_per_band)
+        .groupBy("band", "bucket")
+        .agg(F.collect_list("doc").alias("docs"))
+    )
+    sa = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", inter / (F.size("sh_a") + F.size("sh_b") - inter))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 
