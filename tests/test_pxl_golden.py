@@ -1,0 +1,253 @@
+"""Golden-VALUE assertions for flagship PxL corpus scripts.
+
+tests/test_pxl_corpus.py proves the reference's 67 shipped scripts RUN
+verbatim; these tests prove ten of the flagship ones are RIGHT, pinning
+exact expected values computed from the seeded deterministic fixtures —
+the reference's own e2e test style (expected column values per query,
+src/carnot/carnot_test.cc:97-1103) rather than non-empty checks.
+
+Every pinned number was captured from the fixture generators (seeded,
+fully deterministic); integers and strings compare exactly, doubles via
+approx(rel=1e-9) — six orders of magnitude wider than the worst-case
+float-reassociation wobble in distributed aggregation, and six narrower
+than any semantic drift.
+"""
+
+import os
+
+import pytest
+from pytest import approx
+
+import pixie_spark.api as px
+from pixie_spark.sources.fixtures import BASE_NS, HOUR_NS, observability_context
+
+REF = "/root/reference/src/pxl_scripts/px"
+PXVIEWS = "/root/reference/src/carnot/planner/pxl_lib/pxviews.pxl"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference corpus checkout not present"
+)
+
+
+def _read(rel: str) -> str:
+    with open(os.path.join(REF, rel)) as f:
+        return f.read()
+
+
+def _read_pxviews() -> str:
+    text = open(PXVIEWS).read()
+    start = text.index('R"(') + 3
+    end = text.rindex(')"')
+    return text[start:end]
+
+
+@pytest.fixture(scope="module")
+def ctx(spark):
+    tables, resolver = observability_context(spark)
+    px.set_context(spark, tables=tables, metadata=resolver)
+    px.register_module("pxviews", _read_pxviews())
+    px.set_now(BASE_NS + HOUR_NS)
+    yield
+    px.set_now(None)
+
+
+def _run(rel: str, calls=None) -> dict:
+    return px.run_script(_read(rel), calls=calls)
+
+
+def _rows(df, *sort_cols):
+    return [r.asDict() for r in df.orderBy(*(sort_cols or df.columns)).collect()]
+
+
+def test_http_request_stats_golden(spark, ctx):
+    """Per-service p50/p90/p99, error rate, request totals — exact."""
+    px.set_now(BASE_NS + 30 * 1_000_000_000)
+    try:
+        out = _run("http_request_stats/stats.pxl")
+    finally:
+        px.set_now(BASE_NS + HOUR_NS)
+    rows = _rows(out["output"], "service")
+    assert [r["service"] for r in rows] == ["prod/api", "prod/frontend", "staging/db"]
+    got = {
+        r["service"]: (
+            r["latency(p50)"],
+            r["latency(p90)"],
+            r["latency(p99)"],
+            r["errors"],
+            r["throughput total"],
+        )
+        for r in rows
+    }
+    assert got["prod/api"] == (
+        1954305, 8444043, 24733519, approx(0.06722689075630252, rel=1e-9), 595,
+    )
+    assert got["prod/frontend"] == (
+        2189487, 10556760, 24848896, approx(0.06177606177606178, rel=1e-9), 777,
+    )
+    assert got["staging/db"] == (
+        1886023, 9279300, 36789297, approx(0.060176991150442475, rel=1e-9), 565,
+    )
+
+
+def test_most_http_data_golden(spark, ctx):
+    """The single (pod, path) with the largest summed resp bytes."""
+    out = _run("most_http_data/data.pxl")
+    rows = _rows(out["max_path_pod"])
+    assert rows == [
+        {"pod": "prod/api-0004", "req_path": "/api/v1/inventory", "resp_bytes_sum": 63708}
+    ]
+
+
+def test_dns_flow_graph_golden(spark, ctx):
+    """All 10 pod → resolver edges with exact counts and max latency."""
+    out = _run(
+        "dns_flow_graph/dns_flow_graph.pxl",
+        calls=[("dns_flow_graph", {"start_time": "-1h", "from_entity_filter": "",
+                                   "to_entity_filter": ""})],
+    )
+    rows = _rows(out["dns_flow_graph"], "from_entity")
+    expected = [
+        ("prod/api-0001", 28, 1740337, 541262.5714285715),
+        ("prod/api-0004", 31, 6198564, 759602.3548387097),
+        ("prod/api-0007", 34, 3046706, 790225.9117647059),
+        ("prod/frontend-0000", 20, 3208470, 819781.15),
+        ("prod/frontend-0003", 27, 4531309, 719006.9629629629),
+        ("prod/frontend-0006", 28, 2619665, 852506.4642857143),
+        ("prod/frontend-0009", 28, 2014475, 652506.2857142857),
+        ("staging/db-0002", 39, 2323244, 616739.2307692308),
+        ("staging/db-0005", 28, 2417717, 583329.5714285715),
+        ("staging/db-0008", 37, 4961523, 852199.3243243244),
+    ]
+    assert len(rows) == len(expected)
+    for r, (ent, cnt, lmax, lavg) in zip(rows, expected):
+        assert r["from_entity"] == ent
+        assert r["to_entity"] == "10.32.0.10"
+        assert r["count"] == cnt
+        assert r["latency_max"] == lmax
+        assert r["latency_avg"] == approx(lavg, rel=1e-9)
+
+
+def test_net_flow_graph_golden(spark, ctx):
+    """Pod-to-pod/external edges of the prod namespace with exact
+    byte-throughput values (bytes per ns over the 1h window)."""
+    out = _run(
+        "net_flow_graph/net_flow_graph.pxl",
+        calls=[("net_flow_graph", {"start_time": "-1h", "ns": "prod",
+                                   "from_entity_filter": "", "to_entity_filter": "",
+                                   "throughput_filter": 0.0})],
+    )
+    rows = _rows(out["net_flow_graph"], "from_entity", "to_entity")
+    expected = [
+        ("prod/api-0001", "203.0.113.9", 2.2538813559322034e-07, 4.900084745762711e-07),
+        ("prod/api-0004", "staging/db-0005", 2.7306610169491524e-07, 4.992322033898306e-07),
+        ("prod/api-0007", "staging/db-0008", 2.5881186440677964e-07, 4.479915254237288e-07),
+        ("prod/frontend-0000", "prod/api-0001", 2.4035762711864405e-07, 4.4179661016949154e-07),
+        ("prod/frontend-0003", "prod/api-0004", 2.7512881355932205e-07, 5.099118644067797e-07),
+        ("prod/frontend-0006", "prod/api-0007", 2.5977627118644067e-07, 4.939694915254238e-07),
+        ("prod/frontend-0009", "prod/frontend-0000", 2.420322033898305e-07, 5.601711864406779e-07),
+    ]
+    assert len(rows) == len(expected)
+    for r, (src, dst, sent, recv) in zip(rows, expected):
+        assert (r["from_entity"], r["to_entity"]) == (src, dst)
+        assert r["bytes_sent"] == approx(sent, rel=1e-9)
+        assert r["bytes_recv"] == approx(recv, rel=1e-9)
+        assert r["bytes_total"] == approx(sent + recv, rel=1e-9)
+
+
+def test_services_golden(spark, ctx):
+    out = _run(
+        "services/services.pxl",
+        calls=[("services", {"start_time": "-1h", "namespace": "prod"})],
+    )
+    rows = _rows(out["services"], "service")
+    assert rows == [
+        {"service": "prod/api", "pod_count": 3},
+        {"service": "prod/frontend", "pod_count": 4},
+    ]
+
+
+def test_service_pods_golden(spark, ctx):
+    out = _run(
+        "service/service.pxl",
+        calls=[("pods_for_service", {"start_time": "-1h", "service": "prod/frontend"})],
+    )
+    rows = _rows(out["pods_for_service"], "pod")
+    assert [(r["pod"], r["pod_create_time"], r["pod_status"]) for r in rows] == [
+        ("prod/frontend-0000", 1704063600000000000, "Pending"),
+        ("prod/frontend-0003", 1704052800000000000, "Running"),
+        ("prod/frontend-0006", 1704042000000000000, "Running"),
+        ("prod/frontend-0009", 1704031200000000000, "Running"),
+    ]
+
+
+def test_pods_golden(spark, ctx):
+    out = _run(
+        "pods/pods.pxl",
+        calls=[("pods", {"start_time": "-1h", "namespace": "prod"})],
+    )
+    rows = _rows(out["pods"], "pod")
+    assert [(r["pod"], r["service"], r["start_time"], r["status"]) for r in rows] == [
+        ("prod/api-0001", "prod/api", 1704060000000000000, "Running"),
+        ("prod/api-0004", "prod/api", 1704049200000000000, "Running"),
+        ("prod/api-0007", "prod/api", 1704038400000000000, "Pending"),
+        ("prod/frontend-0000", "prod/frontend", 1704063600000000000, "Pending"),
+        ("prod/frontend-0003", "prod/frontend", 1704052800000000000, "Running"),
+        ("prod/frontend-0006", "prod/frontend", 1704042000000000000, "Running"),
+        ("prod/frontend-0009", "prod/frontend", 1704031200000000000, "Running"),
+    ]
+    assert all(r["containers"] == 1 for r in rows)
+
+
+def test_node_pods_golden(spark, ctx):
+    out = _run(
+        "node/node.pxl",
+        calls=[("pods_for_node", {"start_time": "-1h", "node": "node-1"})],
+    )
+    rows = _rows(out["pods_for_node"], "pod")
+    assert [(r["pod"], r["status"]) for r in rows] == [
+        ("prod/frontend-0000", "Pending"),
+        ("prod/frontend-0003", "Running"),
+        ("prod/frontend-0006", "Running"),
+        ("prod/frontend-0009", "Running"),
+    ]
+
+
+def test_http_data_golden(spark, ctx):
+    """First rows of the raw http feed: exact latency/path/status and
+    source/destination deep-link structure."""
+    out = _run(
+        "http_data/data.pxl",
+        calls=[("http_data", {"start_time": "-1h", "source_filter": "",
+                              "destination_filter": "", "num_head": 100})],
+    )
+    df = out["http_data"]
+    assert df.count() == 100
+    rows = _rows(df, "time_")[:3]
+    assert [(r["time_"], r["latency"], r["req_path"], r["resp_status"],
+             r["resp_body_size"]) for r in rows] == [
+        (1704067206670113024, 697375, "/api/v1/items", 200, 18077),
+        (1704067207288680704, 741478, "/api/v1/users/225", 200, 51216),
+        (1704067207951848704, 1524051, "/logout", 204, 42640),
+    ]
+    assert (
+        rows[1]["source"]
+        == '{"label":"prod/frontend-0003","script":"px/pod",'
+        '"args":{"start_time":"-1h","pod":"prod/frontend-0003"}}'
+    )
+    assert (
+        rows[1]["destination"]
+        == '{"label":"staging/db-0002","script":"px/pod",'
+        '"args":{"start_time":"-1h","pod":"staging/db-0002"}}'
+    )
+
+
+def test_slow_http_requests_golden(spark, ctx):
+    """Exactly one request sits above the namespace p99 latency."""
+    out = _run(
+        "slow_http_requests/slow_http_requests.pxl",
+        calls=[("namespace_slow_requests", {"start_time": "-1h", "namespace": "prod"})],
+    )
+    rows = _rows(out["namespace_slow_requests"], "time_")
+    assert [(r["time_"], r["latency"], r["req_path"], r["resp_status"]) for r in rows] == [
+        (1704068586213717248, 222434444, "/logout", 200)
+    ]
