@@ -53,6 +53,40 @@ from pixie_spark.types import make_upid
 _ctx: dict[str, Any] = {"spark": None, "tables": {}, "metadata": None, "results": {}, "limit": 10_000}
 
 
+class _PluginModule:
+    """``px.plugin`` — the plugin-context time window (ref:
+    src/carnot/planner/objects/plugin.cc:45-60): ``start_time`` /
+    ``end_time`` resolve to int ns from the plugin config supplied by the
+    script runner, and error outside a plugin context exactly like the
+    reference ("No plugin config found...")."""
+
+    _window: tuple[int, int] | None = None
+
+    def _get(self, idx: int) -> int:
+        if self._window is None:
+            raise RuntimeError(
+                "No plugin config found. Make sure the script is run in a plugin context."
+            )
+        return self._window[idx]
+
+    @property
+    def start_time(self) -> int:
+        return self._get(0)
+
+    @property
+    def end_time(self) -> int:
+        return self._get(1)
+
+
+plugin = _PluginModule()
+
+
+def set_plugin_window(start_ns: int | None, end_ns: int | None = None) -> None:
+    """Install (or with None, clear) the px.plugin time window — done by
+    the cron script runner around each scheduled execution."""
+    plugin._window = None if start_ns is None else (start_ns, end_ns)
+
+
 def set_context(
     spark: SparkSession,
     tables: dict[str, SparkDataFrame] | None = None,
