@@ -47,6 +47,7 @@ from pixie_spark.api.timemod import (
     set_now,
     strptime,
 )
+from pixie_spark.api import otelmod as otel
 from pixie_spark.functions.json_ops import script_reference
 from pixie_spark.types import make_upid
 
@@ -85,6 +86,49 @@ def set_plugin_window(start_ns: int | None, end_ns: int | None = None) -> None:
     """Install (or with None, clear) the px.plugin time window — done by
     the cron script runner around each scheduled execution."""
     plugin._window = None if start_ns is None else (start_ns, end_ns)
+
+
+def set_otel_endpoint(endpoint) -> None:
+    """Install (or with None, clear) the default OTel endpoint used by
+    ``px.export`` when the script's ``px.otel.Data`` has none — the
+    plugin-config default the reference injects for cron scripts
+    (script_runner.go:255-263 OTelEndpointConfig)."""
+    _ctx["otel_endpoint"] = endpoint
+
+
+def export(df, data) -> None:
+    """``px.export(df, px.otel.Data(...))`` (pixie_module.h:77; executed
+    by the OTelExportSink node in the reference). Rows are converted to
+    OTLP-JSON and exported FROM THE EXECUTORS via foreachPartition — a
+    ``file://``/bare-path endpoint writes JSONL per partition (the
+    sandbox collector), http(s) POSTs per partition.
+    Metric containers require a ``time_`` column, like the reference's
+    compiler ("must have a time_ column of type TIME64NS")."""
+    import os
+    from functools import partial
+
+    from pixie_spark.streaming import _partition_exporter
+
+    sdf = df.to_spark() if hasattr(df, "to_spark") else df
+    containers = list(data.data)
+    if any(c.kind in ("gauge", "summary") for c in containers) and "time_" not in sdf.columns:
+        raise ValueError("px.otel metric export requires a time_ column (TIME64NS)")
+    endpoint = data.endpoint or _ctx.get("otel_endpoint")
+    if endpoint is None:
+        raise ValueError(
+            "no OTel endpoint: pass px.otel.Endpoint(...) to px.otel.Data or "
+            "run in a plugin context that configures one"
+        )
+    convert = partial(otel.rows_to_otlp, resource=data.resource, containers=containers)
+    batch = _ctx["otel_batch"] = _ctx.get("otel_batch", -1) + 1
+    url = endpoint.url
+    if url.startswith(("http://", "https://")):
+        exporter = otel.http_exporter(url, endpoint.headers, endpoint.timeout)
+        sdf.foreachPartition(_partition_exporter(convert, "", "export", batch, exporter))
+    else:
+        path = url[len("file://"):] if url.startswith("file://") else url
+        os.makedirs(path, exist_ok=True)
+        sdf.foreachPartition(_partition_exporter(convert, path, "export", batch, None))
 
 
 def set_context(

@@ -230,6 +230,11 @@ class ScriptRunner:
             window_end_ns=end_ns,
         )
         px.set_plugin_window(start_ns, end_ns)
+        # plugin-config default OTel endpoint (script_runner.go:255-263):
+        # px.export calls without an explicit endpoint go here
+        otel_cfg = script.configs.get("otel_endpoint")
+        if otel_cfg:
+            px.set_otel_endpoint(px.otel.Endpoint(**otel_cfg))
         saved_now = px.timemod._now_override
         px.set_now(now_ns)
         try:
@@ -242,6 +247,8 @@ class ScriptRunner:
             rec.error = f"{type(e).__name__}: {e}"
         finally:
             px.set_plugin_window(None)
+            if otel_cfg:
+                px.set_otel_endpoint(None)
             px.set_now(saved_now)
         self.history.append(rec)
         return rec
