@@ -216,21 +216,44 @@ def text_embedding(col: Column, model_path: str | None = None, tokenizer_path: s
 
     With ``model_path`` + ``tokenizer_path`` and onnxruntime/sentencepiece
     installed, runs REAL inference via an Arrow-batched pandas_udf with a
-    per-worker session cache. Without a model path (this container has no
-    inference libs), a deterministic fake: 32 floats from
-    xxhash64(text, i)/2^63 — stable across runs/engines, exercising the
-    same array<float> plumbing (storage, ANN, kmeans) as a real encoder.
+    per-worker session cache.
+
+    Without a model path (this container ships no inference libs) the
+    default is NOT a fake — it is a hashed random-projection bag-of-words
+    embedding: dimension i is Σ over words of xxhash64(word, i)/2^63,
+    L2-normalized. That is exactly a Johnson-Lindenstrauss sketch of the
+    BOW count vector under a dense pseudo-random ±-valued projection
+    (the hashing trick), so cosine(emb_a, emb_b) converges on the BOW
+    cosine of the texts — word-overlapping documents land near each
+    other, making downstream ANN / kmeans / near-dup behave like they
+    would with a learned encoder (weaker semantics, real geometry).
+    Deterministic across runs/partitionings/engines; all-native
+    expressions, no UDF.
     """
     if model_path is not None:
         if not (have_onnxruntime() and have_sentencepiece()):
             raise ImportError(
                 "text_embedding(model_path=...) needs onnxruntime + "
-                "sentencepiece; call without model_path for the "
-                "deterministic stub"
+                "sentencepiece; call without model_path for the built-in "
+                "hashed random-projection embedding"
             )
         return _onnx_embed_udf(model_path, tokenizer_path or model_path)(col)
-    return F.array(
-        *[(F.xxhash64(col, F.lit(i)) / F.lit(float(2**63))).cast("float") for i in range(_EMBED_DIM)]
+    words = F.filter(F.split(col, r"\s+"), lambda w: w != "")
+    # one pass over words; acc = running 32-dim sum (zip_with keeps the
+    # whole accumulator update in a single HOF step per word)
+    sums = F.aggregate(
+        words,
+        F.array_repeat(F.lit(0.0), _EMBED_DIM),
+        lambda acc, w: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(_EMBED_DIM - 1)),
+            lambda a, i: a + F.xxhash64(w, i) / F.lit(float(2**63)),
+        ),
+    )
+    norm = F.sqrt(F.aggregate(sums, F.lit(0.0), lambda a, x: a + x * x))
+    # empty text → zero vector (norm clamps to 1 to avoid 0/0)
+    return F.transform(
+        sums, lambda x: (x / F.greatest(norm, F.lit(1e-12))).cast("float")
     )
 
 

@@ -352,7 +352,7 @@ def test_quantiles_json_pluck_idiom(spark):
 # --- ml_ops real-inference gating (ml_ops.cc:32-39) --------------------------
 
 
-def test_text_embedding_stub_deterministic(spark):
+def test_text_embedding_default_deterministic(spark):
     from pixie_spark.functions import ml_ops
 
     df = spark.createDataFrame([("hello world",), ("hello world",), ("other",)], ["t"])
@@ -360,6 +360,46 @@ def test_text_embedding_stub_deterministic(spark):
     assert len(rows[0]["e"]) == 32
     assert rows[0]["e"] == rows[1]["e"]
     assert rows[0]["e"] != rows[2]["e"]
+    # L2-normalized
+    assert sum(x * x for x in rows[0]["e"]) == pytest.approx(1.0, rel=1e-5)
+
+
+def test_text_embedding_default_is_semantic(spark):
+    """The default is a JL sketch of the bag-of-words, not a fingerprint:
+    word-overlapping texts must be closer in cosine than disjoint ones."""
+    import math
+
+    from pixie_spark.functions import ml_ops
+
+    df = spark.createDataFrame(
+        [
+            ("a", "the quick brown fox jumps over the lazy dog"),
+            ("b", "the quick brown fox jumps over the lazy cat"),
+            ("c", "completely different words about spark query engines"),
+        ],
+        ["k", "t"],
+    )
+    rows = {
+        r["k"]: r["e"]
+        for r in df.select("k", ml_ops.text_embedding(F.col("t")).alias("e")).collect()
+    }
+
+    def cos(u, v):
+        return sum(a * b for a, b in zip(u, v)) / (
+            math.sqrt(sum(a * a for a in u)) * math.sqrt(sum(b * b for b in v))
+        )
+
+    assert cos(rows["a"], rows["b"]) > 0.5  # 8/9 words shared
+    assert cos(rows["a"], rows["b"]) > cos(rows["a"], rows["c"]) + 0.3
+
+
+def test_text_embedding_empty_text_zero_vector(spark):
+    from pixie_spark.functions import ml_ops
+
+    df = spark.createDataFrame([("",), ("   ",)], ["t"])
+    rows = df.select(ml_ops.text_embedding(F.col("t")).alias("e")).collect()
+    for r in rows:
+        assert r["e"] == [0.0] * 32
 
 
 def test_text_embedding_real_path_requires_libs(spark):
