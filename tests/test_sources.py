@@ -102,6 +102,23 @@ def test_time_range_matches_post_filter(spark, sf_dir):
     assert fast.selectExpr(*probe).collect() == slow.selectExpr(*probe).collect()
 
 
+def test_normalization_tz_independent(spark, tmp_path):
+    """The µs→ns mapping must not shift under a non-UTC session timezone
+    (timestampdiff-from-NTZ-epoch, not unix_micros-on-NTZ)."""
+    d = _write(tmp_path, pa.timestamp("us"), TS_US)
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = load_table(spark, d, "events")
+        got = [r.ts for r in df.orderBy("event_id").collect()]
+        assert got == EXPECTED_NS
+        lo, hi = EXPECTED_NS[1], EXPECTED_NS[2]
+        ranged = load_table(spark, d, "events", time_range_ns=(lo, hi))
+        assert [r.ts for r in ranged.collect()] == [EXPECTED_NS[1]]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
 def test_normalize_noop_without_ts(spark):
     df = spark.range(3).withColumnRenamed("id", "x")
     out = normalize_ts_ns(df)
