@@ -1316,21 +1316,25 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_pipeline_e2e",
-    None,  # stub-embedding chain — rows-only (deterministic fake encoder).
+    None,  # approximate LSH chain — rows-only; components tested separately.
     doc="End-to-end LLM-pipeline chain: documents → quality filter → "
-    "(stubbed deterministic) text embedding → LSH-bucketed ANN self-"
-    "similarity → top-1 neighbor per doc. Exercises the full "
-    "text→vector→search path on one lazy plan; swap the encoder stub "
-    "for a pandas_udf ONNX call in production (functions/ml_ops.py).",
+    "text embedding (hashed random-projection BOW — a real JL sketch; "
+    "swap in the ONNX pandas_udf path for a learned encoder, "
+    "functions/ml_ops.py) → LSH-bucketed ANN self-similarity → top-1 "
+    "neighbor per doc. Exercises the full text→vector→search path.",
 )
 def q_embedding_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pixie_spark.functions.ml_ops import text_embedding
     from pixie_spark.operators.text import quality_score
 
     doc = load_table(spark, sf_dir, "documents")
+    # checkpoint: the embedding is the expensive stage and feeds BOTH the
+    # corpus and query sides of the self-similarity join — without it the
+    # words×dim fold recomputes once per consumer
     embedded = (
         doc.where(quality_score(F.col("text")) >= 0.5)
         .select("doc_id", text_embedding(F.col("text")).alias("emb"))
+        .localCheckpoint()
     )
     queries_df = embedded.where(F.col("doc_id") % 50 == 0)
     out = sim.lsh_topk(
