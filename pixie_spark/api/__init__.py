@@ -119,7 +119,13 @@ def export(df, data) -> None:
             "no OTel endpoint: pass px.otel.Endpoint(...) to px.otel.Data or "
             "run in a plugin context that configures one"
         )
-    convert = partial(otel.rows_to_otlp, resource=data.resource, containers=containers)
+    # resource values may be Columns (e.g. generate_data's service.name);
+    # normalize to picklable ('lit'|'col', value) tags for the executors
+    resource = {
+        k: (("lit", v) if isinstance(v, str) else ("col", otel._colname(v)))
+        for k, v in data.resource.items()
+    }
+    convert = partial(otel.rows_to_otlp, resource=resource, containers=containers)
     batch = _ctx["otel_batch"] = _ctx.get("otel_batch", -1) + 1
     url = endpoint.url
     if url.startswith(("http://", "https://")):

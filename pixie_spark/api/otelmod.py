@@ -184,14 +184,6 @@ trace = SimpleNamespace(
 # ---------------------------------------------------------------------------
 
 
-def _resource_json(resource: dict, row: dict) -> dict:
-    attrs = []
-    for k, v in resource.items():
-        val = row.get(_colname(v), "") if not isinstance(v, str) else v
-        attrs.append({"key": k, "value": {"stringValue": str(val)}})
-    return {"attributes": attrs}
-
-
 def _attrs_json(attr_map: dict, d: dict) -> list:
     out = []
     for k, (akind, v) in attr_map.items():
@@ -202,12 +194,22 @@ def _attrs_json(attr_map: dict, d: dict) -> list:
 
 def rows_to_otlp(rows, resource: dict, containers: list) -> list:
     """Convert a partition's rows into OTLP-JSON payloads per the Data
-    spec. Module-level so foreachPartition can pickle it."""
+    spec. Column-backed resource attributes (e.g. generate_data's
+    service.name from the service column) resolve per row; rows are
+    grouped into one payload per distinct resolved resource. Module-level
+    so foreachPartition can pickle it."""
     import uuid as _uuid
 
-    metrics, spans = [], []
+    by_res: dict = {}  # resolved resource tuple → (metrics, spans)
     for r in rows:
         d = r.asDict() if hasattr(r, "asDict") else dict(r)
+        res_resolved = {
+            k: (v[1] if v[0] == "lit" else str(d.get(v[1], "")))
+            for k, v in resource.items()
+        }
+        metrics, spans = by_res.setdefault(
+            tuple(sorted(res_resolved.items())), ([], [])
+        )
         for c in containers:
             if c.kind == "gauge":
                 v = d.get(c.fields["value"])
@@ -280,16 +282,20 @@ def rows_to_otlp(rows, resource: dict, containers: list) -> list:
                     }
                 )
     payloads = []
-    if metrics:
-        res = _resource_json(resource, {})
-        payloads.append(
-            {"resourceMetrics": [{"resource": res, "scopeMetrics": [{"metrics": metrics}]}]}
-        )
-    if spans:
-        res = _resource_json(resource, {})
-        payloads.append(
-            {"resourceSpans": [{"resource": res, "scopeSpans": [{"spans": spans}]}]}
-        )
+    for res_key, (metrics, spans) in by_res.items():
+        res = {
+            "attributes": [
+                {"key": k, "value": {"stringValue": v}} for k, v in res_key
+            ]
+        }
+        if metrics:
+            payloads.append(
+                {"resourceMetrics": [{"resource": res, "scopeMetrics": [{"metrics": metrics}]}]}
+            )
+        if spans:
+            payloads.append(
+                {"resourceSpans": [{"resource": res, "scopeSpans": [{"spans": spans}]}]}
+            )
     return payloads
 
 
@@ -310,3 +316,53 @@ def http_exporter(url: str, headers: dict, timeout: int):
             urllib.request.urlopen(req, timeout=timeout)  # noqa: S310
 
     return post
+
+
+def generate_data(df, table_name: str):
+    """Auto-generate a px.otel.Data config from a result frame — the
+    plugin system's script conversion (ref: otel_generator.cc:560-662,
+    GenerateOTelScript): every INT64/FLOAT64 column becomes a Gauge named
+    '<table>.<col>', every STRING/BOOLEAN column a resource attribute,
+    the 'service' column feeds service.name. The reference's error cases
+    are reproduced verbatim-in-spirit: a time_ column is required, a
+    service column is required, at least one numeric column is required,
+    and UINT128-style columns must be stringified first."""
+    sdf = df.to_spark() if hasattr(df, "to_spark") else df
+    dtypes = dict(sdf.dtypes)
+    if "time_" not in dtypes:
+        raise ValueError(
+            f"Table '{table_name}' does not have a time_ column of TIME64NS type"
+        )
+    resource: dict = {}
+    gauges = []
+    service_col = None
+    for name, dt in sdf.dtypes:
+        if name == "time_":
+            continue
+        if dt.startswith("struct"):
+            raise ValueError(
+                f"column '{name}' uses an unsupported type: UINT128. "
+                "Please convert the column to a string"
+            )
+        if dt in ("string", "boolean"):
+            resource[f"{table_name}.{name}"] = sdf[name]
+            # service detection: the reference keys off the ST_SERVICE_NAME
+            # semantic type, preferring the column literally named
+            # 'service'; the name-based proxy here mirrors that preference
+            if name == "service" or (service_col is None and name.endswith("service")):
+                service_col = name
+        elif dt in ("bigint", "int", "double", "float"):
+            gauges.append(_gauge(name=f"{table_name}.{name}", value=sdf[name]))
+    if service_col is None:
+        raise ValueError(
+            f"Table '{table_name}' does not have a service column. Make sure "
+            "you create a service column ie `df.ctx['service']` and include "
+            "it in any groupbys and joins"
+        )
+    if not gauges:
+        raise ValueError(
+            f"Table '{table_name}' does not have any INT64 or FLOAT64 that "
+            "can be converted to OTel metrics"
+        )
+    resource["service.name"] = sdf[service_col]
+    return Data(resource=resource, data=gauges)

@@ -190,3 +190,65 @@ def test_cron_script_exports_through_plugin_endpoint(spark, ctx, tmp_path):
     assert tags == {"t0", "t1"}
     # endpoint cleared after the run
     assert px._ctx.get("otel_endpoint") is None
+
+
+# --- generate_data: the plugin system's auto-export conversion --------------
+# (ref: otel_generator.cc:560-662 GenerateOTelScript column rules)
+
+
+def test_generate_data_column_rules(spark, ctx, tmp_path):
+    """Numeric cols → Gauges named table.col; string cols → resource
+    attributes; service column → service.name — and the export groups
+    payloads per resolved resource."""
+    sdf = spark.createDataFrame(
+        [
+            (T0, "prod/api", 1.5, 10),
+            (T0 + SECOND_NS, "prod/frontend", 2.5, 20),
+        ],
+        "time_ long, service string, latency double, n_requests long",
+    )
+    data = px.otel.generate_data(px.from_spark(sdf), "http_stats")
+    assert {c.name for c in data.data} == {"http_stats.latency", "http_stats.n_requests"}
+    out = str(tmp_path / "gen")
+    data.endpoint = px.otel.Endpoint(url=out)
+    px.export(px.from_spark(sdf), data)
+    payloads = _read_payloads(out)
+    svc_to_vals = {}
+    for p in payloads:
+        for rm in p["resourceMetrics"]:
+            attrs = {a["key"]: a["value"]["stringValue"] for a in rm["resource"]["attributes"]}
+            for sm in rm["scopeMetrics"]:
+                for m in sm["metrics"]:
+                    for dp in m["gauge"]["dataPoints"]:
+                        svc_to_vals.setdefault(attrs["service.name"], set()).add(
+                            (m["name"], dp["asDouble"])
+                        )
+    assert svc_to_vals == {
+        "prod/api": {("http_stats.latency", 1.5), ("http_stats.n_requests", 10.0)},
+        "prod/frontend": {("http_stats.latency", 2.5), ("http_stats.n_requests", 20.0)},
+    }
+
+
+def test_generate_data_reference_error_cases(spark, ctx):
+    no_time = px.from_spark(spark.createDataFrame([("s", 1.0)], "service string, v double"))
+    with pytest.raises(ValueError, match="time_ column"):
+        px.otel.generate_data(no_time, "t")
+
+    no_service = px.from_spark(spark.createDataFrame([(T0, 1.0)], "time_ long, v double"))
+    with pytest.raises(ValueError, match="service column"):
+        px.otel.generate_data(no_service, "t")
+
+    no_numeric = px.from_spark(
+        spark.createDataFrame([(T0, "s")], "time_ long, service string")
+    )
+    with pytest.raises(ValueError, match="INT64 or FLOAT64"):
+        px.otel.generate_data(no_numeric, "t")
+
+    upid_like = px.from_spark(
+        spark.createDataFrame(
+            [(T0, "s", (1, 2), 1.0)],
+            "time_ long, service string, upid struct<high:long,low:long>, v double",
+        )
+    )
+    with pytest.raises(ValueError, match="UINT128"):
+        px.otel.generate_data(upid_like, "t")
