@@ -251,3 +251,104 @@ def test_slow_http_requests_golden(spark, ctx):
     assert [(r["time_"], r["latency"], r["req_path"], r["resp_status"]) for r in rows] == [
         (1704068586213717248, 222434444, "/logout", 200)
     ]
+
+
+def test_dns_query_summary_golden(spark, ctx):
+    """Per-(pod, qname) resolution stats: exact counts and global totals."""
+    out = _run(
+        "dns_query_summary/dns_query_summary.pxl",
+        calls=[("dns_queries", {"start_time": "-1h", "namespace": "", "pod_filter": "",
+                                "query_filter": "", "dns_server_filter": ""})],
+    )
+    df = out["dns_queries"]
+    assert df.count() == 79
+    from pyspark.sql import functions as F
+
+    totals = df.selectExpr(
+        "sum(num_requests) AS reqs",
+        "sum(num_resolved) AS resolved",
+        "sum(num_nxdomain) AS nx",
+    ).collect()[0]
+    assert (totals["reqs"], totals["resolved"], totals["nx"]) == (300, 205, 95)
+    one = df.where(
+        (F.col("pod") == "prod/api-0001") & (F.col("qname") == "svc-1")
+    ).collect()
+    assert len(one) == 1
+    r = one[0].asDict()
+    assert (r["num_requests"], r["num_resolved"], r["num_nxdomain"]) == (2, 0, 2)
+    assert r["unresolved_rate"] == approx(1.0, rel=1e-9)
+    assert r["qgroup"] == "svc-1 @10.32.0.10"
+
+
+def test_namespaces_golden(spark, ctx):
+    out = _run(
+        "namespaces/namespaces.pxl",
+        calls=[("namespaces_for_cluster", {"start_time": "-1h"})],
+    )
+    rows = _rows(out["namespaces_for_cluster"], "namespace")
+    assert rows == [
+        {"namespace": "prod", "pod_count": 7, "service_count": 2},
+        {"namespace": "staging", "pod_count": 3, "service_count": 1},
+    ]
+
+
+def test_nodes_golden(spark, ctx):
+    out = _run(
+        "nodes/nodes.pxl",
+        calls=[("nodes", {"start_time": "-1h"}), ("pods_by_node", {"start_time": "-1h"})],
+    )
+    assert [r["node"] for r in _rows(out["nodes"], "node")] == ["node-1", "node-2", "node-3"]
+    rows = _rows(out["pods_by_node"], "node", "pod")
+    assert [(r["node"], r["pod"], r["pod_status"]) for r in rows[:4]] == [
+        ("node-1", "prod/frontend-0000", "Pending"),
+        ("node-1", "prod/frontend-0003", "Running"),
+        ("node-1", "prod/frontend-0006", "Running"),
+        ("node-1", "prod/frontend-0009", "Running"),
+    ]
+    assert len(rows) == 10
+
+
+def test_cluster_namespaces_golden(spark, ctx):
+    """Namespace rollup with process resource usage — exact doubles."""
+    out = _run(
+        "cluster/cluster.pxl",
+        calls=[("namespaces_for_cluster", {"start_time": "-1h"})],
+    )
+    rows = _rows(out["namespaces_for_cluster"], "namespace")
+    assert [(r["namespace"], r["pod_count"], r["service_count"]) for r in rows] == [
+        ("prod", 7, 2), ("staging", 3, 1),
+    ]
+    assert rows[0]["vsize"] == approx(8301158604.874999, rel=1e-9)
+    assert rows[0]["rss"] == approx(2076907517.4249997, rel=1e-9)
+    assert rows[1]["vsize"] == approx(3647204347.4750004, rel=1e-9)
+    assert rows[1]["rss"] == approx(882857475.7, rel=1e-9)
+
+
+def test_largest_http_request_golden(spark, ctx):
+    out = _run("largest_http_request/data.pxl")
+    rows = _rows(out["requests_of_max_size"])
+    assert [(r["pod"], r["resp_size_bytes"], r["req_path"]) for r in rows] == [
+        ("prod/api-0004", 63708, "/api/v1/inventory")
+    ]
+
+
+def test_jvm_data_golden(spark, ctx):
+    """Raw JVM stats feed over a '-1m' window: exact row for one pid."""
+    px.set_now(BASE_NS + 200 * 1_000_000_000)
+    try:
+        out = _run("jvm_data/stats.pxl")
+    finally:
+        px.set_now(BASE_NS + HOUR_NS)
+    df = out["output"]
+    assert df.count() == 160
+    from pyspark.sql import functions as F
+
+    r = (
+        df.where((F.col("time_") == 1704067340000000000) & (F.col("pid") == 1000))
+        .collect()[0]
+        .asDict()
+    )
+    assert r["used_heap_size"] == 223346688
+    assert r["total_heap_size"] == 290455552
+    assert r["max_heap_size"] == 536870912
+    assert r["cmdline"] == "/bin/server --port=8080"
