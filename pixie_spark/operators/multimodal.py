@@ -75,17 +75,65 @@ def have_pillow() -> bool:
         return False
 
 
+def decode_ppm(payload: bytes) -> np.ndarray | None:
+    """REAL image decode for binary PPM/PGM (P6/P5) in pure numpy — no
+    image library needed. Parses the netpbm header (whitespace-separated
+    width/height/maxval tokens, '#' comments allowed), reads the raw
+    sample plane, gray-converts (P6 channel mean), nearest-neighbor
+    resizes to √FEATURE_DIM per side, and returns FEATURE_DIM floats in
+    [0,1] — the same feature contract as every other decode path.
+    Returns None when the payload is not a binary netpbm file."""
+    if not payload or payload[:2] not in (b"P6", b"P5"):
+        return None
+    # tokenize header: magic, width, height, maxval; comments run to EOL
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3 and i < len(payload):
+        c = payload[i : i + 1]
+        if c == b"#":
+            i = payload.index(b"\n", i)
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(payload[i:j])
+            i = j
+    if len(tokens) < 3:
+        return None
+    w, h, maxval = (int(t) for t in tokens)
+    i += 1  # single whitespace byte separates header from raster
+    channels = 3 if payload[:2] == b"P6" else 1
+    dtype = np.dtype(">u2") if maxval > 255 else np.dtype(np.uint8)
+    need = w * h * channels * dtype.itemsize
+    raster = payload[i : i + need]
+    if len(raster) < need or w <= 0 or h <= 0:
+        return None
+    arr = np.frombuffer(raster, dtype=dtype).reshape(h, w, channels).astype(np.float32)
+    gray = arr.mean(axis=2)
+    side = int(FEATURE_DIM**0.5)
+    iy = (np.arange(side) * h) // side
+    ix = (np.arange(side) * w) // side
+    return (gray[np.ix_(iy, ix)] / float(maxval)).reshape(-1)[:FEATURE_DIM]
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Real image decode+featurize: PIL decode → resize to 16×16 gray →
-    flattened [0,1] floats (same FEATURE_DIM-float contract as the fake,
-    so downstream ANN/kmeans plumbing is identical). Runs whenever Pillow
-    is installed; raises ImportError otherwise — the caller chose
+    """Real image decode+featurize with the same FEATURE_DIM-float
+    contract as the fake path (so downstream ANN/kmeans plumbing is
+    identical): binary PPM/PGM decodes in pure numpy (decode_ppm — real,
+    zero dependencies); every other format goes through Pillow when it is
+    installed and raises ImportError otherwise — the caller chose
     fake=False, so a silent fake would be a correctness lie.
     """
+    ppm = decode_ppm(payload)
+    if ppm is not None:
+        return ppm
     if not have_pillow():
         raise ImportError(
-            "image decode needs Pillow; call extract_features(fake=True) "
-            "for the deterministic stub"
+            "non-netpbm image decode needs Pillow; use P6/P5 payloads for "
+            "the built-in decoder or extract_features(fake=True) for the "
+            "deterministic stub"
         )
     import io
 
@@ -123,19 +171,32 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
     return df.mapInPandas(kernel, schema=FEATURES_SCHEMA)
 
 
+def _synthetic_ppm(i: int, w: int = 8, h: int = 8) -> bytes:
+    """Deterministic REAL P6 image for media id ``i``: a per-id shifted
+    gradient, decodable by decode_ppm with exactly predictable features."""
+    body = bytearray()
+    for y in range(h):
+        for x in range(w):
+            v = (x * 31 + y * 17 + i * 7) % 256
+            body.extend((v, v, v))
+    return b"P6\n%d %d\n255\n" % (w, h) + bytes(body)
+
+
 def synthetic_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests (payload = seeded bytes)."""
+    """Deterministic media table for tests: image rows carry REAL binary
+    PPM payloads (decodable by the built-in netpbm decoder); audio/video
+    rows carry seeded opaque bytes (their codecs need external libs)."""
     rng = np.random.RandomState(seed)
     kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
-        payload = rng.bytes(64 + (i % 5) * 32)
+        payload = _synthetic_ppm(i) if kind == "image" else rng.bytes(64 + (i % 5) * 32)
         meta = {
-            "width": 640 if kind == "image" else None,
-            "height": 480 if kind == "image" else None,
+            "width": 8 if kind == "image" else None,
+            "height": 8 if kind == "image" else None,
             "duration_ms": 1000 * (i % 30) if kind != "image" else None,
-            "codec": {"image": "png", "audio": "opus", "video": "h264"}[kind],
+            "codec": {"image": "ppm", "audio": "opus", "video": "h264"}[kind],
         }
         rows.append((i, kind, f"{kind}/x", payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

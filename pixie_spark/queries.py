@@ -1280,16 +1280,20 @@ def q_multi_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_features",
     None,  # mapInPandas featurizer over synthetic binary media — rows-only.
     doc="Multimodal plumbing: binary payload columns + typed metadata → "
-    "Arrow-batched mapInPandas featurizer (decode kernel STUBBED with a "
-    "deterministic content-hash fake — image/audio libs unavailable "
-    "here; swap one function for the real decoder). Payloads are "
-    "consumed in the map stage and never shuffled.",
+    "Arrow-batched mapInPandas featurizer. Image rows run the REAL "
+    "built-in netpbm decoder (pure numpy, operators/multimodal."
+    "decode_ppm); audio/video decode is stubbed with a deterministic "
+    "content-hash fake (their codecs need external libs — Pillow path "
+    "lib-gated). Payloads are consumed in the map stage and never "
+    "shuffled.",
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pixie_spark.operators import multimodal as mm
 
     media = mm.synthetic_media(spark, n=200)
-    feats = mm.extract_features(media, fake=True)
+    images = mm.extract_features(media.where(F.col("kind") == "image"), fake=False)
+    other = mm.extract_features(media.where(F.col("kind") != "image"), fake=True)
+    feats = images.unionByName(other)
     return feats.select(
         "media_id", "kind", "payload_bytes", dround(F.element_at("feature", 1), 6).alias("f0")
     )

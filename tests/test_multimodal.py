@@ -75,3 +75,79 @@ def test_real_decode_gating(spark):
     (row,) = mm.extract_features(df, fake=False).collect()
     assert len(row["feature"]) == mm.FEATURE_DIM
     assert all(0.0 <= v <= 1.0 for v in row["feature"])
+
+
+# --- real netpbm decode (pure numpy, no image libs) --------------------------
+
+
+def _ppm(w, h, pixel_fn, maxval=255):
+    """Build a binary P6 image; pixel_fn(y, x) -> (r, g, b)."""
+    body = bytearray()
+    for y in range(h):
+        for x in range(w):
+            body.extend(pixel_fn(y, x))
+    return b"P6\n# test image\n%d %d\n%d\n" % (w, h, maxval) + bytes(body)
+
+
+def test_decode_ppm_real_values():
+    from pixie_spark.operators.multimodal import FEATURE_DIM, decode_ppm
+
+    # constant mid-gray image → every feature exactly 128/255
+    img = _ppm(8, 8, lambda y, x: (128, 128, 128))
+    feats = decode_ppm(img)
+    assert feats is not None and len(feats) == FEATURE_DIM
+    assert all(f == pytest.approx(128 / 255, rel=1e-6) for f in feats)
+
+
+def test_decode_ppm_gradient_and_resize():
+    from pixie_spark.operators.multimodal import decode_ppm
+
+    # horizontal gradient: left column black, right column white; 4x4
+    # nearest-neighbor sampling of an 8-wide image picks x = 0,2,4,6
+    img = _ppm(8, 4, lambda y, x: (x * 36,) * 3)
+    feats = decode_ppm(img)
+    row = feats[:4]
+    assert [round(v * 255) for v in row] == [0, 72, 144, 216]
+    # all 4 sampled rows identical (gradient is horizontal)
+    assert feats[:4] == pytest.approx(feats[4:8])
+
+
+def test_decode_pgm_16bit():
+    from pixie_spark.operators.multimodal import decode_ppm
+
+    w, h, maxval = 4, 4, 65535
+    body = b"".join(
+        int(v * 4369).to_bytes(2, "big") for v in range(16)
+    )  # 0..15 scaled to 16-bit
+    img = b"P5\n4 4\n65535\n" + body
+    feats = decode_ppm(img)
+    assert feats is not None
+    assert feats[0] == pytest.approx(0.0, abs=1e-6)
+    assert feats[-1] == pytest.approx(15 * 4369 / 65535, rel=1e-6)
+
+
+def test_decode_ppm_rejects_non_netpbm():
+    from pixie_spark.operators.multimodal import decode_ppm
+
+    assert decode_ppm(b"") is None
+    assert decode_ppm(b"\x89PNG\r\n\x1a\n....") is None
+    assert decode_ppm(b"P6\n4 4\n255\nshort") is None  # truncated raster
+
+
+def test_extract_features_real_path_with_ppm(spark):
+    """fake=False over netpbm payloads: the REAL decoder runs end-to-end
+    through mapInPandas with no image libraries installed."""
+    from pixie_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
+
+    img_a = _ppm(8, 8, lambda y, x: (0, 0, 0))
+    img_b = _ppm(8, 8, lambda y, x: (255, 255, 255))
+    rows = [
+        (1, "image", "image/x-portable-pixmap", img_a,
+         {"width": 8, "height": 8, "duration_ms": None, "codec": "ppm"}),
+        (2, "image", "image/x-portable-pixmap", img_b,
+         {"width": 8, "height": 8, "duration_ms": None, "codec": "ppm"}),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r["feature"] for r in extract_features(df, fake=False).collect()}
+    assert all(v == pytest.approx(0.0, abs=1e-6) for v in out[1])
+    assert all(v == pytest.approx(1.0, rel=1e-6) for v in out[2])
