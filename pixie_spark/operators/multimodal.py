@@ -118,6 +118,52 @@ def decode_ppm(payload: bytes) -> np.ndarray | None:
     return (gray[np.ix_(iy, ix)] / float(maxval)).reshape(-1)[:FEATURE_DIM]
 
 
+def decode_wav(payload: bytes) -> np.ndarray | None:
+    """REAL audio decode for RIFF/WAVE PCM in pure numpy — no audio
+    library needed. Walks the RIFF chunk list to find fmt/data, reads
+    8-/16-bit PCM (mono or multichannel, channel-averaged), and
+    featurizes as the log-energy of FEATURE_DIM equal FFT bands
+    (np.fft.rfft) normalized to [0,1] — a real spectral signature with
+    the same FEATURE_DIM-float contract as the image path. Returns None
+    when the payload is not a PCM WAV file."""
+    if not payload or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, n = 12, len(payload)
+    fmt = data = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little") or 1
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits not in (8, 16):  # PCM only
+        return None
+    if bits == 16:
+        x = np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2").astype(
+            np.float32
+        ) / 32768.0
+    else:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    if channels > 1:
+        x = x[: len(x) - (len(x) % channels)].reshape(-1, channels).mean(axis=1)
+    if not len(x):
+        return None
+    spec = np.abs(np.fft.rfft(x)) ** 2
+    bands = np.array_split(spec, FEATURE_DIM)
+    energy = np.array([b.sum() for b in bands], dtype=np.float64)
+    loge = np.log1p(energy)
+    peak = loge.max()
+    return (loge / peak if peak > 0 else loge).astype(np.float32)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Real image decode+featurize with the same FEATURE_DIM-float
     contract as the fake path (so downstream ANN/kmeans plumbing is
@@ -144,6 +190,27 @@ def decode_image(payload: bytes) -> np.ndarray:
     return np.asarray(img, dtype=np.float32).reshape(-1)[:FEATURE_DIM] / 255.0
 
 
+def decode_media(payload: bytes, kind: str) -> np.ndarray:
+    """Kind-dispatched real decode: images via decode_image (netpbm
+    built-in, Pillow lib-gated beyond), audio via decode_wav (PCM WAV
+    built-in). Video needs external codecs — loud error, never a silent
+    fake."""
+    if kind == "image":
+        return decode_image(payload)
+    if kind == "audio":
+        wav = decode_wav(payload)
+        if wav is not None:
+            return wav
+        raise ImportError(
+            "non-WAV audio decode needs external codecs; use PCM WAV "
+            "payloads for the built-in decoder or extract_features(fake=True)"
+        )
+    raise ImportError(
+        "video decode needs external codecs; use extract_features(fake=True) "
+        "for the deterministic stub"
+    )
+
+
 def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
     """mapInPandas featurizer over a media table.
 
@@ -154,11 +221,11 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
-            for payload in pdf["payload"]:
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 if fake:
                     feats.append(_fake_decode(bytes(payload) if payload is not None else b""))
                 else:
-                    feats.append(decode_image(payload))
+                    feats.append(decode_media(payload, kind))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -182,16 +249,44 @@ def _synthetic_ppm(i: int, w: int = 8, h: int = 8) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + bytes(body)
 
 
+def _synthetic_wav(i: int, n_samples: int = 256, rate: int = 8000) -> bytes:
+    """Deterministic REAL PCM WAV for media id ``i``: a 16-bit sine whose
+    frequency depends on the id, so spectral features differ per id."""
+    t = np.arange(n_samples)
+    freq = 200 + (i % 10) * 150
+    x = (np.sin(2 * np.pi * freq * t / rate) * 0.5 * 32767).astype("<i2")
+    data = x.tobytes()
+    fmt = (
+        (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + rate.to_bytes(4, "little")
+        + (rate * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    chunks = (
+        b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
 def synthetic_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
     """Deterministic media table for tests: image rows carry REAL binary
-    PPM payloads (decodable by the built-in netpbm decoder); audio/video
-    rows carry seeded opaque bytes (their codecs need external libs)."""
+    PPM payloads, audio rows REAL PCM WAV payloads (both decodable by the
+    built-in numpy decoders); video rows carry seeded opaque bytes (video
+    codecs need external libs)."""
     rng = np.random.RandomState(seed)
     kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
-        payload = _synthetic_ppm(i) if kind == "image" else rng.bytes(64 + (i % 5) * 32)
+        if kind == "image":
+            payload = _synthetic_ppm(i)
+        elif kind == "audio":
+            payload = _synthetic_wav(i)
+        else:
+            payload = rng.bytes(64 + (i % 5) * 32)
         meta = {
             "width": 8 if kind == "image" else None,
             "height": 8 if kind == "image" else None,

@@ -25,13 +25,14 @@ def test_feature_extraction_plumbing(spark, media):
 
 
 def test_real_decoder_is_lib_gated(spark, media):
-    """fake=False runs the Pillow path when installed; without the lib it
-    must fail LOUDLY (never silently fall back to the fake)."""
-    if mm.have_pillow():
-        pytest.skip("Pillow installed; covered by test_real_decode_gating")
+    """fake=False decodes image (netpbm) and audio (WAV) rows for REAL
+    with no libraries; video rows must fail LOUDLY (never silently fall
+    back to the fake)."""
+    ok = mm.extract_features(media.where("kind != 'video'"), fake=False).collect()
+    assert len(ok) > 0 and all(len(r["feature"]) == mm.FEATURE_DIM for r in ok)
     with pytest.raises(Exception) as exc_info:
-        mm.extract_features(media, fake=False).collect()
-    assert "Pillow" in str(exc_info.value)
+        mm.extract_features(media.where("kind = 'video'"), fake=False).collect()
+    assert "video decode" in str(exc_info.value)
 
 
 def test_frame_sample(spark, media):
@@ -59,8 +60,14 @@ def test_real_decode_gating(spark):
     from pixie_spark.operators import multimodal as mm
 
     if not mm.have_pillow():
+        # compressed formats (PNG magic) need Pillow — loud error, while
+        # the netpbm/WAV built-ins keep decoding for real
+        png_like = spark.createDataFrame(
+            [(1, "image", bytearray(b"\x89PNG\r\n\x1a\n junk"))],
+            "media_id long, kind string, payload binary",
+        )
         with pytest.raises(Exception) as exc:
-            mm.extract_features(mm.synthetic_media(spark, n=4), fake=False).collect()
+            mm.extract_features(png_like, fake=False).collect()
         assert "Pillow" in str(exc.value)
         return
     import io
@@ -151,3 +158,73 @@ def test_extract_features_real_path_with_ppm(spark):
     out = {r["media_id"]: r["feature"] for r in extract_features(df, fake=False).collect()}
     assert all(v == pytest.approx(0.0, abs=1e-6) for v in out[1])
     assert all(v == pytest.approx(1.0, rel=1e-6) for v in out[2])
+
+
+# --- real PCM WAV decode (pure numpy, no audio libs) -------------------------
+
+
+def test_decode_wav_spectral_peak_tracks_frequency():
+    """A pure sine's energy must concentrate in the FFT band containing
+    its frequency — low tone peaks in an early band, high tone later."""
+    import numpy as np
+
+    from pixie_spark.operators.multimodal import FEATURE_DIM, decode_wav
+    from pixie_spark.operators.multimodal import _synthetic_wav
+
+    low = decode_wav(_synthetic_wav(0))   # 200 Hz
+    high = decode_wav(_synthetic_wav(9))  # 1550 Hz
+    assert low is not None and high is not None
+    assert len(low) == FEATURE_DIM
+    assert int(np.argmax(low)) < int(np.argmax(high))
+    assert max(low) == pytest.approx(1.0, rel=1e-6)  # peak-normalized
+
+
+def test_decode_wav_stereo_and_8bit():
+    import numpy as np
+
+    from pixie_spark.operators.multimodal import decode_wav
+
+    # hand-built stereo 8-bit PCM: constant silence (128 = zero level)
+    data = bytes([128, 128] * 64)
+    fmt = (
+        (1).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (8).to_bytes(2, "little")
+    )
+    chunks = (
+        b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    wav = b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+    feats = decode_wav(wav)
+    assert feats is not None
+    assert all(f == pytest.approx(0.0, abs=1e-6) for f in feats)  # silence
+
+
+def test_decode_wav_rejects_non_wav():
+    from pixie_spark.operators.multimodal import decode_wav
+
+    assert decode_wav(b"") is None
+    assert decode_wav(b"RIFFxxxxAVI ....") is None
+    assert decode_wav(b"OggS....") is None
+
+
+def test_extract_features_real_audio_path(spark):
+    """fake=False over WAV payloads end-to-end through mapInPandas."""
+    from pixie_spark.operators import multimodal as mm
+
+    media = mm.synthetic_media(spark, n=12)
+    out = mm.extract_features(
+        media.where("kind = 'audio'"), fake=False
+    ).collect()
+    assert len(out) == 4
+    for r in out:
+        assert len(r["feature"]) == mm.FEATURE_DIM
+        assert max(r["feature"]) == pytest.approx(1.0, rel=1e-5)
+
+
+def test_decode_media_video_is_loud_error(spark):
+    from pixie_spark.operators.multimodal import decode_media
+
+    with pytest.raises(ImportError, match="video decode"):
+        decode_media(b"\x00\x01", "video")
