@@ -352,3 +352,33 @@ def test_jvm_data_golden(spark, ctx):
     assert r["total_heap_size"] == 290455552
     assert r["max_heap_size"] == 536870912
     assert r["cmdline"] == "/bin/server --port=8080"
+
+
+def test_mysql_stats_histogram_golden(spark, ctx):
+    """MySQL latency histogram: exact log-bucket counts."""
+    out = _run(
+        "mysql_stats/mysql_stats.pxl",
+        calls=[("latency_histogram", {"start_time": "-1h", "pod": "prod/"})],
+    )
+    rows = _rows(out["latency_histogram"], "request_latency")
+    assert [(r["request_latency"], r["count"]) for r in rows] == [
+        (0, 241), (5000000, 10), (10000000, 3), (25000000, 1),
+    ]
+
+
+def test_kafka_topics_overview_golden(spark, ctx):
+    """Per-topic partition/producer/consumer counts and byte totals."""
+    out = _run(
+        "kafka_overview/kafka_overview.pxl",
+        calls=[("kafka_topics_overview", {"start_time": "-1h", "ns": "", "topic": ""})],
+    )
+    rows = _rows(out["kafka_topics_overview"], "topic_name")
+    assert [
+        (r["topic_name"], r["num_partitions"], r["num_producers"], r["num_consumers"],
+         r["bytes_produced_total"], r["bytes_consumed_total"])
+        for r in rows
+    ] == [
+        ("events", 3, 10, 10, 225795, 228798),
+        ("logs", 3, 10, 10, 210009, 255115),
+        ("orders", 3, 10, 10, 204546, 256706),
+    ]
