@@ -53,10 +53,56 @@ def _ns_to_sql_ts_literal(ns: int) -> str:
     return dt.strftime("%Y-%m-%d %H:%M:%S.%f")
 
 
+def _int64_ts_unit_scale(path: str, col: str = "ts") -> int:
+    """Multiplier mapping a raw-INT64 epoch column to ns, inferred WITHOUT
+    a Spark job: when the parquet column carries a TIMESTAMP logical type
+    the declared unit wins (nanosAsLong read → already ns → 1); for a
+    bare INT64 the footer row-group max statistic discriminates the unit
+    by magnitude — any plausible epoch is ~1.7e9 s / 1.7e12 ms / 1.7e15
+    µs / 1.7e18 ns, five orders apart, so the bands can't collide.
+    Falls back to 1 (ns) when statistics are absent."""
+    import pyarrow.parquet as pq
+
+    try:
+        files = [
+            os.path.join(path, f)
+            for f in (os.listdir(path) if os.path.isdir(path) else [""])
+        ] or [path]
+        first = next(
+            (f for f in sorted(files) if f.endswith(".parquet")), path
+        ) if os.path.isdir(path) else path
+        md = pq.read_metadata(first)
+    except Exception:  # noqa: BLE001 — unreadable footer → trust ns
+        return 1
+    schema = md.schema
+    idx = next((i for i in range(len(schema)) if schema.column(i).name == col), None)
+    if idx is None:
+        return 1
+    if str(getattr(schema.column(idx).logical_type, "type", "")).upper().startswith(
+        "TIMESTAMP"
+    ):
+        return 1  # declared unit — the nanosAsLong/normalize paths own it
+    mx = 0
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is not None and st.has_min_max and st.max is not None:
+            mx = max(mx, int(st.max))
+    if mx <= 0:
+        return 1
+    if mx < 10**11:
+        return 10**9  # seconds
+    if mx < 10**14:
+        return 10**6  # milliseconds
+    if mx < 10**17:
+        return 10**3  # microseconds
+    return 1  # nanoseconds
+
+
 def normalize_ts_ns(
     df: DataFrame,
     col: str = "ts",
     time_range_ns: Optional[Tuple[int, int]] = None,
+    int64_scale: int = 1,
 ) -> DataFrame:
     """Normalize a physical time column to the engine's long-ns convention.
 
@@ -99,10 +145,19 @@ def normalize_ts_ns(
                 )
             )
         return df.withColumn(col, F.unix_micros(F.col(col)) * F.lit(1000))
-    # bigint: TIMESTAMP(NANOS) parquet read via nanosAsLong — already ns.
+    # bigint: TIMESTAMP(NANOS) parquet read via nanosAsLong — already ns
+    # (scale 1) — or a raw-INT64 epoch column whose unit the caller
+    # inferred from footer statistics (scale 10^k to ns).
     if time_range_ns is not None:
         lo, hi = time_range_ns
-        df = df.where((F.col(col) >= F.lit(lo)) & (F.col(col) < F.lit(hi)))
+        # predicate on the PHYSICAL (unscaled) values so it pushes down:
+        # raw*scale >= lo  ⟺  raw >= ceil(lo/scale)
+        df = df.where(
+            (F.col(col) >= F.lit(-(-lo // int64_scale)))
+            & (F.col(col) < F.lit(-(-hi // int64_scale)))
+        )
+    if int64_scale != 1:
+        df = df.withColumn(col, F.col(col) * F.lit(int64_scale))
     return df
 
 
@@ -123,8 +178,12 @@ def load_table(
     works but scans all row groups.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    return normalize_ts_ns(df, "ts", time_range_ns)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    scale = 1
+    if dict(df.dtypes).get("ts") == "bigint":
+        scale = _int64_ts_unit_scale(path)
+    return normalize_ts_ns(df, "ts", time_range_ns, int64_scale=scale)
 
 
 def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -124,3 +124,45 @@ def test_normalize_noop_without_ts(spark):
     out = normalize_ts_ns(df)
     assert out.columns == ["x"]
     assert out.count() == 3
+
+
+def test_load_table_raw_int64_micros(spark, tmp_path):
+    """A raw-INT64 epoch column with no parquet logical type: the unit is
+    inferred from footer statistics (µs magnitude → ×1000 to ns)."""
+    d = _write(tmp_path, pa.int64(), TS_US)
+    df = load_table(spark, d, "events")
+    got = [r.ts for r in df.orderBy("event_id").collect()]
+    assert got == EXPECTED_NS
+
+
+def test_load_table_raw_int64_millis_and_seconds(spark, tmp_path):
+    ms = [us // 1000 for us in TS_US]
+    d = _write(tmp_path, pa.int64(), ms)
+    got = [r.ts for r in load_table(spark, d, "events").orderBy("event_id").collect()]
+    assert got == [m * 1_000_000 for m in ms]
+
+    secs = [us // 1_000_000 for us in TS_US]
+    d2 = tmp_path / "s"
+    d2.mkdir()
+    d2 = _write(d2, pa.int64(), secs)
+    got = [r.ts for r in load_table(spark, d2, "events").orderBy("event_id").collect()]
+    assert got == [s * 1_000_000_000 for s in secs]
+
+
+def test_load_table_raw_int64_nanos_passthrough(spark, tmp_path):
+    d = _write(tmp_path, pa.int64(), EXPECTED_NS)
+    got = [r.ts for r in load_table(spark, d, "events").orderBy("event_id").collect()]
+    assert got == EXPECTED_NS
+
+
+def test_raw_int64_range_filter_on_physical_values(spark, tmp_path):
+    """time_range_ns over a raw-µs column: predicate lands on the raw
+    values (pushable) and [lo, hi) semantics survive the scaling."""
+    d = _write(tmp_path, pa.int64(), TS_US)
+    lo, hi = EXPECTED_NS[1], EXPECTED_NS[2]
+    df = load_table(spark, d, "events", time_range_ns=(lo, hi))
+    assert [r.ts for r in df.collect()] == [EXPECTED_NS[1]]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "GreaterThanOrEqual(ts" in pushed
