@@ -93,11 +93,22 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # Entries timed under a production config that differs from the
+        # correctness-gate config (see BENCH_OVERRIDES) — flagged so a
+        # consumer knows the benched path is not the oracle-checked one.
+        "queries_overridden": sorted(set(BENCH_OVERRIDES) & set(HEADLINE)),
+        "queries_expected": len(HEADLINE),
+        "queries_completed": len(timings),
         "sf": float(sf),
     }
     if errors:
         out["errors"] = errors
+        out["partial"] = True
     print(json.dumps(out))
+    if errors:
+        # Partial totals must not read as a full run: nonzero rc signals
+        # degradation while the JSON above still carries the partial data.
+        sys.exit(2)
 
 
 if __name__ == "__main__":

@@ -136,25 +136,69 @@ def _hashed_shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int) ->
     )
 
 
-def _pairs_from_posting_lists(postings: DataFrame, docs_col: str = "docs") -> DataFrame:
+# Default skew guard for posting-list pair expansion. A list of k docs
+# expands to k(k-1)/2 pairs IN ONE TASK, so an uncapped hot key (a
+# boilerplate shingle in millions of docs, an LSH bucket holding a giant
+# near-dup cluster) turns into a single-task k² straggler at corpus
+# scale. Lists longer than the cap are dropped as stop-keys — the same
+# call production dedup systems make: a shingle shared by >K documents
+# carries ~no discriminative signal, and every pair it would contribute
+# is overwhelmingly likely to co-occur in a rarer list too. Recall
+# impact: only pairs whose EVERY common shingle/bucket is hotter than
+# the cap are lost. 2500²/2 ≈ 3.1M pairs is a bounded, sub-second task.
+MAX_POSTING_LIST = 2500
+
+
+def _pairs_from_posting_lists(
+    postings: DataFrame,
+    docs_col: str = "docs",
+    max_list_size: int | None = MAX_POSTING_LIST,
+) -> DataFrame:
     """(doc_a, doc_b) distinct pairs co-occurring in any posting list.
 
     Two chained explodes expand each list's k(k-1)/2 ordered pairs
     in-row — replacing an index self-join (second shuffle + shared-scan
-    recompute) with a single aggregation. Skewed long lists are the
-    caller's responsibility (prefix filtering / band width keep k small).
+    recompute) with a single aggregation. ``max_list_size`` caps the
+    per-list expansion (see MAX_POSTING_LIST); pass None to disable.
+    Use :func:`posting_list_skew_stats` on the same postings frame to
+    observe how many lists the cap drops.
     """
+    sized = postings.where(F.size(docs_col) > 1)
+    if max_list_size is not None:
+        sized = sized.where(F.size(docs_col) <= max_list_size)
     return (
-        postings.where(F.size(docs_col) > 1)
-        .select(F.col(docs_col).alias("__docs"), F.explode(docs_col).alias("doc_a"))
+        sized.select(F.col(docs_col).alias("__docs"), F.explode(docs_col).alias("doc_a"))
         .select("doc_a", F.explode("__docs").alias("doc_b"))
         .where(F.col("doc_a") < F.col("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
+def posting_list_skew_stats(
+    postings: DataFrame,
+    docs_col: str = "docs",
+    max_list_size: int = MAX_POSTING_LIST,
+) -> DataFrame:
+    """Skew/drop metric for a posting-list frame: one row with
+    (n_lists, n_dropped, max_list_size, cap). ``n_dropped`` is how many
+    lists exceed the cap and would be skipped by
+    :func:`_pairs_from_posting_lists` — at 100 TB this is the dashboard
+    number that says whether the stop-key cap is biting."""
+    return postings.agg(
+        F.count(F.lit(1)).alias("n_lists"),
+        F.sum((F.size(docs_col) > max_list_size).cast("long")).alias("n_dropped"),
+        F.max(F.size(docs_col)).alias("max_list_size"),
+        F.lit(max_list_size).alias("cap"),
+    )
+
+
 def jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_posting_list: int | None = MAX_POSTING_LIST,
 ) -> DataFrame:
     """Exact n-gram Jaccard ≥ threshold pairs via prefix filtering.
 
@@ -223,7 +267,8 @@ def jaccard_pairs(
     # checkpoint. Posting lists are short by construction (rarity-first
     # prefix), so the per-list k² expansion is bounded.
     cands = _pairs_from_posting_lists(
-        prefix.groupBy("shingle").agg(F.collect_list("doc").alias("docs"))
+        prefix.groupBy("shingle").agg(F.collect_list("doc").alias("docs")),
+        max_list_size=max_posting_list,
     )
     sa = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -253,6 +298,22 @@ def _sig_from_hashed(hashed: DataFrame, num_hashes: int) -> DataFrame:
     """(doc, signature: array<long>) from (doc, h1, h2) shingle rows."""
     sig = hashed.groupBy("doc").agg(
         *[F.min(_minhash_mix(i)).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return sig.select("doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
+
+
+def _sig_independent(sid_rows: DataFrame, num_hashes: int) -> DataFrame:
+    """(doc, signature: array<long>) from (doc, sid) rows using num_hashes
+    INDEPENDENT minwise functions h_i = xxhash64(sid, i) — per-i seeded
+    full hashes, not Kirsch-Mitzenmacher mixes of two base hashes. ~32×
+    more hash work per shingle row than _sig_from_hashed, so this is the
+    CORRECTNESS-CONTRACT path: the KM mixes are pairwise-correlated, and
+    when the stated contract is full recall (bands == num_hashes ⇒ output
+    equals the exact result) the (1-t)^num_hashes miss bound only holds
+    under genuine independence. Production banding keeps the cheap mixes.
+    """
+    sig = sid_rows.groupBy("doc").agg(
+        *[F.min(F.xxhash64("sid", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
     )
     return sig.select("doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
 
@@ -312,6 +373,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    max_posting_list: int | None = MAX_POSTING_LIST,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash-LSH, verified by
     estimated Jaccard (fraction of agreeing minhashes).
@@ -326,9 +388,10 @@ def minhash_lsh_pairs(
 
     # candidate pairs from bucket posting lists (no self-join; see
     # _pairs_from_posting_lists) — LSH guarantees short lists except for
-    # true near-dup clusters
+    # true near-dup clusters, and the cap bounds those
     cands = _pairs_from_posting_lists(
-        band_entries.groupBy("band", "bucket").agg(F.collect_list("doc").alias("docs"))
+        band_entries.groupBy("band", "bucket").agg(F.collect_list("doc").alias("docs")),
+        max_list_size=max_posting_list,
     )
     sa = sig.select(F.col("doc").alias("doc_a"), F.col("signature").alias("sig_a"))
     sb = sig.select(F.col("doc").alias("doc_b"), F.col("signature").alias("sig_b"))
@@ -355,6 +418,7 @@ def minhash_lsh_verified_pairs(
     num_hashes: int = 64,
     bands: int = 64,
     threshold: float = 0.5,
+    max_posting_list: int | None = MAX_POSTING_LIST,
 ) -> DataFrame:
     """Banded MinHash-LSH candidates verified by EXACT Jaccard — the
     standard production shape (LSH recall stage + exact verify stage):
@@ -365,23 +429,40 @@ def minhash_lsh_verified_pairs(
     Output (doc_a, doc_b, jaccard) is a SUBSET of the exact all-pairs
     result by construction (verification is exact). At the default
     rows_per_band=1 (bands == num_hashes) a true pair is a candidate iff
-    ANY of the num_hashes minwise values agree — a pair with Jaccard ≥ t
-    is missed with P ≈ (1-t)^num_hashes (≤ 6e-20 at t=0.5, 64 hashes),
-    so on any real corpus the output EQUALS the exact result; the gate
-    oracle-checks that equality against all-pairs SQL.
+    ANY of the num_hashes minwise values agree, and the signature uses
+    per-i INDEPENDENT hashes (_sig_independent) so the miss bound for a
+    pair with Jaccard ≥ t really is (1-t)^num_hashes (≤ 6e-20 at t=0.5,
+    64 hashes) — negligible on any corpus, so the output equals the
+    exact result and the gate oracle-checks that equality against
+    all-pairs SQL. (The production bands<num_hashes path keeps the
+    cheaper Kirsch-Mitzenmacher mixes, whose correlation only moves the
+    RECALL CURVE slightly — there is no exactness contract to break.)
+
+    ``max_posting_list`` bounds the per-bucket pair expansion (skew
+    guard, see MAX_POSTING_LIST). A bucket hotter than the cap — a
+    near-dup cluster of >cap docs — is dropped from candidate
+    generation, which WOULD break the full-recall equality on such a
+    corpus; the cap is deliberately far above any real cluster size the
+    gate fixtures contain, and posting_list_skew_stats makes the drop
+    observable in production.
     """
     rows_per_band = num_hashes // bands
     sh = _hashed_shingle_arrays(df, id_col, text_col, n).localCheckpoint()
-    hashed = sh.select("doc", F.explode("sh").alias("sid")).select(
-        "doc",
-        F.col("sid").alias("h1"),
-        F.xxhash64("sid").alias("h2"),
-    )
-    sig = _sig_from_hashed(hashed, num_hashes)
+    sid_rows = sh.select("doc", F.explode("sh").alias("sid"))
+    if bands == num_hashes:
+        sig = _sig_independent(sid_rows, num_hashes)
+    else:
+        hashed = sid_rows.select(
+            "doc",
+            F.col("sid").alias("h1"),
+            F.xxhash64("sid").alias("h2"),
+        )
+        sig = _sig_from_hashed(hashed, num_hashes)
     cands = _pairs_from_posting_lists(
         _band_entries(sig, bands, rows_per_band)
         .groupBy("band", "bucket")
-        .agg(F.collect_list("doc").alias("docs"))
+        .agg(F.collect_list("doc").alias("docs")),
+        max_list_size=max_posting_list,
     )
     sa = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))

@@ -91,7 +91,9 @@ def decode_ppm(payload: bytes) -> np.ndarray | None:
     while len(tokens) < 3 and i < len(payload):
         c = payload[i : i + 1]
         if c == b"#":
-            i = payload.index(b"\n", i)
+            i = payload.find(b"\n", i)
+            if i < 0:  # truncated comment: malformed, not our format
+                return None
         elif c.isspace():
             i += 1
         else:
@@ -102,7 +104,10 @@ def decode_ppm(payload: bytes) -> np.ndarray | None:
             i = j
     if len(tokens) < 3:
         return None
-    w, h, maxval = (int(t) for t in tokens)
+    try:
+        w, h, maxval = (int(t) for t in tokens)
+    except ValueError:  # non-numeric header tokens: not a netpbm file
+        return None
     i += 1  # single whitespace byte separates header from raster
     channels = 3 if payload[:2] == b"P6" else 1
     dtype = np.dtype(">u2") if maxval > 255 else np.dtype(np.uint8)

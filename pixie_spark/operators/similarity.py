@@ -87,6 +87,7 @@ def embedding_dedup_pairs(
     n_planes: int = 4,
     n_tables: int = 8,
     dim: int = 64,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, score) with
     cosine ≥ threshold and id_a < id_b.
@@ -169,6 +170,26 @@ def embedding_dedup_pairs(
         ent = base.select("id", F.explode("buckets").alias("tb")).select(
             "id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
         )
+        if max_bucket_size is not None:
+            # Skew guard (opt-in): a bucket of k entries contributes k²
+            # join-output rows from ONE shuffle partition's worth of
+            # input, so one hot bucket (a giant near-dup cluster, or a
+            # degenerate all-zeros embedding region) dominates the stage.
+            # Hot buckets are identified with one narrow (tbl, bucket)
+            # count and removed from BOTH join sides via a broadcast
+            # anti-join — the hot set is tiny by definition. Recall
+            # impact: a pair is lost only if EVERY one of its n_tables
+            # colliding buckets is hot. Opt-in (default None) because the
+            # correct cap depends on n_planes vs corpus size: with few
+            # planes every bucket is "hot" and a blanket cap would empty
+            # the index — raise n_planes first, then cap the residue.
+            hot = (
+                ent.groupBy("tbl", "bucket")
+                .agg(F.count(F.lit(1)).alias("k"))
+                .where(F.col("k") > max_bucket_size)
+                .select("tbl", "bucket")
+            )
+            ent = ent.join(F.broadcast(hot), ["tbl", "bucket"], "left_anti")
         cand = (
             ent.select(F.col("id").alias("id_a"), "tbl", "bucket")
             .join(ent.select(F.col("id").alias("id_b"), "tbl", "bucket"), ["tbl", "bucket"])

@@ -1697,19 +1697,32 @@ def q_pprof_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Gate-window ordering
 # =============================================================================
 # The external driver records at most the FIRST 50 queries() entries in
-# its correctness gate (dict insertion order). Re-order so every
-# oracle-bearing entry sits inside that window and the rows-only demos
-# (approximate/stochastic by construction — pytest-verified instead)
-# take the tail. Round 2 lost gate rows for 5 oracle-checked queries to
-# this cap; this makes the ordering structural instead of accidental.
+# its correctness gate (dict insertion order). ``QUERIES`` itself stays
+# in declaration order (docs/listings/other consumers see the natural
+# order); the driver adapter (__spark_entry__.queries) calls
+# ``gate_ordered()`` to put every oracle-bearing entry inside the gate
+# window and the rows-only demos (approximate/stochastic by
+# construction — pytest-verified instead) at the tail. Round 2 lost gate
+# rows for 5 oracle-checked queries to this cap; round 3 fixed it by
+# mutating QUERIES in place, which silently reordered every consumer —
+# this keeps the reorder scoped to the driver contract.
+
+GATE_WINDOW = 50
 
 
-def _gate_window_order() -> None:
+def gate_ordered() -> dict[str, "QuerySpec"]:
+    """Gate-friendly view of QUERIES: oracle-bearing entries first.
+
+    Raises if oracle-bearing entries outgrow the driver's gate window —
+    a silent drop there would remove a hash-checked row from the gate,
+    which is exactly the regression this ordering exists to prevent.
+    """
     oracle = {n: s for n, s in QUERIES.items() if s.oracle is not None}
+    if len(oracle) > GATE_WINDOW:
+        raise RuntimeError(
+            f"{len(oracle)} oracle-bearing queries exceed the driver's "
+            f"{GATE_WINDOW}-row gate window; drop or demote one explicitly "
+            "instead of letting the window truncate it."
+        )
     rows_only = {n: s for n, s in QUERIES.items() if s.oracle is None}
-    QUERIES.clear()
-    QUERIES.update(oracle)
-    QUERIES.update(rows_only)
-
-
-_gate_window_order()
+    return {**oracle, **rows_only}

@@ -121,10 +121,13 @@ def normalize_ts_ns(
         # NTZ wall-clock: diff from the NTZ epoch is tz-independent.
         if time_range_ns is not None:
             lo, hi = time_range_ns
+            # A µs column holds only µs-aligned instants, so the exact
+            # [lo, hi) ns predicate on it is [ceil(lo/1e3), ceil(hi/1e3)) µs.
+            lo_us, hi_us = -(-lo // 1000), -(-hi // 1000)
             df = df.where(
                 F.expr(
-                    f"{col} >= TIMESTAMP_NTZ '{_ns_to_sql_ts_literal(lo)}' "
-                    f"AND {col} < TIMESTAMP_NTZ '{_ns_to_sql_ts_literal(hi)}'"
+                    f"{col} >= TIMESTAMP_NTZ '{_ns_to_sql_ts_literal(lo_us * 1000)}' "
+                    f"AND {col} < TIMESTAMP_NTZ '{_ns_to_sql_ts_literal(hi_us * 1000)}'"
                 )
             )
         return df.withColumn(
@@ -138,10 +141,15 @@ def normalize_ts_ns(
         # Instant (LTZ) semantics: unix_micros is the exact epoch offset.
         if time_range_ns is not None:
             lo, hi = time_range_ns
+            # timestamp_micros(int) is exact integer µs — no double
+            # round-trip that could shift a bound by 1 µs at large epochs —
+            # and still folds to a literal the parquet reader can push.
+            # Ceil both bounds: a µs column only holds µs-aligned instants,
+            # so [lo, hi) in ns is exactly [ceil(lo/1e3), ceil(hi/1e3)) in µs.
             df = df.where(
                 F.expr(
-                    f"{col} >= to_timestamp({lo // 1000} * 1e-6) "
-                    f"AND {col} < to_timestamp({hi // 1000} * 1e-6)"
+                    f"{col} >= timestamp_micros({-(-lo // 1000)}) "
+                    f"AND {col} < timestamp_micros({-(-hi // 1000)})"
                 )
             )
         return df.withColumn(col, F.unix_micros(F.col(col)) * F.lit(1000))

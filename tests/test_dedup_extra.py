@@ -1,7 +1,10 @@
-"""Contamination-check operator."""
+"""Contamination check, posting-list skew caps, and the
+production-banding ⊆ full-recall candidate anchor."""
 
+import pytest
 from pyspark.sql import functions as F
 
+from pixie_spark.operators import dedup as dd
 from pixie_spark.operators.dedup import contamination_check
 
 
@@ -27,3 +30,130 @@ def test_contamination_clean_corpus_empty(spark):
     corpus = spark.createDataFrame([(1, "a b c d e f g")], ["doc_id", "text"])
     probes = spark.createDataFrame([(0, "z y x w v u t")], ["doc_id", "text"])
     assert contamination_check(corpus, probes, n=5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Posting-list skew caps (hot-key guard for the k² in-row pair expansion)
+# ---------------------------------------------------------------------------
+
+
+def test_posting_list_cap_drops_hot_lists(spark):
+    """A list above the cap contributes no pairs; short lists unaffected."""
+    postings = spark.createDataFrame(
+        [(1, list(range(100))), (2, [900, 901, 902])], ["key", "docs"]
+    )
+    pairs = dd._pairs_from_posting_lists(postings, max_list_size=10).collect()
+    assert len(pairs) == 3  # only the 3-doc list's pairs survive
+    assert all(r.doc_a >= 900 for r in pairs)
+    # uncapped: 100*99/2 + 3
+    assert dd._pairs_from_posting_lists(postings, max_list_size=None).count() == 4953
+
+
+def test_posting_list_skew_stats(spark):
+    postings = spark.createDataFrame(
+        [(1, list(range(100))), (2, [900, 901, 902])], ["key", "docs"]
+    )
+    row = dd.posting_list_skew_stats(postings, max_list_size=10).collect()[0]
+    assert (row.n_lists, row.n_dropped, row.max_list_size, row.cap) == (2, 1, 100, 10)
+
+
+def test_jaccard_survives_planted_stop_shingle(spark):
+    """A boilerplate header shared by EVERY doc (the 100 TB skew case)
+    must not blow up candidate generation — the hot posting list is
+    dropped by the cap — while the true near-dup pair is still found via
+    its rare shingles (PPJoin's rarity-first prefix makes rare lists the
+    pairing channel anyway)."""
+    header = "terms of service apply to this document"
+    rows = [(i, f"{header} unique{i} filler{i} content{i} tail{i}") for i in range(200)]
+    rows.append((1000, rows[7][1]))  # exact near-dup of doc 7
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dd.jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, max_posting_list=50
+    ).collect()
+    assert {(r.doc_a, r.doc_b) for r in out} == {(7, 1000)}
+    assert out[0].jaccard == pytest.approx(1.0)
+    # and the skew metric sees the hot header lists
+    sh = dd._hashed_shingle_arrays(docs, "doc_id", "text", 3)
+    postings = (
+        sh.select("doc", F.explode("sh").alias("sid"))
+        .groupBy("sid")
+        .agg(F.collect_list("doc").alias("docs"))
+    )
+    stats = dd.posting_list_skew_stats(postings, max_list_size=50).collect()[0]
+    assert stats.n_dropped >= 1 and stats.max_list_size > 50
+
+
+def test_minhash_hot_bucket_cap_bounds_expansion(spark):
+    """A giant near-dup cluster lands in one LSH bucket; with the cap the
+    bucket is dropped (bounded task) instead of expanding k² pairs."""
+    rows = [(i, "identical boilerplate text repeated verbatim everywhere") for i in range(80)]
+    rows += [(500 + i, f"distinct{i} words{i} here{i} now{i} ok{i}") for i in range(5)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = dd.minhash_lsh_verified_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_posting_list=40
+    )
+    assert capped.count() == 0  # cluster bucket (80 > 40) dropped, rest unique
+    uncapped = dd.minhash_lsh_verified_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_posting_list=None
+    )
+    assert uncapped.count() == 80 * 79 // 2
+
+
+# ---------------------------------------------------------------------------
+# Production banding is correctness-anchored to the full-recall config
+# ---------------------------------------------------------------------------
+
+
+def _km_candidates(docs, bands, num_hashes=64, n=5):
+    """Candidate pairs under Kirsch-Mitzenmacher signatures at the given
+    banding — SAME signature family for both configs so the subset
+    relation is structural (4 agreeing rows ⇒ each row agrees)."""
+    sig = dd.minhash_signatures(docs, "doc_id", "text", n, num_hashes)
+    return dd._pairs_from_posting_lists(
+        dd._band_entries(sig, bands, num_hashes // bands)
+        .groupBy("band", "bucket")
+        .agg(F.collect_list("doc").alias("docs")),
+        max_list_size=None,
+    )
+
+
+def test_production_banding_candidates_subset_of_full_recall(spark, sf_dir):
+    """bench's 16×4 production banding: candidates ⊆ full-recall (64×1)
+    candidates, and the exact-verified survivors are identical — so the
+    benched config is anchored to the oracle-checked one, not just
+    recall-sampled."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prod = {(r.doc_a, r.doc_b) for r in _km_candidates(docs, bands=16).collect()}
+    full = {(r.doc_a, r.doc_b) for r in _km_candidates(docs, bands=64).collect()}
+    assert prod <= full
+    prod_pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dd.minhash_lsh_verified_pairs(
+            docs, "doc_id", "text", n=5, num_hashes=64, bands=16, threshold=0.5
+        ).collect()
+    }
+    gate_pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dd.minhash_lsh_verified_pairs(
+            docs, "doc_id", "text", n=5, num_hashes=64, bands=64, threshold=0.5
+        ).collect()
+    }
+    assert prod_pairs == gate_pairs
+
+
+def test_full_recall_config_equals_exact_jaccard(spark, sf_dir):
+    """The gate config (bands == num_hashes, independent per-i hashes)
+    must EQUAL exact all-pairs Jaccard on the fixture corpus — this is
+    the contract the driver's oracle row checks."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in dd.jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.5).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in dd.minhash_lsh_verified_pairs(
+            docs, "doc_id", "text", n=5, num_hashes=64, bands=64, threshold=0.5
+        ).collect()
+    }
+    assert exact == lsh

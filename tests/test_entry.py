@@ -38,6 +38,19 @@ def test_queries_and_oracles_consistent():
     assert len(oracles) / len(qs) >= 0.8
 
 
+def test_gate_window_holds_every_oracle_query():
+    """The driver records only the FIRST 50 queries() entries; every
+    oracle-bearing query must sit inside that window (rows-only demos
+    take the tail), while pixie_spark.queries.QUERIES itself stays in
+    declaration order for other consumers."""
+    from pixie_spark.queries import GATE_WINDOW
+
+    ordered = list(entry_mod.queries())
+    oracles = set(entry_mod.oracle_sql())
+    positions = {name: i for i, name in enumerate(ordered)}
+    assert all(positions[name] < GATE_WINDOW for name in oracles)
+
+
 @pytest.fixture(scope="module")
 def duck(sf_dir):
     con = duckdb.connect()

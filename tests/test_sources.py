@@ -85,6 +85,31 @@ def test_time_range_pushdown_on_physical_column(spark, tmp_path):
     assert got == [EXPECTED_NS[1]]  # [lo, hi) excludes the upper bound
 
 
+def test_time_range_pushdown_ltz(spark, tmp_path):
+    """LTZ (instant) twin of the NTZ pushdown test: bounds are built with
+    timestamp_micros(<int>) — exact integer µs, no double round-trip that
+    could shift a bound by 1 µs — and still push to the reader."""
+    d = _write(tmp_path, pa.timestamp("us", tz="UTC"), TS_US)
+    lo, hi = EXPECTED_NS[1], EXPECTED_NS[2]
+    df = load_table(spark, d, "events", time_range_ns=(lo, hi))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "GreaterThanOrEqual(ts" in pushed and "LessThan(ts" in pushed
+    assert [r.ts for r in df.collect()] == [EXPECTED_NS[1]]
+
+
+def test_time_range_ltz_unaligned_ns_bounds(spark, tmp_path):
+    """ns bounds that aren't µs-aligned: [lo, hi) on a µs column must use
+    ceil(bound/1000) — floor would admit a row 999 ns below lo."""
+    d = _write(tmp_path, pa.timestamp("us", tz="UTC"), TS_US)
+    # lo just above row 1's exact ns instant → row 1 excluded;
+    # hi just above row 2's instant → row 2 included.
+    lo, hi = EXPECTED_NS[1] + 1, EXPECTED_NS[2] + 1
+    df = load_table(spark, d, "events", time_range_ns=(lo, hi))
+    assert [r.ts for r in df.collect()] == [EXPECTED_NS[2]]
+
+
 def test_time_range_matches_post_filter(spark, sf_dir):
     """Pushdown path ≡ filtering the normalized column (real fixtures)."""
     lo = 1_704_412_800 * 1_000_000_000
