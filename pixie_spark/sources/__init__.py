@@ -53,14 +53,9 @@ def _ns_to_sql_ts_literal(ns: int) -> str:
     return dt.strftime("%Y-%m-%d %H:%M:%S.%f")
 
 
-def _int64_ts_unit_scale(path: str, col: str = "ts") -> int:
-    """Multiplier mapping a raw-INT64 epoch column to ns, inferred WITHOUT
-    a Spark job: when the parquet column carries a TIMESTAMP logical type
-    the declared unit wins (nanosAsLong read → already ns → 1); for a
-    bare INT64 the footer row-group max statistic discriminates the unit
-    by magnitude — any plausible epoch is ~1.7e9 s / 1.7e12 ms / 1.7e15
-    µs / 1.7e18 ns, five orders apart, so the bands can't collide.
-    Falls back to 1 (ns) when statistics are absent."""
+def _parquet_footer(path: str):
+    """Footer metadata of ``path`` (or its first .parquet file when a
+    directory); None when unreadable."""
     import pyarrow.parquet as pq
 
     try:
@@ -71,8 +66,56 @@ def _int64_ts_unit_scale(path: str, col: str = "ts") -> int:
         first = next(
             (f for f in sorted(files) if f.endswith(".parquet")), path
         ) if os.path.isdir(path) else path
-        md = pq.read_metadata(first)
-    except Exception:  # noqa: BLE001 — unreadable footer → trust ns
+        return pq.read_metadata(first)
+    except Exception:  # noqa: BLE001 — unreadable footer → caller falls back
+        return None
+
+
+_TS_UNIT_TO_NS = {"nanoseconds": 1, "microseconds": 1000, "milliseconds": 1_000_000}
+
+
+def _ts_long_read_scale(path: str, col: str = "ts") -> Optional[int]:
+    """ns-per-unit multiplier for reading a TIMESTAMP-typed parquet
+    column as raw INT64 (Spark accepts a user schema that maps a
+    physically-INT64 timestamp column to LongType), or None when that
+    read is impossible (INT96 legacy encoding, column absent, footer
+    unreadable).
+
+    This is the zero-conversion fast path: the engine's ns column is
+    then ``raw * scale`` — one long multiply instead of a per-row
+    timestampdiff/unix_micros chain — and time-range predicates compare
+    raw longs, which both push to the reader and stay trivially inside
+    whole-stage codegen.
+    """
+    md = _parquet_footer(path)
+    if md is None:
+        return None
+    schema = md.schema
+    idx = next((i for i in range(len(schema)) if schema.column(i).name == col), None)
+    if idx is None:
+        return None
+    c = schema.column(idx)
+    if c.physical_type != "INT64":
+        return None
+    lt = c.logical_type
+    if str(getattr(lt, "type", "")).upper() != "TIMESTAMP":
+        return None
+    import json
+
+    unit = json.loads(lt.to_json()).get("timeUnit")
+    return _TS_UNIT_TO_NS.get(unit)
+
+
+def _int64_ts_unit_scale(path: str, col: str = "ts") -> int:
+    """Multiplier mapping a raw-INT64 epoch column to ns, inferred WITHOUT
+    a Spark job: when the parquet column carries a TIMESTAMP logical type
+    the declared unit wins (nanosAsLong read → already ns → 1); for a
+    bare INT64 the footer row-group max statistic discriminates the unit
+    by magnitude — any plausible epoch is ~1.7e9 s / 1.7e12 ms / 1.7e15
+    µs / 1.7e18 ns, five orders apart, so the bands can't collide.
+    Falls back to 1 (ns) when statistics are absent."""
+    md = _parquet_footer(path)
+    if md is None:
         return 1
     schema = md.schema
     idx = next((i for i in range(len(schema)) if schema.column(i).name == col), None)
@@ -188,8 +231,30 @@ def load_table(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
+    dt = dict(df.dtypes).get("ts")
+    if dt in ("timestamp", "timestamp_ntz"):
+        # Fast path: re-read the TIMESTAMP column as raw INT64 (exact
+        # stored µs/ms/ns integers, tz-independent by construction) so
+        # normalization is a single long multiply and range predicates
+        # compare pushable longs. Falls back to the expression-based
+        # normalize paths only for INT96-encoded legacy files.
+        scale = _ts_long_read_scale(path)
+        if scale is not None:
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            fields = [
+                StructField(
+                    f.name,
+                    LongType() if f.name == "ts" else f.dataType,
+                    f.nullable,
+                )
+                for f in df.schema.fields
+            ]
+            df = spark.read.schema(StructType(fields)).parquet(path)
+            return normalize_ts_ns(df, "ts", time_range_ns, int64_scale=scale)
+        return normalize_ts_ns(df, "ts", time_range_ns)
     scale = 1
-    if dict(df.dtypes).get("ts") == "bigint":
+    if dt == "bigint":
         scale = _int64_ts_unit_scale(path)
     return normalize_ts_ns(df, "ts", time_range_ns, int64_scale=scale)
 
