@@ -507,6 +507,55 @@ def contamination_check(
     )
 
 
+def simhash_md5_fragments() -> tuple[list[str], list[tuple[str, str]], str]:
+    """Shared SQL fragments for the PORTABLE (md5-bit) SimHash — written
+    once, executed verbatim by BOTH Spark and DuckDB so the gate can
+    hash-compare signatures. Only md5/substr/instr/CASE/& appear: the
+    exact function set with identical semantics in the two engines
+    (xxhash64 exists only in Spark, which is why the production simhash
+    below is rows-only checkable). Returns (digit_exprs d0..d15,
+    (sum_expr, alias) pairs b0..b63, signature-assembly expr over b*).
+
+    Bit definition: bit i of a word = bit (i%4) of hex digit (i//4) of
+    md5(word) — 64 uniform bits; any fixed mapping works for SimHash.
+    The signature is emitted as a 16-char hex string (4 sign-majority
+    bits per digit), sidestepping 64-bit signed reassembly differences.
+    """
+    digits = [
+        f"instr('0123456789abcdef', substr(h, {k + 1}, 1)) - 1 AS d{k}"
+        for k in range(16)
+    ]
+    sums = [
+        (f"SUM(CASE WHEN (d{i // 4} & {1 << (i % 4)}) > 0 THEN 1 ELSE -1 END)", f"b{i}")
+        for i in range(64)
+    ]
+
+    def nibble(j: int) -> str:
+        return " + ".join(
+            f"{1 << r} * (CASE WHEN b{4 * j + r} > 0 THEN 1 ELSE 0 END)"
+            for r in range(4)
+        )
+
+    assemble = "concat(" + ", ".join(
+        f"substr('0123456789abcdef', 1 + ({nibble(j)}), 1)" for j in range(16)
+    ) + ")"
+    return digits, sums, assemble
+
+
+def simhash_md5(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Portable SimHash: (doc, simhash hex-string-16). Same sign-sum
+    algorithm as :func:`simhash` but over md5 bits so an external SQL
+    engine can replicate it bit-for-bit (the oracle for the gate row);
+    md5 per word is ~2× xxhash64 cost — use :func:`simhash` when
+    cross-engine verifiability isn't needed. Same plan shape: one
+    codegen map stage + one shuffle on doc, 64 integer aggregates."""
+    digits, sums, assemble = simhash_md5_fragments()
+    words = _word_rows(df, id_col, text_col).select("doc", "word")
+    d = words.selectExpr("doc", "md5(word) AS h").selectExpr("doc", *digits)
+    b = d.groupBy("doc").agg(*[F.expr(e).alias(a) for e, a in sums])
+    return b.selectExpr("doc", f"{assemble} AS simhash")
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """64-bit SimHash per doc: sign-sum of word-hash bits.
 

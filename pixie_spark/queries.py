@@ -51,14 +51,18 @@ class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: Optional[str]  # ANSI SQL for DuckDB; None → rows-only check
     doc: str = ""
+    # Rows-only queries normally must return ≥1 row (a 0-row result is
+    # indistinguishable from a silently-broken query); set for queries
+    # whose CONTRACT is zero rows (EmptySource).
+    allow_empty: bool = False
 
 
 QUERIES: dict[str, QuerySpec] = {}
 
 
-def query(name: str, oracle: Optional[str], doc: str = ""):
+def query(name: str, oracle: Optional[str], doc: str = "", allow_empty: bool = False):
     def deco(fn):
-        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc, allow_empty=allow_empty)
         return fn
 
     return deco
@@ -785,16 +789,39 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("doc_a", "doc_b", dround("jaccard", 6).alias("jaccard"))
 
 
+def _simhash_oracle() -> str:
+    """DuckDB oracle for the portable SimHash: the IDENTICAL digit/sum/
+    assembly fragments the Spark side executes (simhash_md5_fragments),
+    over the same words (regexp whitespace split, empties dropped)."""
+    digits, sums, assemble = dd.simhash_md5_fragments()
+    dsql = ", ".join(digits)
+    ssql = ", ".join(f"{e} AS {a}" for e, a in sums)
+    return f"""
+    WITH words AS (
+        SELECT doc_id AS doc, unnest(regexp_split_to_array(text, '\\s+')) AS word
+        FROM documents
+    ),
+    w AS (SELECT doc, md5(word) AS h FROM words WHERE word <> ''),
+    d AS (SELECT doc, {dsql} FROM w),
+    b AS (SELECT doc, {ssql} FROM d GROUP BY doc)
+    SELECT doc, {assemble} AS simhash FROM b
+    """
+
+
 @query(
     "dedup_simhash",
-    None,  # xxhash64-based — rows-only check; validated in tests.
-    doc="64-bit SimHash signatures (sign-sum of word hashes, 64 integer "
-    "aggregates, one shuffle on doc_id). Hamming-close signatures ≈ "
-    "near-dups; tests assert near-dup pairs are hamming-close.",
+    _simhash_oracle(),
+    doc="64-bit SimHash signatures (sign-sum of word-hash bits, 64 "
+    "integer aggregates, one shuffle on doc_id). Gate runs the PORTABLE "
+    "md5-bit variant so DuckDB replicates signatures bit-for-bit "
+    "(hash-matched oracle); the xxhash64 production variant "
+    "(operators/dedup.py:simhash) computes the same sign-majority "
+    "algorithm ~2× cheaper and is verified by the hamming-closeness "
+    "test on planted near-dups.",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = load_table(spark, sf_dir, "documents")
-    return dd.simhash(doc, "doc_id", "text")
+    return dd.simhash_md5(doc, "doc_id", "text")
 
 
 @query(
@@ -1095,11 +1122,15 @@ def q_udtf_catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "empty_source",
-    """
-    SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS VARCHAR) AS name WHERE false
-    """,
+    # Rows-only BY DESIGN since round 4: the driver's gate window holds 50
+    # rows and all 50 go to value-bearing queries — this 0-row schema
+    # check ceded its slot to the hash-matched dedup_simhash row. The
+    # operator stays verified: tests/test_sources.py pins schema + zero
+    # rows, and tools/check_oracle.py still runs this entry (allow_empty).
+    None,
     doc="EmptySource (ref: src/carnot/exec/empty_source_node.cc): zero "
     "rows, fixed schema.",
+    allow_empty=True,
 )
 def q_empty_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pixie_spark.sources import empty_source

@@ -144,7 +144,21 @@ def test_normalization_tz_independent(spark, tmp_path):
         spark.conf.set("spark.sql.session.timeZone", old)
 
 
-def test_normalize_noop_without_ts(spark):
+def test_empty_source_schema_and_zero_rows(spark):
+    """EmptySource contract: zero rows, exactly the declared schema.
+    (Rows-only in the driver gate since round 4 — this test is the
+    operator's correctness evidence.)"""
+    from pixie_spark.sources import empty_source
+
+    df = empty_source(spark, "id long, name string")
+    assert df.count() == 0
+    assert [(f.name, f.dataType.simpleString()) for f in df.schema.fields] == [
+        ("id", "bigint"),
+        ("name", "string"),
+    ]
+    # unioning an EmptySource is the identity (ref: union with empty input)
+    base = spark.createDataFrame([(1, "a")], "id long, name string")
+    assert base.unionByName(df).collect() == base.collect()
     df = spark.range(3).withColumnRenamed("id", "x")
     out = normalize_ts_ns(df)
     assert out.columns == ["x"]

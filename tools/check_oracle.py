@@ -109,7 +109,10 @@ def main() -> int:
             failed.append(name)
             continue
         if name not in oracles:
-            if len(sdf) == 0:
+            from pixie_spark.queries import QUERIES as _specs
+
+            allow_empty = _specs[name].allow_empty if name in _specs else False
+            if len(sdf) == 0 and not allow_empty:
                 print(f"FAIL {name}: rows-only query returned 0 rows")
                 failed.append(name)
             else:
