@@ -9,8 +9,13 @@ Spark-first re-expression:
 - kmeans: Lloyd's iterations as DataFrame aggregations — centroids are a
   small broadcast literal each round; assignment is a native argmin
   expression. Linear scans, no UDF in the assignment hot path.
-- embedding/sentencepiece: model inference needs libs absent here →
-  STUBBED with a deterministic fake behind the same API (plumbing real).
+- embedding/sentencepiece: the Arrow-batched inference UDFs are REAL and
+  CI-executed — model files route by extension to onnxruntime/
+  sentencepiece when present, or to the pure-numpy encoder session and
+  tiny-vocab tokenizer (np_encoder.py) that implement the same
+  interface, so tokenize/pad/mask/forward/mean-pool runs either way.
+  Without any model file, text_embedding falls back to an all-native
+  hashed random-projection BOW (a real JL sketch, no UDF).
 - sample: seeded uniform sampling (df.sample) / per-group reservoir via
   rank over a seeded hash — deterministic, shuffle-free pre-aggregation.
 """
@@ -157,27 +162,43 @@ _MODEL_CACHE: dict = {}
 
 
 def _load_sp(tokenizer_path: str):
-    import sentencepiece as spm
-
+    """Tokenizer by extension: ``*.json`` → the pure-numpy
+    TinyVocabTokenizer (same ``encode()`` surface — lets the inference
+    UDFs run in lib-less CI), anything else → real sentencepiece."""
     key = ("sp", tokenizer_path)
     if key not in _MODEL_CACHE:
-        _MODEL_CACHE[key] = spm.SentencePieceProcessor(model_file=tokenizer_path)
+        if tokenizer_path.endswith(".json"):
+            from pixie_spark.functions.np_encoder import TinyVocabTokenizer
+
+            _MODEL_CACHE[key] = TinyVocabTokenizer(tokenizer_path)
+        else:
+            import sentencepiece as spm
+
+            _MODEL_CACHE[key] = spm.SentencePieceProcessor(model_file=tokenizer_path)
     return _MODEL_CACHE[key]
 
 
 def _load_onnx(model_path: str):
-    import onnxruntime as ort
-
+    """Encoder session by extension: ``*.npz`` → NumpyEncoderSession
+    (ort.InferenceSession drop-in: get_inputs()/run()), else real
+    onnxruntime."""
     key = ("onnx", model_path)
     if key not in _MODEL_CACHE:
-        # executors run many task threads; keep ORT single-threaded per
-        # session so Spark's parallelism, not ORT's, owns the cores
-        opts = ort.SessionOptions()
-        opts.intra_op_num_threads = 1
-        opts.inter_op_num_threads = 1
-        _MODEL_CACHE[key] = ort.InferenceSession(
-            model_path, opts, providers=["CPUExecutionProvider"]
-        )
+        if model_path.endswith(".npz"):
+            from pixie_spark.functions.np_encoder import NumpyEncoderSession
+
+            _MODEL_CACHE[key] = NumpyEncoderSession(model_path)
+        else:
+            import onnxruntime as ort
+
+            # executors run many task threads; keep ORT single-threaded per
+            # session so Spark's parallelism, not ORT's, owns the cores
+            opts = ort.SessionOptions()
+            opts.intra_op_num_threads = 1
+            opts.inter_op_num_threads = 1
+            _MODEL_CACHE[key] = ort.InferenceSession(
+                model_path, opts, providers=["CPUExecutionProvider"]
+            )
     return _MODEL_CACHE[key]
 
 
@@ -231,13 +252,19 @@ def text_embedding(col: Column, model_path: str | None = None, tokenizer_path: s
     expressions, no UDF.
     """
     if model_path is not None:
-        if not (have_onnxruntime() and have_sentencepiece()):
+        tok = tokenizer_path or model_path
+        # npz/json models run on the built-in numpy session/tokenizer —
+        # no external libs involved; only genuine onnx/sp files gate.
+        need_ort = not model_path.endswith(".npz")
+        need_sp = not tok.endswith(".json")
+        if (need_ort and not have_onnxruntime()) or (need_sp and not have_sentencepiece()):
             raise ImportError(
                 "text_embedding(model_path=...) needs onnxruntime + "
                 "sentencepiece; call without model_path for the built-in "
-                "hashed random-projection embedding"
+                "hashed random-projection embedding, or pass an .npz "
+                "encoder + .json vocab for the numpy session"
             )
-        return _onnx_embed_udf(model_path, tokenizer_path or model_path)(col)
+        return _onnx_embed_udf(model_path, tok)(col)
     words = F.filter(F.split(col, r"\s+"), lambda w: w != "")
     # one pass over words; acc = running 32-dim sum (zip_with keeps the
     # whole accumulator update in a single HOF step per word)
@@ -261,13 +288,15 @@ def encode_sentence_piece(col: Column, model_path: str | None = None) -> Column:
     """_encode_sentence_piece (ml_ops.cc): text → token ids.
 
     With ``model_path`` + the sentencepiece lib, real tokenization via an
-    Arrow-batched pandas_udf (per-worker processor cache). Otherwise a
-    deterministic fake: word-hash ids mod 32000."""
+    Arrow-batched pandas_udf (per-worker processor cache); a ``.json``
+    vocab runs the built-in TinyVocabTokenizer through the SAME udf.
+    Otherwise a deterministic fake: word-hash ids mod 32000."""
     if model_path is not None:
-        if not have_sentencepiece():
+        if not model_path.endswith(".json") and not have_sentencepiece():
             raise ImportError(
                 "encode_sentence_piece(model_path=...) needs sentencepiece; "
-                "call without model_path for the deterministic stub"
+                "call without model_path for the deterministic stub, or "
+                "pass a .json vocab for the built-in tokenizer"
             )
         from pyspark.sql.functions import pandas_udf
 

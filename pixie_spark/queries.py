@@ -1353,22 +1353,31 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_pipeline_e2e",
     None,  # approximate LSH chain — rows-only; components tested separately.
     doc="End-to-end LLM-pipeline chain: documents → quality filter → "
-    "text embedding (hashed random-projection BOW — a real JL sketch; "
-    "swap in the ONNX pandas_udf path for a learned encoder, "
-    "functions/ml_ops.py) → LSH-bucketed ANN self-similarity → top-1 "
+    "REAL transformer-encoder inference (the ONNX pandas_udf batch path "
+    "driven by the numpy session — tokenize/pad/mask/forward/mean-pool, "
+    "functions/np_encoder.py; point model_path at an .onnx file for a "
+    "learned encoder) → LSH-bucketed ANN self-similarity → top-1 "
     "neighbor per doc. Exercises the full text→vector→search path.",
 )
 def q_embedding_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pixie_spark.functions.ml_ops import text_embedding
+    from pixie_spark.functions.np_encoder import ensure_tiny_encoder
     from pixie_spark.operators.text import quality_score
 
+    model_path, vocab_path = ensure_tiny_encoder()
     doc = load_table(spark, sf_dir, "documents")
-    # checkpoint: the embedding is the expensive stage and feeds BOTH the
-    # corpus and query sides of the self-similarity join — without it the
-    # words×dim fold recomputes once per consumer
+    # checkpoint: the embedding is the expensive stage (a real encoder
+    # forward per Arrow batch) and feeds BOTH the corpus and query sides
+    # of the self-similarity join — without it inference runs once per
+    # consumer
     embedded = (
         doc.where(quality_score(F.col("text")) >= 0.5)
-        .select("doc_id", text_embedding(F.col("text")).alias("emb"))
+        .select(
+            "doc_id",
+            text_embedding(
+                F.col("text"), model_path=model_path, tokenizer_path=vocab_path
+            ).alias("emb"),
+        )
         .localCheckpoint()
     )
     queries_df = embedded.where(F.col("doc_id") % 50 == 0)
