@@ -130,11 +130,25 @@ def export(df, data) -> None:
     url = endpoint.url
     if url.startswith(("http://", "https://")):
         exporter = otel.http_exporter(url, endpoint.headers, endpoint.timeout)
-        sdf.foreachPartition(_partition_exporter(convert, "", "export", batch, exporter))
+        path = ""
     else:
+        exporter = None
         path = url[len("file://"):] if url.startswith("file://") else url
         os.makedirs(path, exist_ok=True)
-        sdf.foreachPartition(_partition_exporter(convert, path, "export", batch, None))
+    if sdf.isStreaming:
+        # One-pipeline streaming export (stream_ir.h:44 + the reference's
+        # OTelExportSink): each micro-batch's partitions post their own
+        # payloads executor-side, exactly like the batch path. The query
+        # handle lands in streams() under a stable name for stop/await.
+        def sink(batch_df: SparkDataFrame, batch_id: int) -> None:
+            batch_df.foreachPartition(
+                _partition_exporter(convert, path, "export", batch_id, exporter)
+            )
+
+        q = sdf.writeStream.foreachBatch(sink).outputMode("update").start()
+        _ctx.setdefault("streams", {})[f"__otel_export_{batch}"] = q
+        return q
+    sdf.foreachPartition(_partition_exporter(convert, path, "export", batch, exporter))
 
 
 def set_context(
