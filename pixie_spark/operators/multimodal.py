@@ -169,6 +169,86 @@ def decode_wav(payload: bytes) -> np.ndarray | None:
     return (loge / peak if peak > 0 else loge).astype(np.float32)
 
 
+def _walk_riff(buf: bytes, pos: int, end: int):
+    """Yield (fourcc, body) for every leaf chunk in a RIFF chunk list,
+    recursing through LIST containers in document order."""
+    while pos + 8 <= end:
+        cid = buf[pos : pos + 4]
+        size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        body_start = pos + 8
+        body_end = min(body_start + size, end)
+        if cid == b"LIST":
+            yield from _walk_riff(buf, body_start + 4, body_end)
+        else:
+            yield cid, buf[body_start:body_end]
+        pos = body_start + size + (size & 1)  # chunks are word-aligned
+
+
+def _decode_dib_frame(frame: bytes, w: int, h: int, bits: int, bottom_up: bool) -> np.ndarray | None:
+    """Decode one uncompressed DIB (BI_RGB) frame to a (h, w) float32 gray
+    plane. 24-bit BGR and 32-bit BGRX; rows padded to 4-byte boundaries;
+    bottom-up row order unless biHeight was negative."""
+    bpp = bits // 8
+    stride = ((w * bpp + 3) // 4) * 4
+    if len(frame) < stride * h:
+        return None
+    arr = np.frombuffer(frame[: stride * h], dtype=np.uint8).reshape(h, stride)
+    px = arr[:, : w * bpp].reshape(h, w, bpp)[:, :, :3].astype(np.float32)
+    gray = px.mean(axis=2)
+    return gray[::-1] if bottom_up else gray
+
+
+def decode_avi(payload: bytes) -> np.ndarray | None:
+    """REAL video decode for AVI containers with uncompressed DIB frames
+    in pure numpy — no video library needed (same no-dependency contract
+    as decode_ppm/decode_wav). Walks the RIFF chunk tree, pairs each
+    ``strh`` stream header with its ``strf`` format block to find the
+    first 'vids' stream, requires BI_RGB (biCompression=0, 24/32-bit),
+    collects that stream's ``##db``/``##dc`` movi chunks, and featurizes
+    as the mean luminance of FEATURE_DIM evenly-sampled frames in [0,1]
+    — a temporal brightness signature with the same FEATURE_DIM-float
+    contract as the image/audio paths. Returns None when the payload is
+    not an AVI or the codec is compressed (caller raises loudly; see
+    reference src/carnot behavior of failing rather than faking)."""
+    if not payload or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    streams: list[dict] = []  # (fccType, strf) pairs in strl order
+    frames: list[bytes] = []
+    vid_idx = -1
+    for cid, body in _walk_riff(payload, 12, len(payload)):
+        if cid == b"strh":
+            streams.append({"type": body[:4], "strf": None})
+        elif cid == b"strf" and streams and streams[-1]["strf"] is None:
+            streams[-1]["strf"] = body
+        elif len(cid) == 4 and cid[2:4] in (b"db", b"dc"):
+            if vid_idx < 0:
+                vid_idx = next(
+                    (i for i, s in enumerate(streams) if s["type"] == b"vids"), -1
+                )
+            if vid_idx >= 0 and cid[:2] == b"%02d" % vid_idx:
+                frames.append(body)
+    if vid_idx < 0 or not frames:
+        return None
+    strf = streams[vid_idx]["strf"]
+    if strf is None or len(strf) < 40:
+        return None
+    w = int.from_bytes(strf[4:8], "little", signed=True)
+    h_signed = int.from_bytes(strf[8:12], "little", signed=True)
+    bits = int.from_bytes(strf[14:16], "little")
+    compression = int.from_bytes(strf[16:20], "little")
+    h = abs(h_signed)
+    if compression != 0 or bits not in (24, 32) or w <= 0 or h == 0:
+        return None  # compressed codecs need external libs — loud upstream
+    idx = (np.arange(FEATURE_DIM) * len(frames)) // FEATURE_DIM
+    feats = np.zeros(FEATURE_DIM, dtype=np.float32)
+    for k, fi in enumerate(idx):
+        gray = _decode_dib_frame(frames[int(fi)], w, h, bits, h_signed > 0)
+        if gray is None:
+            return None
+        feats[k] = gray.mean() / 255.0
+    return feats
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Real image decode+featurize with the same FEATURE_DIM-float
     contract as the fake path (so downstream ANN/kmeans plumbing is
@@ -198,7 +278,8 @@ def decode_image(payload: bytes) -> np.ndarray:
 def decode_media(payload: bytes, kind: str) -> np.ndarray:
     """Kind-dispatched real decode: images via decode_image (netpbm
     built-in, Pillow lib-gated beyond), audio via decode_wav (PCM WAV
-    built-in). Video needs external codecs — loud error, never a silent
+    built-in), video via decode_avi (uncompressed-DIB AVI built-in).
+    Compressed codecs need external libs — loud error, never a silent
     fake."""
     if kind == "image":
         return decode_image(payload)
@@ -210,9 +291,12 @@ def decode_media(payload: bytes, kind: str) -> np.ndarray:
             "non-WAV audio decode needs external codecs; use PCM WAV "
             "payloads for the built-in decoder or extract_features(fake=True)"
         )
+    avi = decode_avi(payload)
+    if avi is not None:
+        return avi
     raise ImportError(
-        "video decode needs external codecs; use extract_features(fake=True) "
-        "for the deterministic stub"
+        "compressed video decode needs external codecs; use uncompressed-DIB "
+        "AVI payloads for the built-in decoder or extract_features(fake=True)"
     )
 
 
@@ -276,12 +360,42 @@ def _synthetic_wav(i: int, n_samples: int = 256, rate: int = 8000) -> bytes:
     return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
 
 
+def _synthetic_avi(i: int, w: int = 8, h: int = 8, n_frames: int = 12) -> bytes:
+    """Deterministic REAL AVI for media id ``i``: uncompressed 24-bit DIB
+    frames whose constant brightness steps per frame, so the temporal
+    luminance signature from decode_avi is exactly predictable."""
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + len(body).to_bytes(4, "little") + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    def u32(*vals: int) -> bytes:
+        return b"".join(v.to_bytes(4, "little", signed=v < 0) for v in vals)
+
+    stride = ((w * 3 + 3) // 4) * 4
+    frames = b""
+    for k in range(n_frames):
+        v = (i * 7 + k * 16) % 256
+        row = bytes([v] * (w * 3)) + b"\x00" * (stride - w * 3)
+        frames += chunk(b"00db", row * h)
+    avih = u32(33333, 0, 0, 0, n_frames, 0, 1, 0, w, h, 0, 0, 0, 0)
+    strh = b"vids" + b"DIB " + u32(0, 0, 0, 1, 30, 0, n_frames, 0, 0, 0, 0, 0)
+    strf = u32(40, w, h) + (1).to_bytes(2, "little") + (24).to_bytes(2, "little") + u32(
+        0, stride * h, 0, 0, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", frames)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
 def synthetic_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
     """Deterministic media table for tests: image rows carry REAL binary
-    PPM payloads, audio rows REAL PCM WAV payloads (both decodable by the
-    built-in numpy decoders); video rows carry seeded opaque bytes (video
-    codecs need external libs)."""
-    rng = np.random.RandomState(seed)
+    PPM payloads, audio rows REAL PCM WAV payloads, video rows REAL
+    uncompressed-DIB AVI payloads — every kind decodable by the built-in
+    pure-numpy decoders (seed kept for signature stability)."""
     kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n):
@@ -291,12 +405,12 @@ def synthetic_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
         elif kind == "audio":
             payload = _synthetic_wav(i)
         else:
-            payload = rng.bytes(64 + (i % 5) * 32)
+            payload = _synthetic_avi(i)
         meta = {
-            "width": 8 if kind == "image" else None,
-            "height": 8 if kind == "image" else None,
+            "width": 8 if kind != "audio" else None,
+            "height": 8 if kind != "audio" else None,
             "duration_ms": 1000 * (i % 30) if kind != "image" else None,
-            "codec": {"image": "ppm", "audio": "opus", "video": "h264"}[kind],
+            "codec": {"image": "ppm", "audio": "pcm_s16le", "video": "rawvideo"}[kind],
         }
         rows.append((i, kind, f"{kind}/x", payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

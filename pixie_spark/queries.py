@@ -1311,20 +1311,18 @@ def q_multi_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_features",
     None,  # mapInPandas featurizer over synthetic binary media — rows-only.
     doc="Multimodal plumbing: binary payload columns + typed metadata → "
-    "Arrow-batched mapInPandas featurizer. Image rows run the REAL "
-    "built-in netpbm decoder and audio rows the REAL PCM-WAV spectral "
-    "featurizer (both pure numpy, operators/multimodal); only video "
-    "decode is stubbed with a deterministic content-hash fake (video "
-    "codecs need external libs — Pillow path lib-gated). Payloads are "
-    "consumed in the map stage and never shuffled.",
+    "Arrow-batched mapInPandas featurizer. ALL THREE kinds run REAL "
+    "pure-numpy decoders: netpbm images, PCM-WAV spectral audio, and "
+    "uncompressed-DIB AVI video (temporal luminance signature) — see "
+    "operators/multimodal; compressed codecs are lib-gated (Pillow) or "
+    "loud errors, never silent fakes. Payloads are consumed in the map "
+    "stage and never shuffled.",
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pixie_spark.operators import multimodal as mm
 
     media = mm.synthetic_media(spark, n=200)
-    decoded = mm.extract_features(media.where(F.col("kind") != "video"), fake=False)
-    video = mm.extract_features(media.where(F.col("kind") == "video"), fake=True)
-    feats = decoded.unionByName(video)
+    feats = mm.extract_features(media, fake=False)
     return feats.select(
         "media_id", "kind", "payload_bytes", dround(F.element_at("feature", 1), 6).alias("f0")
     )

@@ -24,14 +24,18 @@ def test_feature_extraction_plumbing(spark, media):
         assert again[r["media_id"]] == r["feature"]
 
 
-def test_real_decoder_is_lib_gated(spark, media):
-    """fake=False decodes image (netpbm) and audio (WAV) rows for REAL
-    with no libraries; video rows must fail LOUDLY (never silently fall
-    back to the fake)."""
-    ok = mm.extract_features(media.where("kind != 'video'"), fake=False).collect()
-    assert len(ok) > 0 and all(len(r["feature"]) == mm.FEATURE_DIM for r in ok)
+def test_real_decoder_all_kinds(spark, media):
+    """fake=False decodes image (netpbm), audio (WAV) AND video (DIB-AVI)
+    rows for REAL with no libraries; compressed video must fail LOUDLY
+    (never silently fall back to the fake)."""
+    ok = mm.extract_features(media, fake=False).collect()
+    assert len(ok) == 60 and all(len(r["feature"]) == mm.FEATURE_DIM for r in ok)
+    h264_like = spark.createDataFrame(
+        [(1, "video", bytearray(b"\x00\x00\x00\x01\x67 compressed nal junk"))],
+        "media_id long, kind string, payload binary",
+    )
     with pytest.raises(Exception) as exc_info:
-        mm.extract_features(media.where("kind = 'video'"), fake=False).collect()
+        mm.extract_features(h264_like, fake=False).collect()
     assert "video decode" in str(exc_info.value)
 
 
@@ -228,3 +232,80 @@ def test_decode_media_video_is_loud_error(spark):
 
     with pytest.raises(ImportError, match="video decode"):
         decode_media(b"\x00\x01", "video")
+
+
+# --- real DIB-AVI video decode (pure numpy, no video libs) -------------------
+
+
+def test_decode_avi_temporal_signature_exact():
+    """Synthetic AVI frame k has constant brightness (i*7 + k*16) % 256;
+    with 12 frames sampled into 16 slots the signature is exactly
+    predictable frame-for-frame."""
+    from pixie_spark.operators.multimodal import FEATURE_DIM, _synthetic_avi, decode_avi
+
+    feats = decode_avi(_synthetic_avi(0, n_frames=12))
+    assert feats is not None and len(feats) == FEATURE_DIM
+    for slot in range(FEATURE_DIM):
+        frame = (slot * 12) // FEATURE_DIM
+        assert feats[slot] == pytest.approx((frame * 16 % 256) / 255.0, abs=1e-6)
+
+
+def test_decode_avi_rejects_non_avi_and_compressed():
+    from pixie_spark.operators.multimodal import _synthetic_avi, decode_avi
+
+    assert decode_avi(b"") is None
+    assert decode_avi(b"RIFFxxxxWAVEdata") is None  # WAV, not AVI
+    assert decode_avi(b"\x00\x00\x00\x01\x67junk") is None  # h264-ish
+    # flip biCompression to a nonzero fourcc: decoder must refuse (the
+    # caller then raises the loud external-codec error)
+    avi = bytearray(_synthetic_avi(1))
+    pos = avi.find(b"strf")
+    assert pos > 0
+    avi[pos + 8 + 16 : pos + 8 + 20] = b"MJPG"
+    assert decode_avi(bytes(avi)) is None
+
+
+def test_decode_avi_32bit_and_topdown():
+    """32-bit BGRX frames with negative biHeight (top-down rows) decode
+    to the same brightness as the 24-bit bottom-up build."""
+    import numpy as np
+
+    from pixie_spark.operators.multimodal import decode_avi
+
+    def chunk(cid, body):
+        return cid + len(body).to_bytes(4, "little") + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    def u32(*vals):
+        return b"".join(v.to_bytes(4, "little", signed=v < 0) for v in vals)
+
+    w = h = 4
+    frames = b"".join(chunk(b"00db", bytes([k * 32] * (w * 4)) * h) for k in range(4))
+    avih = u32(33333, 0, 0, 0, 4, 0, 1, 0, w, h, 0, 0, 0, 0)
+    strh = b"vids" + b"DIB " + u32(0, 0, 0, 1, 30, 0, 4, 0, 0, 0, 0, 0)
+    strf = u32(40, w, -h) + (1).to_bytes(2, "little") + (32).to_bytes(2, "little") + u32(
+        0, w * 4 * h, 0, 0, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    body = b"AVI " + hdrl + lst(b"movi", frames)
+    avi = b"RIFF" + len(body).to_bytes(4, "little") + body
+    feats = decode_avi(avi)
+    assert feats is not None
+    sampled = feats[np.arange(16)] if hasattr(feats, "__getitem__") else feats
+    for slot in range(16):
+        frame = (slot * 4) // 16
+        assert sampled[slot] == pytest.approx(frame * 32 / 255.0, abs=1e-6)
+
+
+def test_extract_features_real_video_path(spark):
+    """fake=False over AVI payloads end-to-end through mapInPandas."""
+    from pixie_spark.operators import multimodal as mm
+
+    media = mm.synthetic_media(spark, n=12)
+    out = mm.extract_features(media.where("kind = 'video'"), fake=False).collect()
+    assert len(out) == 4
+    for r in out:
+        assert len(r["feature"]) == mm.FEATURE_DIM
+        assert all(0.0 <= v <= 1.0 for v in r["feature"])
