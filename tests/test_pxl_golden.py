@@ -1,7 +1,7 @@
 """Golden-VALUE assertions for flagship PxL corpus scripts.
 
 tests/test_pxl_corpus.py proves the reference's 67 shipped scripts RUN
-verbatim; these tests prove ten of the flagship ones are RIGHT, pinning
+verbatim; these tests prove eighteen of the flagship ones are RIGHT, pinning
 exact expected values computed from the seeded deterministic fixtures —
 the reference's own e2e test style (expected column values per query,
 src/carnot/carnot_test.cc:97-1103) rather than non-empty checks.
