@@ -476,6 +476,142 @@ def minhash_lsh_verified_pairs(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level exact dedup: every maximal span of ≥k consecutive
+    words every k-window of which also occurs in ≥min_docs distinct
+    documents — the Spark-first re-expression of suffix-array
+    ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): any repeated substring of length ≥k
+    is a run of repeated k-windows, so k-gram window hashes find a
+    SUPERSET cover of the suffix-array result without ever building a
+    suffix array. (A merged span can stitch adjacent runs whose partners
+    are different documents — every window in it is repeated somewhere,
+    but the span need not occur verbatim as one unit elsewhere; this is
+    the standard window-hash approximation and errs toward removing
+    boilerplate, the desired direction for training-data dedup.)
+
+    Plan (all native, no Python in the hot path):
+
+    1. (doc, pos, wid) rows — wid = xxhash64 over the window's k words
+       via window-lead (stays in whole-stage codegen; no window string
+       is ever materialized).                       [shuffle: by doc]
+    2. per-wid distinct-doc count; wids in ≥min_docs docs are
+       "duplicated windows".                        [shuffle: 8-byte wid]
+    3. hash-join (doc, pos, wid) against the duplicated-wid set.
+    4. gaps-and-islands merge per doc: consecutive duplicate windows
+       whose starts differ by ≤k overlap or touch, so an island break is
+       ``pos - prev_pos > k``; each island is one maximal span
+       [min(pos), max(pos)+k).                      [reuses the by-doc
+       partitioning from step 1's window]
+
+    Output: (doc, span_start, span_end, n_windows) — word offsets,
+    end-exclusive. At 100 TB the only wide exchanges move 8-byte window
+    hashes; the heavy text stays in the initial map stage. A boilerplate
+    window shared by millions of docs costs ONE row in the wid count (a
+    count, not a posting list — no pair expansion exists in this
+    operator, so no skew cap is needed).
+    """
+    win = Window.partitionBy("doc").orderBy("pos")
+    w = _word_rows(df, id_col, text_col)
+    leads = [F.col("word").alias("w0")] + [
+        F.lead("word", j).over(win).alias(f"w{j}") for j in range(1, k)
+    ]
+    wins = (
+        w.select("doc", "pos", *leads)
+        .where(F.col(f"w{k - 1}").isNotNull())
+        .select("doc", "pos", F.xxhash64(*[f"w{j}" for j in range(k)]).alias("wid"))
+    )
+    dup_wids = (
+        wins.groupBy("wid")
+        .agg(F.countDistinct("doc").alias("ndocs"))
+        .where(F.col("ndocs") >= min_docs)
+        .select("wid")
+    )
+    hits = wins.join(dup_wids, "wid").select("doc", "pos")
+    prev = F.lag("pos").over(win)
+    islands = hits.withColumn(
+        "island",
+        F.sum(
+            F.when(prev.isNull() | (F.col("pos") - prev > k), 1).otherwise(0)
+        ).over(win.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islands.groupBy("doc", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + k).alias("span_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).select("doc", "span_start", "span_end", "n_windows")
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cleaned-corpus twin of :func:`duplicate_spans`: rebuild each
+    document's text with every word position covered by a duplicate span
+    removed, EXCEPT in the span's canonical owner (the minimum doc id
+    containing each duplicated window keeps it — one occurrence of every
+    repeated substring survives corpus-wide, the Lee et al. policy).
+
+    Plan: duplicated-window detection as in duplicate_spans, but the
+    per-wid aggregate also carries min(doc); a position is removable when
+    ANY duplicated window covering it belongs to a doc that is not that
+    window's canonical owner. Covered positions come from exploding
+    sequence(pos, pos+k-1) on duplicate hits only (bounded: ≤k rows per
+    duplicated window). Output: (doc, text, n_removed).
+    """
+    win = Window.partitionBy("doc").orderBy("pos")
+    w = _word_rows(df, id_col, text_col).localCheckpoint()
+    leads = [F.col("word").alias("w0")] + [
+        F.lead("word", j).over(win).alias(f"w{j}") for j in range(1, k)
+    ]
+    wins = (
+        w.select("doc", "pos", *leads)
+        .where(F.col(f"w{k - 1}").isNotNull())
+        .select("doc", "pos", F.xxhash64(*[f"w{j}" for j in range(k)]).alias("wid"))
+    )
+    owners = (
+        wins.groupBy("wid")
+        .agg(F.countDistinct("doc").alias("ndocs"), F.min("doc").alias("owner"))
+        .where(F.col("ndocs") >= min_docs)
+        .select("wid", "owner")
+    )
+    removable = (
+        wins.join(owners, "wid")
+        .where(F.col("doc") != F.col("owner"))
+        .select("doc", F.explode(F.sequence("pos", F.col("pos") + k - 1)).alias("pos"))
+        .dropDuplicates(["doc", "pos"])
+        .withColumn("rm", F.lit(True))
+    )
+    kept = w.join(removable, ["doc", "pos"], "left")
+    return (
+        kept.groupBy("doc")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("rm").isNull(), F.struct("pos", "word"))
+                        )
+                    ),
+                    lambda s: s["word"],
+                ),
+            ).alias("text"),
+            F.sum(F.col("rm").cast("long")).alias("n_removed"),
+        )
+        .select("doc", "text", F.coalesce("n_removed", F.lit(0)).alias("n_removed"))
+    )
+
+
 def contamination_check(
     corpus: DataFrame,
     probes: DataFrame,

@@ -825,6 +825,25 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_substring",
+    # Rows-only IN THE DRIVER GATE solely because the 50-entry gate
+    # window is full of hash-matched rows; the SAME DuckDB oracle
+    # comparison runs locally in tests/test_dedup_extra.py
+    # (test_duplicate_spans_matches_duckdb_oracle) with value equality.
+    None,
+    doc="Substring-level exact dedup (Lee et al. 2022 ExactSubstr, "
+    "re-expressed via k-gram window hashes instead of a suffix array): "
+    "maximal spans of >=k consecutive words whose every k-window also "
+    "appears in another document. All-native window-lead + xxhash64 + "
+    "gaps-and-islands merge; shuffles move 8-byte window hashes only "
+    "(operators/dedup.py:duplicate_spans).",
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    return dd.duplicate_spans(doc, "doc_id", "text", k=8).orderBy("doc", "span_start")
+
+
+@query(
     "ann_cosine_topk",
     """
     WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 8),

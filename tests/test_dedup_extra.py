@@ -1,5 +1,6 @@
-"""Contamination check, posting-list skew caps, and the
-production-banding ⊆ full-recall candidate anchor."""
+"""Contamination check, posting-list skew caps, the
+production-banding ⊆ full-recall candidate anchor, and substring-span
+dedup (incl. its local DuckDB-oracle equality check)."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -157,3 +158,123 @@ def test_full_recall_config_equals_exact_jaccard(spark, sf_dir):
         ).collect()
     }
     assert exact == lsh
+
+
+# ---------------------------------------------------------------------------
+# Substring-span dedup (ExactSubstr via k-gram window hashes)
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_spans_planted(spark):
+    """Planted shared 6-word run with k=4: the span is found with exact
+    word offsets in both docs; unique/short/empty docs produce nothing."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l m n"),
+            (2, "x y a b c d e f z w q r s t"),
+            (3, "unique words only here nothing shared at all"),
+            (4, "x y a b c d e f z w q r s t"),  # exact dup of 2
+            (5, ""),
+            (6, "a b c"),  # shorter than k
+        ],
+        ["doc_id", "text"],
+    )
+    spans = {
+        (r.doc, r.span_start, r.span_end): r.n_windows
+        for r in dd.duplicate_spans(docs, "doc_id", "text", k=4).collect()
+    }
+    # doc1: 'a b c d e f' at words [0,6) = 3 windows of 4
+    # doc2/4: whole 14-word text (exact dup pair), 11 windows
+    assert spans == {(1, 0, 6): 3, (2, 0, 14): 11, (4, 0, 14): 11}
+
+
+def test_duplicate_spans_merges_touching_runs(spark):
+    """Two duplicated runs that touch (gap == k) merge into one maximal
+    span; a gap > k keeps them separate."""
+    docs = spark.createDataFrame(
+        [
+            (1, "p q r s AA BB CC DD gap1 gap2 gap3 gap4 EE FF GG HH t u v w"),
+            (2, "AA BB CC DD zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8"),
+            (3, "EE FF GG HH yy1 yy2 yy3 yy4 yy5 yy6 yy7 yy8"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = {
+        (r.doc, r.span_start, r.span_end)
+        for r in dd.duplicate_spans(docs, "doc_id", "text", k=4).collect()
+    }
+    # doc1: AA..DD at [4,8), EE..HH at [12,16): window starts 4 and 12,
+    # diff 8 > k=4 → two separate spans
+    assert (1, 4, 8) in spans and (1, 12, 16) in spans
+    assert (1, 4, 16) not in spans
+
+
+def test_remove_duplicate_spans_keeps_canonical_owner(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l m n"),
+            (2, "x y a b c d e f z w q r s t"),
+            (4, "x y a b c d e f z w q r s t"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc: (r.text, r.n_removed) for r in dd.remove_duplicate_spans(
+        docs, "doc_id", "text", k=4
+    ).collect()}
+    assert out[1] == ("a b c d e f g h i j k l m n", 0)  # owner keeps all
+    assert out[2] == ("x y z w q r s t", 6)  # loses the doc-1-owned run
+    assert out[4] == ("", 14)  # exact dup: doc 2 owns everything
+
+
+def test_duplicate_spans_matches_duckdb_oracle(spark, sf_dir):
+    """Value-level equality against an independent DuckDB implementation
+    over the sf documents fixture — the same comparison the driver gate
+    would run (rows + values); local because the driver's 50-entry gate
+    window is full of hash-matched rows."""
+    import duckdb
+
+    k = 8
+    spark_rows = {
+        (r.doc, r.span_start, r.span_end, r.n_windows)
+        for r in dd.duplicate_spans(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id", "text", k=k
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    oracle = con.execute(f"""
+        WITH w AS (
+            SELECT doc_id AS doc,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+            FROM documents
+        ),
+        full_wins AS (
+            SELECT doc, unnest(range(1, greatest(len(ws) - {k - 1}, 0) + 1)) - 1 AS pos,
+                   unnest(list_transform(
+                       range(1, greatest(len(ws) - {k - 1}, 0) + 1),
+                       i -> array_to_string(ws[i:i+{k - 1}], ' '))) AS wstr
+            FROM w
+        ),
+        dup AS (
+            SELECT wstr FROM full_wins GROUP BY wstr HAVING count(DISTINCT doc) >= 2
+        ),
+        hits AS (SELECT doc, pos FROM full_wins JOIN dup USING (wstr)),
+        lagd AS (
+            SELECT doc, pos, lag(pos) OVER (PARTITION BY doc ORDER BY pos) AS prev
+            FROM hits
+        ),
+        isl AS (
+            SELECT doc, pos,
+                   SUM(CASE WHEN prev IS NULL OR pos - prev > {k} THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc ORDER BY pos) AS island
+            FROM lagd
+        )
+        SELECT doc, MIN(pos) AS span_start, MAX(pos) + {k} AS span_end,
+               COUNT(*) AS n_windows
+        FROM isl GROUP BY doc, island
+    """).fetchall()
+    oracle_rows = {(int(a), int(b), int(c), int(d)) for a, b, c, d in oracle}
+    assert len(spark_rows) > 0
+    assert spark_rows == oracle_rows
