@@ -1,7 +1,7 @@
 """Golden-VALUE assertions for flagship PxL corpus scripts.
 
 tests/test_pxl_corpus.py proves the reference's 67 shipped scripts RUN
-verbatim; these tests prove eighteen of the flagship ones are RIGHT, pinning
+verbatim; these tests prove twenty-two of the flagship ones are RIGHT, pinning
 exact expected values computed from the seeded deterministic fixtures —
 the reference's own e2e test style (expected column values per query,
 src/carnot/carnot_test.cc:97-1103) rather than non-empty checks.
@@ -382,3 +382,83 @@ def test_kafka_topics_overview_golden(spark, ctx):
         ("logs", 3, 10, 10, 210009, 255115),
         ("orders", 3, 10, 10, 204546, 256706),
     ]
+
+
+def test_inbound_conns_golden(spark, ctx):
+    """Inbound connections from outside the cluster: the single
+    staging/db edge with exact byte/connection totals."""
+    out = _run(
+        "inbound_conns/data.pxl",
+        calls=[("inbound_conns", {"start_time": "-1h", "ip_filter": ""})],
+    )
+    rows = _rows(out["inbound_conns"])
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["pod"], r["remote_addr"]) == ("staging/db-0002", "203.0.113.77")
+    assert (r["conn_open"], r["bytes_sent"], r["bytes_recv"]) == (56, 298270, 657347)
+    assert r["last_activity_time"] == 1704067790000000000
+
+
+def test_sql_queries_summary_golden(spark, ctx):
+    """Normalized-SQL summary: five query templates with exact request
+    totals and mean latencies (the normalization collapses literals to
+    '?' — sql_ops normalize parity)."""
+    import json
+
+    out = _run(
+        "sql_queries/normed_sql_queries.pxl",
+        calls=[("summary_sql_let", {"start_time": "-1h", "pod": "prod/"})],
+    )
+    rows = _rows(out["summary_sql_let"], "normed_query")
+    got = {
+        json.loads(r["normed_query"])["label"]: (r["total_requests"], r["latency"])
+        for r in rows
+    }
+    assert got == {
+        "INSERT INTO events (ts, kind) VALUES (?, ?)": (110, approx(1375277.4639175257, rel=1e-9)),
+        "SELECT * FROM orders WHERE customer_id = ?": (100, approx(1550044.4146341463, rel=1e-9)),
+        "SELECT COUNT(*) FROM lineitem": (87, approx(1037387.7631578947, rel=1e-9)),
+        "SELECT id, total FROM orders WHERE o_orderdate > ?": (89, approx(1549223.4102564103, rel=1e-9)),
+        "UPDATE inventory SET qty = qty - ? WHERE part_id = ?": (128, approx(1576471.6, rel=1e-9)),
+    }
+
+
+def test_service_edge_stats_golden(spark, ctx):
+    """frontend→api service edge time series: exact row count (99 bins ×
+    2 requestor pods resolved), total request throughput, and p99 peak."""
+    from pyspark.sql import functions as F
+
+    out = _run(
+        "service_edge_stats/service_edge_stats.pxl",
+        calls=[("svc_edge_let",
+                {"start_time": "-1h", "requesting_svc": "prod/frontend",
+                 "responding_svc": "prod/api"})],
+    )
+    df = out["svc_edge_let"]
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("request_throughput").alias("tot"),
+        F.max("latency_p99").alias("maxp99"),
+    ).collect()[0]
+    assert agg["n"] == 198
+    assert agg["tot"] == approx(2.1999999999999985e-08, rel=1e-9)
+    assert agg["maxp99"] == 62504018
+
+
+def test_jvm_stats_golden(spark, ctx):
+    """JVM per-pod heap time series: 10 pods × 30 bins, exact summed
+    used-heap bytes."""
+    from pyspark.sql import functions as F
+
+    out = _run(
+        "jvm_stats/jvm_stats.pxl",
+        calls=[("jvm_stats", {"start_time": "-1h", "node_name": "", "pod": ""})],
+    )
+    df = out["jvm_stats"]
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("used_heap_size").alias("used_sum"),
+        F.countDistinct("pod").alias("pods"),
+    ).collect()[0]
+    assert (agg["n"], agg["pods"]) == (300, 10)
+    assert agg["used_sum"] == 70536658944
