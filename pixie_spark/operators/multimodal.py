@@ -198,18 +198,13 @@ def _decode_dib_frame(frame: bytes, w: int, h: int, bits: int, bottom_up: bool) 
     return gray[::-1] if bottom_up else gray
 
 
-def decode_avi(payload: bytes) -> np.ndarray | None:
-    """REAL video decode for AVI containers with uncompressed DIB frames
-    in pure numpy — no video library needed (same no-dependency contract
-    as decode_ppm/decode_wav). Walks the RIFF chunk tree, pairs each
-    ``strh`` stream header with its ``strf`` format block to find the
-    first 'vids' stream, requires BI_RGB (biCompression=0, 24/32-bit),
-    collects that stream's ``##db``/``##dc`` movi chunks, and featurizes
-    as the mean luminance of FEATURE_DIM evenly-sampled frames in [0,1]
-    — a temporal brightness signature with the same FEATURE_DIM-float
-    contract as the image/audio paths. Returns None when the payload is
-    not an AVI or the codec is compressed (caller raises loudly; see
-    reference src/carnot behavior of failing rather than faking)."""
+def _avi_video_stream(payload: bytes):
+    """Parse an AVI container: returns (frame_chunks, w, h, bits,
+    bottom_up) for the first uncompressed-DIB 'vids' stream, or None when
+    the payload is not an AVI / the codec is compressed. Walks the RIFF
+    chunk tree pairing each ``strh`` stream header with its ``strf``
+    format block; frame data are that stream's ``##db``/``##dc`` movi
+    chunks in presentation order."""
     if not payload or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         return None
     streams: list[dict] = []  # (fccType, strf) pairs in strl order
@@ -239,10 +234,27 @@ def decode_avi(payload: bytes) -> np.ndarray | None:
     h = abs(h_signed)
     if compression != 0 or bits not in (24, 32) or w <= 0 or h == 0:
         return None  # compressed codecs need external libs — loud upstream
+    return frames, w, h, bits, h_signed > 0
+
+
+def decode_avi(payload: bytes) -> np.ndarray | None:
+    """REAL video decode for AVI containers with uncompressed DIB frames
+    in pure numpy — no video library needed (same no-dependency contract
+    as decode_ppm/decode_wav). Parses the container (_avi_video_stream),
+    decodes BI_RGB 24/32-bit frames, and featurizes as the mean
+    luminance of FEATURE_DIM evenly-sampled frames in [0,1] — a temporal
+    brightness signature with the same FEATURE_DIM-float contract as the
+    image/audio paths. Returns None when the payload is not an AVI or
+    the codec is compressed (caller raises loudly; see reference
+    src/carnot behavior of failing rather than faking)."""
+    parsed = _avi_video_stream(payload)
+    if parsed is None:
+        return None
+    frames, w, h, bits, bottom_up = parsed
     idx = (np.arange(FEATURE_DIM) * len(frames)) // FEATURE_DIM
     feats = np.zeros(FEATURE_DIM, dtype=np.float32)
     for k, fi in enumerate(idx):
-        gray = _decode_dib_frame(frames[int(fi)], w, h, bits, h_signed > 0)
+        gray = _decode_dib_frame(frames[int(fi)], w, h, bits, bottom_up)
         if gray is None:
             return None
         feats[k] = gray.mean() / 255.0
@@ -417,9 +429,11 @@ def synthetic_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
 
 
 def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame-sampling plumbing: one output row per sampled frame
-    timestamp (decode stubbed). Uses sequence+explode — the frame
-    expansion happens JVM-side; only sampled frames would be decoded."""
+    """Video frame-sampling PLAN: one output row per sampled frame
+    timestamp, derived from metadata only — no payload is touched. Uses
+    sequence+explode so the frame expansion happens JVM-side; feed the
+    sampled (media_id, frame_ts_ms) set to a decode stage (or use
+    extract_frames for stride sampling with real decode)."""
     return (
         df.where(F.col("kind") == "video")
         .withColumn(
@@ -434,3 +448,61 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
         .select("media_id", "frame_ts_ms", "mime")
     )
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("mean_gray", T.FloatType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def extract_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL video frame extraction over a media table: decode every
+    ``every_n``-th frame of each uncompressed-DIB AVI payload and emit
+    one row per sampled frame with its dimensions, mean luminance, and a
+    FEATURE_DIM spatial-grid feature (nearest-neighbor downsample — the
+    image path's contract per frame). Non-AVI/compressed video rows are
+    passed over silently (this is an extraction scan, not a decode
+    assertion — use extract_features(fake=False) for loud decode).
+
+    Arrow-batched mapInPandas: payloads are consumed in the map stage;
+    only small per-frame rows flow downstream, so frame rows (not
+    payloads) are what any later shuffle moves.
+    """
+    side = int(FEATURE_DIM**0.5)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "frame_idx", "width", "height", "mean_gray", "feature")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                parsed = _avi_video_stream(bytes(payload) if payload is not None else b"")
+                if parsed is None:
+                    continue
+                frames, w, h, bits, bottom_up = parsed
+                iy = (np.arange(side) * h) // side
+                ix = (np.arange(side) * w) // side
+                for fi in range(0, len(frames), every_n):
+                    gray = _decode_dib_frame(frames[fi], w, h, bits, bottom_up)
+                    if gray is None:
+                        continue
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(fi)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mean_gray"].append(float(gray.mean()) / 255.0)
+                    out["feature"].append(
+                        (gray[np.ix_(iy, ix)] / 255.0).reshape(-1)[:FEATURE_DIM].astype(np.float32).tolist()
+                    )
+            if out["media_id"]:  # empty pandas frames carry no Arrow types
+                yield pd.DataFrame(out)
+
+    cols = df.select("media_id", "payload")
+    if "kind" in df.columns:
+        cols = df.where(F.col("kind") == "video").select("media_id", "payload")
+    return cols.mapInPandas(kernel, schema=FRAMES_SCHEMA)

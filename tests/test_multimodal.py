@@ -309,3 +309,36 @@ def test_extract_features_real_video_path(spark):
     for r in out:
         assert len(r["feature"]) == mm.FEATURE_DIM
         assert all(0.0 <= v <= 1.0 for v in r["feature"])
+
+
+def test_extract_frames_real_decode(spark):
+    """Per-frame extraction over real AVI payloads: 12 frames per video,
+    stride sampling honored, exact brightness per frame."""
+    from pixie_spark.operators import multimodal as mm
+
+    media = mm.synthetic_media(spark, n=9)  # ids 2, 5, 8 are video
+    frames = mm.extract_frames(media, every_n=1).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert set(by_media) == {2, 5, 8}
+    for mid, rows in by_media.items():
+        assert len(rows) == 12
+        for r in rows:
+            assert (r["width"], r["height"]) == (8, 8)
+            expected = ((mid * 7 + r["frame_idx"] * 16) % 256) / 255.0
+            assert r["mean_gray"] == pytest.approx(expected, abs=1e-6)
+            assert len(r["feature"]) == mm.FEATURE_DIM
+            assert all(v == pytest.approx(expected, abs=1e-6) for v in r["feature"])
+    sampled = mm.extract_frames(media, every_n=4).collect()
+    assert sorted({r["frame_idx"] for r in sampled}) == [0, 4, 8]
+
+
+def test_extract_frames_skips_undecodable(spark):
+    from pixie_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(b"\x00\x00\x00\x01 not avi"))],
+        "media_id long, kind string, payload binary",
+    )
+    assert mm.extract_frames(df).count() == 0
