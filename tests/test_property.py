@@ -143,3 +143,46 @@ def test_range_join_matches_python(spark, data):
         if lk == rk and lt + lo <= rt <= lt + hi
     }
     assert got == expected
+
+
+def py_duplicate_spans(texts, k=3, min_docs=2):
+    """Reference: windows repeated across >=min_docs docs, merged per doc
+    when starts differ by <=k. Returns {(doc, start, end): n_windows}."""
+    from collections import defaultdict
+
+    wins = defaultdict(set)  # window string -> docs
+    per_doc = defaultdict(list)  # doc -> window start positions
+    words = {i: [w for w in t.split() if w] for i, t in enumerate(texts)}
+    for i, ws in words.items():
+        for p in range(len(ws) - k + 1):
+            wins[" ".join(ws[p : p + k])].add(i)
+    dup = {w for w, docs in wins.items() if len(docs) >= min_docs}
+    for i, ws in words.items():
+        for p in range(len(ws) - k + 1):
+            if " ".join(ws[p : p + k]) in dup:
+                per_doc[i].append(p)
+    out = {}
+    for i, ps in per_doc.items():
+        start = prev = ps[0]
+        n = 1
+        for p in ps[1:]:
+            if p - prev > k:
+                out[(i, start, prev + k)] = n
+                start, n = p, 0
+            prev = p
+            n += 1
+        out[(i, start, prev + k)] = n
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs_strategy)
+def test_duplicate_spans_matches_python(spark, texts):
+    from pixie_spark.operators.dedup import duplicate_spans
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        (r["doc"], r["span_start"], r["span_end"]): r["n_windows"]
+        for r in duplicate_spans(df, "doc_id", "text", k=3).collect()
+    }
+    assert got == py_duplicate_spans(texts, k=3)
