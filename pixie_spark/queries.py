@@ -1750,6 +1750,26 @@ def q_pprof_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "gopher_quality",
+    # Rows-only in the driver gate (the 50-entry window is full of
+    # hash-matched rows); every stat is value-checked against a
+    # brute-force Python reference in tests/test_quality.py.
+    None,
+    doc="Gopher-style quality gate (Rae et al. 2021 Appendix A): "
+    "duplicate line/paragraph fractions, top/dup n-gram char "
+    "fractions, shape heuristics, composite keep decision with "
+    "per-rule failure list. In-row stats ride the scan (zero "
+    "shuffle); n-gram stats shuffle 8-byte xxhash64 gram ids only "
+    "(operators/quality.py).",
+)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.operators.quality import gopher_filters
+
+    doc = load_table(spark, sf_dir, "documents")
+    return gopher_filters(doc).orderBy("doc")
+
+
 # =============================================================================
 # Gate-window ordering
 # =============================================================================
