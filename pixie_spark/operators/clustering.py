@@ -1,0 +1,172 @@
+"""Duplicate-cluster resolution: connected components over near-dup
+pair edges, and canonical-document selection.
+
+The dedup operators (operators/dedup.py, operators/similarity.py) emit
+PAIRS (doc_a, doc_b). Turning pairs into a cleaned corpus needs the
+transitive closure — near-dup is not transitive, but dedup policy
+treats it as if it were: A~B and B~C puts A,B,C in one duplicate
+cluster and keeps one representative. That closure is connected
+components, computed here with the alternating large-star/small-star
+algorithm (Kiveris et al. 2014, "Connected Components in MapReduce and
+Beyond") — O(log^2 n) rounds, each round two shuffles over 8-byte
+node-id keys.
+
+Scale design:
+- No adjacency lists are ever materialized (no collect_list): each
+  star step is groupBy(min) + an equi-join back to the edge list, so a
+  hub node (the component minimum, which accumulates in-degree as the
+  algorithm converges) costs one aggregation row, never a k-wide array
+  in one task.
+- Per-round convergence is detected with a (count, hash-sum) checksum
+  — one driver-side row per round, the same bounded-collect pattern as
+  the kmeans loop (functions/ml_ops.py).
+- localCheckpoint per round truncates the lineage, which otherwise
+  doubles per iteration and overwhelms Catalyst past ~10 rounds.
+
+Reference parity: the reference engine has no graph operators; this
+extends the engine for training-data pipelines (its planner's
+iterative fixpoint rules, e.g. src/carnot/planner/compiler/analyzer.cc,
+solve a different problem). Everything here is public-knowledge
+algorithmics re-expressed in DataFrame ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    """(row_count, XOR of per-edge hashes) — an order-insensitive edge-set
+    fingerprint; equal checksums across rounds means the set converged.
+    XOR instead of sum: overflow-free under ANSI mode, and safe here
+    because the edge set is deduplicated (no even-multiplicity
+    cancellation); a false stop needs a 2^-64 collision in the exact
+    round the set still moved."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("child", "parent")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(child, parent) <- for each node u of the SYMMETRIZED edge set,
+    connect every strictly-larger neighbor to min(neighbors ∪ {u})."""
+    sym = edges.select(F.col("child").alias("u"), F.col("parent").alias("v")).unionAll(
+        edges.select(F.col("parent").alias("u"), F.col("child").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("child"), F.col("m").alias("parent"))
+        .dropDuplicates(["child", "parent"])
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """(child, parent) <- direct each edge large->small, then for each
+    node u connect every smaller neighbor AND u itself to the minimum
+    of its smaller neighborhood."""
+    directed = edges.select(
+        F.greatest("child", "parent").alias("u"), F.least("child", "parent").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    via_nbrs = (
+        directed.join(mins, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("child"), F.col("m").alias("parent"))
+    )
+    self_link = mins.select(F.col("u").alias("child"), F.col("m").alias("parent"))
+    return via_nbrs.unionAll(self_link).dropDuplicates(["child", "parent"])
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``;
+    ``component`` is the minimum node id of the connected component.
+
+    Alternates large-star / small-star until the edge set is stable
+    (checksum-equal two rounds running), then reads components off the
+    converged star graph. ``max_iter`` bounds the loop far above the
+    O(log^2 n) expectation — hitting it raises rather than returning a
+    partial closure silently.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("child"), F.col(dst).alias("parent"))
+        .where(F.col("child") != F.col("parent"))
+        .dropDuplicates(["child", "parent"])
+        .localCheckpoint()
+    )
+    if not edges.take(1):
+        return edges.select(
+            F.col("child").alias("node"), F.col("parent").alias("component")
+        )
+    prev = _checksum(edges)
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        cur = _checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(pathological input or a bug — the alternating algorithm "
+            "needs O(log^2 n) rounds)"
+        )
+    # Converged small-star output is a star forest: child -> component
+    # minimum. Roots appear only on the parent side; add their self-rows.
+    roots = (
+        edges.select(F.col("parent").alias("node"))
+        .dropDuplicates(["node"])
+        .join(
+            edges.select(F.col("child").alias("node")).dropDuplicates(["node"]),
+            "node",
+            "left_anti",
+        )
+        .select("node", F.col("node").alias("component"))
+    )
+    return (
+        edges.select(F.col("child").alias("node"), F.col("parent").alias("component"))
+        .unionAll(roots)
+    )
+
+
+def duplicate_clusters(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+) -> DataFrame:
+    """(component, n_docs, docs-min=component) cluster roll-up of the
+    pair graph — the dashboard view of a dedup run: how many clusters,
+    how big. One extra 8-byte-key shuffle over connected_components."""
+    cc = connected_components(pairs, src, dst)
+    return cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """The cleaned corpus: drop every document that belongs to a
+    duplicate cluster but is not its canonical representative (the
+    minimum id — deterministic, join-free tie-break).
+
+    Plan: connected components over the pair graph, then a LEFT ANTI
+    join of the corpus against the non-canonical node set — the corpus
+    text shuffles ONCE on the 8-byte id key; documents outside any
+    cluster pass through untouched. This is the operator a 100 TB
+    pipeline runs after minhash_lsh_verified_pairs.
+    """
+    cc = connected_components(pairs, src, dst)
+    losers = cc.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

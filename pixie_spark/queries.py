@@ -1751,6 +1751,29 @@ def q_pprof_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_clusters",
+    # Rows-only in the driver gate (window full); value-checked against
+    # a union-find reference in tests/test_clustering.py across chains,
+    # cliques, stars and random graphs.
+    None,
+    doc="Full production dedup pipeline: minhash-LSH verified pairs -> "
+    "connected components (alternating large-star/small-star, Kiveris "
+    "et al. 2014) -> duplicate-cluster roll-up. No adjacency list is "
+    "ever materialized; every round is two shuffles on 8-byte node ids "
+    "(operators/clustering.py). dedup_keep_canonical produces the "
+    "cleaned corpus from the same closure.",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.operators.clustering import duplicate_clusters
+
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dd.minhash_lsh_verified_pairs(
+        doc, "doc_id", "text", n=5, num_hashes=64, bands=64, threshold=0.5
+    )
+    return duplicate_clusters(pairs).orderBy("component")
+
+
+@query(
     "gopher_quality",
     # Rows-only in the driver gate (the 50-entry window is full of
     # hash-matched rows); every stat is value-checked against a

@@ -1,0 +1,119 @@
+"""Connected components / duplicate-cluster resolution vs a union-find
+reference (operators/clustering.py)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pixie_spark.operators import clustering as C
+from pixie_spark.operators import dedup as dd
+from pixie_spark.sources import load_table
+
+
+def uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # normalize: every node -> component min
+    return {n: find(n) for n in parent}
+
+
+GRAPHS = {
+    # worst case for naive min-propagation: a long chain
+    "chain": [(i, i + 1) for i in range(120)],
+    "star": [(0, i) for i in range(1, 60)],
+    "two_cliques_bridged": [
+        (a, b) for a in range(10) for b in range(a + 1, 10)
+    ]
+    + [(a, b) for a in range(100, 110) for b in range(a + 1, 110)]
+    + [(5, 105)],
+    "self_and_dup_edges": [(1, 1), (1, 2), (2, 1), (2, 3), (7, 7)],
+    "reversed_ids": [(9, 3), (3, 1), (100, 50), (50, 1)],
+}
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_connected_components_vs_union_find(spark, name):
+    edges = GRAPHS[name]
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {r["node"]: r["component"] for r in C.connected_components(df).collect()}
+    exp = uf_components([(a, b) for a, b in edges if a != b])
+    # pure self-loop nodes (7,7) carry no dedup information; the Spark
+    # side drops them up front, the reference never unions them
+    exp = {n: c for n, c in exp.items()}
+    assert got == exp, (name, got, exp)
+
+
+def test_connected_components_random_graphs(spark):
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 200
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(150 + 50 * trial)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+        got = {r["node"]: r["component"] for r in C.connected_components(df).collect()}
+        assert got == uf_components(edges), f"trial {trial}"
+
+
+def test_connected_components_empty(spark):
+    df = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert C.connected_components(df).collect() == []
+
+
+def test_duplicate_clusters_rollup(spark):
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        ["doc_a", "doc_b"],
+    )
+    got = {r["component"]: r["n_docs"] for r in C.duplicate_clusters(df).collect()}
+    assert got == {1: 3, 10: 2, 20: 4}
+
+
+def test_dedup_keep_canonical(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(8)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 5), (6, 7)], ["doc_a", "doc_b"])
+    kept = sorted(
+        r["doc_id"] for r in C.dedup_keep_canonical(docs, "doc_id", pairs).collect()
+    )
+    # cluster {1,2,5} keeps 1; cluster {6,7} keeps 6; 0,3,4 untouched
+    assert kept == [0, 1, 3, 4, 6]
+
+
+def test_end_to_end_minhash_to_clean_corpus(spark, sf_dir):
+    """The full production dedup pipeline: minhash-LSH pairs ->
+    connected components -> canonical filter. Invariants: canonical
+    docs survive, every dropped doc is in some pair, idempotent on the
+    cleaned output (no pairs remain at the same threshold)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dd.minhash_lsh_verified_pairs(
+        docs, "doc_id", "text", n=5, num_hashes=64, bands=64, threshold=0.5
+    ).localCheckpoint()
+    n_docs = docs.count()
+    clean = C.dedup_keep_canonical(docs, "doc_id", pairs).localCheckpoint()
+    n_clean = clean.count()
+    paired = {r[0] for r in pairs.select(F.explode(F.array("doc_a", "doc_b"))).collect()}
+    dropped = n_docs - n_clean
+    assert dropped < len(paired) if paired else dropped == 0
+    # idempotence: re-running pair detection on the cleaned corpus at
+    # the same threshold finds nothing
+    again = dd.minhash_lsh_verified_pairs(
+        clean, "doc_id", "text", n=5, num_hashes=64, bands=64, threshold=0.5
+    )
+    assert again.count() == 0
