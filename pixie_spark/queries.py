@@ -1774,6 +1774,27 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "semantic_dedup",
+    # Rows-only in the driver gate (window full); the k=1 configuration
+    # is proved equal to exact all-pairs cosine in
+    # tests/test_clustering.py (the IVF-style equivalence anchor), and
+    # planted-duplicate removal is value-checked there too.
+    None,
+    doc="SemDeDup (Abbas et al. 2023): kmeans-blocked within-cluster "
+    "cosine pairs -> connected components -> keep min-id "
+    "representative. Cluster id is the blocking key (one equi-join "
+    "shuffle; the cross product never materializes); scoring is "
+    "flattened per-dimension codegen arithmetic "
+    "(operators/clustering.py:semantic_dedup).",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.operators.clustering import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, k=8, threshold=0.9).select("vec_id").orderBy("vec_id")
+
+
+@query(
     "gopher_quality",
     # Rows-only in the driver gate (the 50-entry window is full of
     # hash-matched rows); every stat is value-checked against a

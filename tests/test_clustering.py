@@ -117,3 +117,54 @@ def test_end_to_end_minhash_to_clean_corpus(spark, sf_dir):
         clean, "doc_id", "text", n=5, num_hashes=64, bands=64, threshold=0.5
     )
     assert again.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_pairs_k1_equals_all_pairs(spark, sf_dir):
+    """k=1 puts everything in one cluster, so semantic_dedup_pairs must
+    equal the exact all-pairs cosine operator — the same equivalence-
+    anchor pattern as the IVF nprobe=n_lists gate config."""
+    from pixie_spark.operators.similarity import embedding_dedup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(150)
+    sem = {
+        (r["id_a"], r["id_b"])
+        for r in C.semantic_dedup_pairs(emb, k=1, threshold=0.9).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dedup_pairs(emb, threshold=0.9, prefilter=False).collect()
+    }
+    assert sem == exact
+
+
+def test_semantic_dedup_removes_planted_duplicates(spark):
+    """3 well-separated base directions, each with a near-identical
+    twin, plus lone vectors: every twin collapses to one survivor,
+    every lone vector survives."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    base = [rng.normal(size=dim) for _ in range(3)]
+    rows = []
+    vid = 0
+    for b in base:  # original + near-dup twin
+        for noise in (0.0, 1e-3):
+            v = b + noise * rng.normal(size=dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(5):  # lone vectors, far from everything
+        rows.append((vid, [float(x) for x in rng.normal(size=dim) * 3]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    clean = C.semantic_dedup(df, k=4, threshold=0.99, dim=dim)
+    kept = sorted(r["vec_id"] for r in clean.collect())
+    # twins are (0,1),(2,3),(4,5): min-id survivor kept from each
+    assert set(kept) >= {0, 2, 4}
+    assert not {1, 3, 5} & set(kept)
+    assert set(range(6, 11)) <= set(kept)
