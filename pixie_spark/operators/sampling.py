@@ -16,6 +16,8 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -61,4 +63,136 @@ def sequence_packing(
     # beyond 2^53 (verified: 2^56-3 / 4096 lands one pack too high)
     return df.withColumn(
         "pack_id", F.floor(cum_prev.cast("decimal(38,0)") / budget).cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling")
+# ---------------------------------------------------------------------------
+#
+# Select raw-corpus documents whose hashed-n-gram distribution looks
+# like a TARGET corpus: per-bucket log-likelihood ratios between the
+# target and raw bucket distributions, summed per document, then
+# Gumbel-top-k resampling proportional to the importance weight.
+#
+# Scale shape: features are the dedup family's 8-byte hashed shingle
+# ids folded into n_buckets; both distributions are bounded n_buckets-
+# row aggregates (driver-side arrays <= 64K floats); scoring is a
+# broadcast join of the tiny (bucket, logratio) table against the
+# per-position bucket rows plus a per-doc sum — one 8-byte-key shuffle
+# over the raw corpus, nothing quadratic anywhere.
+
+
+def _gram_buckets(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2, n_buckets: int = 8192
+) -> DataFrame:
+    """(doc, bucket) — one row per word-n-gram POSITION, bucket =
+    xxhash64 over the n words mod n_buckets (window-lead, no n-gram
+    string ever materialized; see dedup._hashed_shingle_rows)."""
+    from .dedup import _hashed_shingle_rows
+
+    rows = _hashed_shingle_rows(df, id_col, text_col, n)
+    return rows.select("doc", F.pmod("sid", F.lit(n_buckets)).alias("bucket"))
+
+
+def bucket_distribution(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    n_buckets: int = 8192,
+    smoothing: float = 1.0,
+) -> list[float]:
+    """Hashed-n-gram bucket distribution of a corpus as a normalized
+    length-n_buckets list (add-``smoothing`` smoothed, so log() is
+    always finite). The collect is bounded at n_buckets rows regardless
+    of corpus size."""
+    counts = (
+        _gram_buckets(df, id_col, text_col, n, n_buckets)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    arr = [smoothing] * n_buckets
+    for r in counts:
+        arr[int(r["bucket"])] += r["c"]
+    total = sum(arr)
+    return [v / total for v in arr]
+
+
+def importance_scores(
+    df: DataFrame,
+    log_ratio: list[float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """(doc, score): score = sum over the doc's n-gram positions of
+    log p_target(bucket) - log q_raw(bucket) — the DSIR document
+    log-importance. Docs too short to have any n-gram score 0.
+
+    The (bucket, logratio) table is dimension-sized -> broadcast; the
+    corpus side is (doc, bucket) 8-byte rows."""
+    if n_buckets is None:
+        n_buckets = len(log_ratio)
+    rows = _gram_buckets(df, id_col, text_col, n, n_buckets)
+    spark = df.sparkSession
+    ratio_df = spark.createDataFrame(
+        [(b, float(v)) for b, v in enumerate(log_ratio)], "bucket long, logratio double"
+    )
+    per_doc = (
+        rows.join(F.broadcast(ratio_df), "bucket")
+        .groupBy("doc")
+        .agg(F.sum("logratio").alias("score"))
+    )
+    ids = df.select(F.col(id_col).alias("doc"))
+    return ids.join(per_doc, "doc", "left").select(
+        "doc", F.coalesce("score", F.lit(0.0)).alias("score")
+    )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    n_buckets: int = 8192,
+    seed: int = 42,
+    gumbel: bool = True,
+) -> DataFrame:
+    """Keep the k raw documents resampled toward the target
+    distribution: Gumbel-top-k over the importance scores samples
+    WITHOUT replacement with P(doc) ∝ exp(score) — the paper's
+    importance resampling — using deterministic per-doc Gumbel noise
+    derived from xxhash64(doc, seed), so the selection is reproducible
+    across runs and engines. ``gumbel=False`` degenerates to greedy
+    top-k by score (highest-importance selection, no sampling).
+
+    The top-k is an orderBy+limit -> TakeOrderedAndProject (per-
+    partition heaps + driver merge of k rows, never a global sort).
+    """
+    p = bucket_distribution(target, id_col, text_col, n, n_buckets)
+    q = bucket_distribution(raw, id_col, text_col, n, n_buckets)
+    lr = [math.log(pb) - math.log(qb) for pb, qb in zip(p, q)]
+    scores = importance_scores(raw, lr, id_col, text_col, n, n_buckets)
+    if gumbel:
+        # u in (0,1) from the top 52 bits of the doc hash; g = Gumbel(0,1)
+        u = (F.pmod(F.xxhash64("doc", F.lit(seed)), F.lit(2**52)) + 0.5) / F.lit(
+            float(2**52)
+        )
+        key = F.col("score") + (-F.log(-F.log(u)))
+    else:
+        key = F.col("score")
+    kept = (
+        scores.withColumn("__key", key)
+        .orderBy(F.col("__key").desc(), "doc")
+        .limit(k)
+        .select("doc", "score")
+    )
+    return raw.join(
+        kept.withColumnRenamed("doc", id_col), id_col
     )

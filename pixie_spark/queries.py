@@ -1774,6 +1774,31 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dsir_resample",
+    # Rows-only in the driver gate (window full); the score math is
+    # value-checked against a Python recompute and the selection
+    # semantics are pinned in tests/test_dsir.py.
+    None,
+    doc="DSIR importance resampling (Xie et al. 2023): hashed-2-gram "
+    "bucket log-likelihood ratios target-vs-raw, per-doc score via a "
+    "broadcast (bucket, logratio) join + per-doc sum, deterministic "
+    "Gumbel-top-k selection ∝ exp(score). Distributions are bounded "
+    "n_buckets-row collects; nothing quadratic "
+    "(operators/sampling.py:dsir_resample).",
+)
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.operators.sampling import dsir_resample
+
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    target = doc.where(F.col("doc_id") < 50)
+    return (
+        dsir_resample(doc, target, k=200, n_buckets=4096, seed=42)
+        .select("doc_id", "score")
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "semantic_dedup",
     # Rows-only in the driver gate (window full); the k=1 configuration
     # is proved equal to exact all-pairs cosine in
