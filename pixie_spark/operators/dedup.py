@@ -643,6 +643,91 @@ def contamination_check(
     )
 
 
+def shingle_bloom_bits(
+    probes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 4,
+) -> list[int]:
+    """Bloom-filter bitset (as int64 words) over the probe set's word
+    n-gram shingle ids — the O(bits) alternative to broadcasting the
+    full probe shingle table when the probe corpus is large (an eval
+    suite can be 10^7 shingles; 2^20 bits is 128 KB regardless).
+
+    Bit positions: pmod(xxhash64(sid, j), n_bits) for j in
+    0..n_hashes-1 — per-j seeded independent hashes. The bitset is
+    assembled DISTRIBUTED (explode positions -> distinct -> per-word
+    bit_or) and only the <= n_bits/64 word rows are collected.
+    """
+    sids = _hashed_shingle_rows(probes, id_col, text_col, n).select("sid").distinct()
+    pos = sids.select(
+        F.explode(
+            F.array(
+                *[F.pmod(F.xxhash64("sid", F.lit(j)), F.lit(n_bits)) for j in range(n_hashes)]
+            )
+        ).alias("p")
+    ).distinct()
+    words = (
+        pos.select((F.col("p") / 64).cast("long").alias("w"), F.pmod("p", F.lit(64)).alias("b"))
+        .groupBy("w")
+        # expr form: the python shiftleft() helper only takes a literal
+        # shift amount, SQL's takes a column
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).alias("bits"))
+        .collect()
+    )
+    arr = [0] * ((n_bits + 63) // 64)
+    for r in words:
+        arr[int(r["w"])] = int(r["bits"])
+    return arr
+
+
+def bloom_contamination_check(
+    corpus: DataFrame,
+    bloom_bits: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Which corpus documents contain any shingle the Bloom filter
+    claims is in the probe set? Output: (doc, n_hits) — a SUPERSET of
+    the exact :func:`contamination_check` hits (Bloom filters have no
+    false negatives; false-positive rate follows (1-e^{-kn/m})^k).
+
+    The bitset rides to every task as a one-row broadcast array column
+    (128 KB at 2^20 bits) and the membership test is pure native bit
+    arithmetic — shiftrightunsigned + AND per hash — inside whole-stage
+    codegen; the corpus never shuffles (zero-exchange map + per-doc agg
+    on the existing by-doc partitioning)."""
+    n_bits = len(bloom_bits) * 64
+    spark = corpus.sparkSession
+    bits_df = spark.createDataFrame([(bloom_bits,)], "bloom array<long>")
+    rows = _hashed_shingle_rows(corpus, id_col, text_col, n)
+
+    def bit_test(j: int) -> Column:
+        # SQL form throughout: the python shiftrightunsigned() helper
+        # only takes a literal shift amount. The int literal seed {j}
+        # must stay INT-typed to hash identically to the build side's
+        # F.lit(j).
+        idx = f"pmod(xxhash64(sid, {j}), {n_bits}L)"
+        return F.expr(
+            f"(shiftrightunsigned(element_at(bloom, CAST({idx} DIV 64 AS INT) + 1), "
+            f"CAST(pmod({idx}, 64) AS INT)) & CAST(1 AS BIGINT)) = 1"
+        )
+
+    hit = bit_test(0)
+    for j in range(1, n_hashes):
+        hit = hit & bit_test(j)
+    return (
+        rows.crossJoin(F.broadcast(bits_df))
+        .where(hit)
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
 def simhash_md5_fragments() -> tuple[list[str], list[tuple[str, str]], str]:
     """Shared SQL fragments for the PORTABLE (md5-bit) SimHash — written
     once, executed verbatim by BOTH Spark and DuckDB so the gate can

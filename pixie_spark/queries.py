@@ -1774,6 +1774,26 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "contamination_bloom",
+    # Rows-only in the driver gate (window full); no-false-negative and
+    # FP-bound properties vs the exact checker are pinned in
+    # tests/test_bloom.py.
+    None,
+    doc="Bloom-filter benchmark decontamination: probe shingles folded "
+    "into a 2^20-bit filter (128 KB broadcast regardless of probe "
+    "size), corpus membership test as native bit arithmetic inside "
+    "codegen — zero corpus shuffle before the per-doc count. Superset "
+    "of the exact contamination_check by construction "
+    "(operators/dedup.py:bloom_contamination_check).",
+)
+def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    probes = doc.where(F.col("doc_id") < 20)
+    bits = dd.shingle_bloom_bits(probes, n=5, n_bits=1 << 20)
+    return dd.bloom_contamination_check(doc, bits, n=5).orderBy("doc")
+
+
+@query(
     "dsir_resample",
     # Rows-only in the driver gate (window full); the score math is
     # value-checked against a Python recompute and the selection
