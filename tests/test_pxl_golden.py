@@ -1,7 +1,7 @@
 """Golden-VALUE assertions for flagship PxL corpus scripts.
 
 tests/test_pxl_corpus.py proves the reference's 67 shipped scripts RUN
-verbatim; these tests prove twenty-two of the flagship ones are RIGHT, pinning
+verbatim; these tests prove twenty-eight of the flagship ones are RIGHT, pinning
 exact expected values computed from the seeded deterministic fixtures —
 the reference's own e2e test style (expected column values per query,
 src/carnot/carnot_test.cc:97-1103) rather than non-empty checks.
@@ -462,3 +462,150 @@ def test_jvm_stats_golden(spark, ctx):
     ).collect()[0]
     assert (agg["n"], agg["pods"]) == (300, 10)
     assert agg["used_sum"] == 70536658944
+
+
+def test_outbound_conns_golden(spark, ctx):
+    """Single outbound connection aggregate — every column exact."""
+    out = _run(
+        "outbound_conns/data.pxl",
+        calls=[("outbound_conns", {"start_time": "-1h", "ip_filter": ""})],
+    )
+    rows = _rows(out["outbound_conns"])
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["pod"] == "prod/api-0001"
+    assert r["remote_addr"] == "203.0.113.9"
+    assert r["remote_port"] == 8080
+    assert r["conn_open"] == 27
+    assert r["bytes_sent"] == 132979
+    assert r["bytes_recv"] == 289105
+    assert r["last_activity_time"] == 1704067790000000000
+
+
+def test_mysql_flow_graph_golden(spark, ctx):
+    """prod-namespace MySQL flow edges: exact edge count, total
+    requests, fan-out, and the lexicographically-first edge's
+    latency."""
+    from pyspark.sql import functions as F
+
+    out = _run(
+        "mysql_flow_graph/mysql_flow_graph.pxl",
+        calls=[("mysql_flow_graph",
+                {"start_time": "-1h", "ns": "prod", "source_filter": "",
+                 "destination_filter": ""})],
+    )
+    df = out["mysql_flow_graph"]
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("throughput_total").alias("tot"),
+        F.countDistinct("destination").alias("dsts"),
+        F.countDistinct("source").alias("srcs"),
+        F.max("latency_p99").alias("maxp99"),
+    ).collect()[0]
+    assert (agg["n"], agg["tot"], agg["dsts"], agg["srcs"]) == (128, 213, 66, 10)
+    assert agg["maxp99"] == approx(13848606.5, rel=1e-9)
+    first = _rows(df, "source", "destination")[0]
+    assert (first["source"], first["destination"]) == ("prod/api-0001", "203.0.113.121")
+    assert first["latency_p50"] == approx(661296.0, rel=1e-9)
+    assert first["namespace"] == "prod" and first["is_source_pod_type"] is True
+
+
+def test_http_data_filtered_golden(spark, ctx):
+    """status_code=200 filter: exact surviving-row count, the filter
+    really binds (one distinct status), exact latency mass and time
+    range."""
+    from pyspark.sql import functions as F
+
+    out = _run(
+        "http_data_filtered/data.pxl",
+        calls=[("http_data", {"start_time": "-1h", "svc": "", "pod": "",
+                              "req_path": "", "status_code": 200})],
+    )
+    df = out["http_data"]
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("resp_status").alias("st"),
+        F.sum("latency").alias("lat"),
+        F.min("time_").alias("t0"),
+        F.max("time_").alias("t1"),
+        F.countDistinct("svc").alias("svcs"),
+    ).collect()[0]
+    assert (agg["n"], agg["st"], agg["svcs"]) == (100, 1, 4)
+    assert agg["lat"] == 506711952
+    assert (agg["t0"], agg["t1"]) == (1704067206670113024, 1704067322166308352)
+    first = _rows(df, "time_")[0]
+    assert (first["remote_addr"], first["latency"], first["svc"]) == (
+        "10.0.0.9", 697375, "staging/db",
+    )
+
+
+def test_pod_edge_stats_golden(spark, ctx):
+    """frontend-0000 → api-0001 windowed edge stats: exact window count,
+    request/byte totals, error mass, p99 peak, and the first window's
+    full row."""
+    from pyspark.sql import functions as F
+
+    out = _run(
+        "pod_edge_stats/pod_edge_stats.pxl",
+        calls=[("pod_edge_let",
+                {"start_time": "-1h", "requesting_pod": "prod/frontend-0000",
+                 "responding_pod": "prod/api-0001"})],
+    )
+    df = out["pod_edge_let"]
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("throughput_total").alias("tot"),
+        F.sum("bytes_recv").alias("rx"),
+        F.sum("bytes_sent").alias("tx"),
+        F.max("latency_p99").alias("maxp99"),
+        F.sum("error_rate_per_window").alias("errs"),
+    ).collect()[0]
+    assert (agg["n"], agg["tot"], agg["rx"], agg["tx"]) == (19, 20, 37049, 643984)
+    assert agg["maxp99"] == 24733519
+    assert agg["errs"] == approx(3.0, rel=1e-9)
+    first = _rows(df, "timestamp")[0]
+    assert first["timestamp"] == 1704067300000000000
+    assert first["latency_p50"] == 156753
+    assert first["error_rate_per_window"] == approx(1.0)
+    assert (first["bytes_recv"], first["bytes_sent"]) == (2718, 10958)
+
+
+def test_namespace_pods_golden(spark, ctx):
+    """prod-namespace pod inventory: the 7 resolved pods with exact
+    memory readings and statuses."""
+    out = _run(
+        "namespace/namespace.pxl",
+        calls=[("pods_for_namespace", {"start_time": "-1h", "namespace": "prod"})],
+    )
+    rows = _rows(out["pods_for_namespace"], "pod")
+    assert [r["pod"] for r in rows] == [
+        "prod/api-0001", "prod/api-0004", "prod/api-0007",
+        "prod/frontend-0000", "prod/frontend-0003", "prod/frontend-0006",
+        "prod/frontend-0009",
+    ]
+    by_pod = {r["pod"]: r for r in rows}
+    assert by_pod["prod/api-0001"]["rss"] == approx(310371504.975, rel=1e-9)
+    assert by_pod["prod/api-0001"]["vsize"] == approx(1055292271.625, rel=1e-9)
+    assert by_pod["prod/api-0001"]["create_time"] == 1704060000000000000
+    assert by_pod["prod/api-0007"]["status"] == "Pending"
+    assert by_pod["prod/frontend-0000"]["status"] == "Pending"
+    assert by_pod["prod/frontend-0003"]["status"] == "Running"
+
+
+def test_http_post_requests_golden(spark, ctx):
+    """POST-only trace slice: both rows exact."""
+    out = _run("http_post_requests/data.pxl")
+    rows = _rows(out["output"], "time_")
+    assert len(rows) == 2
+    a, b = rows
+    assert (a["time_"], a["remote_addr"], a["remote_port"]) == (
+        1704070771121065472, "10.0.0.3", 18781,
+    )
+    assert (a["req_method"], a["req_path"], a["resp_status"], a["latency"]) == (
+        "POST", "/api/v1/items/91", 200, 2974776,
+    )
+    assert a["service"] == "prod/frontend"
+    assert (b["req_method"], b["req_path"], b["resp_status"], b["latency"]) == (
+        "POST", "/api/v1/inventory", 204, 10432677,
+    )
+    assert b["service"] == "prod/api"
