@@ -186,3 +186,57 @@ def test_duplicate_spans_matches_python(spark, texts):
         for r in duplicate_spans(df, "doc_id", "text", k=3).collect()
     }
     assert got == py_duplicate_spans(texts, k=3)
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality/repetition stats vs the Python reference on random docs
+# ---------------------------------------------------------------------------
+
+QWORDS = ["the", "cat", "buy", "now", "-", "...", "x1", "##", "deadbeef"]
+
+quality_docs_strategy = st.lists(
+    st.lists(  # a doc = 1-6 lines of 0-8 words
+        st.lists(st.sampled_from(QWORDS), min_size=0, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ).map("\n".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(quality_docs_strategy)
+def test_quality_stats_match_python(spark, texts):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pixie_spark.operators import quality as Q
+    from tests.test_quality import _dup_stats, _segs, py_ngram, py_shape
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    exprs = {
+        **Q.line_repetition_stats(F.col("text")),
+        **Q.doc_shape_stats(F.col("text")),
+    }
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in df.select("doc_id", *[v.alias(k) for k, v in exprs.items()]).collect()
+    }
+    ngr = {
+        r["doc"]: r.asDict()
+        for r in Q.ngram_repetition_stats(df, "doc_id", "text").collect()
+    }
+    for i, text in enumerate(texts):
+        lf, lcf = _dup_stats(_segs(text, r"\n"))
+        pf, pcf = _dup_stats(_segs(text, r"\n\s*\n"))
+        exp = {
+            "line_dup_frac": lf, "line_dup_char_frac": lcf,
+            "para_dup_frac": pf, "para_dup_char_frac": pcf,
+            **py_shape(text),
+        }
+        for k, v in exp.items():
+            assert math.isclose(got[i][k], v, abs_tol=1e-9), (i, k, got[i][k], v)
+        for k, v in py_ngram(text).items():
+            assert math.isclose(ngr[i][k], v, abs_tol=1e-9), (i, k, ngr[i][k], v)
