@@ -202,6 +202,7 @@ def gopher_filters(
     text_col: str = "text",
     min_words: int = 50,
     max_words: int = 100_000,
+    rules: list[str] | None = None,
 ) -> DataFrame:
     """The composite Gopher quality gate: per-doc stats + ``keep``
     boolean + ``failed_rules`` array naming every violated rule.
@@ -218,6 +219,10 @@ def gopher_filters(
     shuffle (8-byte keys, see ngram_repetition_stats). Output keeps one
     row per input doc — filter on ``keep`` to materialize the cleaned
     corpus.
+
+    ``rules`` restricts enforcement to the named subset (all stats are
+    still computed) — e.g. a synthetic or non-English corpus drops
+    ``stop_words``. Unknown names raise.
     """
     t = F.col(text_col)
     ws = F.filter(F.split(t, r"\s+"), lambda w: w != "")
@@ -236,7 +241,7 @@ def gopher_filters(
     ngr = ngram_repetition_stats(df, id_col, text_col)
     full = base.join(ngr, "doc", "left")
 
-    rules: list[tuple[str, Column]] = [
+    rules_all: list[tuple[str, Column]] = [
         ("word_count", (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)),
         ("mean_word_length", (F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 10.0)),
         ("symbol_word_ratio", F.col("symbol_word_ratio") <= 0.1),
@@ -250,12 +255,23 @@ def gopher_filters(
         ("dup_para_char_frac", F.col("para_dup_char_frac") <= 0.20),
     ]
     for n, thr in TOP_NGRAM_THRESHOLDS.items():
-        rules.append((f"top_{n}gram", F.coalesce(F.col(f"top_{n}gram_char_frac"), F.lit(0.0)) <= thr))
+        rules_all.append(
+            (f"top_{n}gram", F.coalesce(F.col(f"top_{n}gram_char_frac"), F.lit(0.0)) <= thr)
+        )
     for n, thr in DUP_NGRAM_THRESHOLDS.items():
-        rules.append((f"dup_{n}gram", F.coalesce(F.col(f"dup_{n}gram_char_frac"), F.lit(0.0)) <= thr))
+        rules_all.append(
+            (f"dup_{n}gram", F.coalesce(F.col(f"dup_{n}gram_char_frac"), F.lit(0.0)) <= thr)
+        )
+
+    if rules is not None:
+        known = {name for name, _ in rules_all}
+        unknown = set(rules) - known
+        if unknown:
+            raise ValueError(f"unknown gopher rules: {sorted(unknown)}; known: {sorted(known)}")
+        rules_all = [(name, cond) for name, cond in rules_all if name in set(rules)]
 
     failed = F.filter(
-        F.array(*[F.when(~cond, F.lit(name)) for name, cond in rules]),
+        F.array(*[F.when(~cond, F.lit(name)) for name, cond in rules_all]),
         lambda x: x.isNotNull(),
     )
     return full.withColumn("failed_rules", failed).withColumn(

@@ -1774,6 +1774,24 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_clean_pipeline",
+    # Rows-only in the driver gate (window full); each stage's removal
+    # behavior is pinned on planted offenders in tests/test_pipeline.py.
+    None,
+    doc="End-to-end corpus cleaning DAG: Gopher quality gate -> exact "
+    "dedup -> minhash near-dup clusters -> canonical filter -> "
+    "substring-span removal, reported as a one-row funnel "
+    "(operators/pipeline.py:clean_corpus_report). Cheap per-doc "
+    "filters run first so cross-doc stages see a shrunk corpus.",
+)
+def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.operators.pipeline import STRUCTURAL_RULES, clean_corpus_report
+
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return clean_corpus_report(doc, quality_rules=STRUCTURAL_RULES, min_words=5)
+
+
+@query(
     "contamination_bloom",
     # Rows-only in the driver gate (window full); no-false-negative and
     # FP-bound properties vs the exact checker are pinned in
