@@ -50,6 +50,42 @@ def stream_table(
     )
 
 
+def stream_exact_dedup(
+    df: DataFrame,
+    content_cols: list[str],
+    event_time_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming exact deduplication on a content hash — the ingestion-
+    time twin of operators/dedup.exact_dedup: the first arrival of each
+    distinct content survives, later arrivals (in the SAME or ANY LATER
+    micro-batch — the dedup state is a streaming state store, not
+    per-batch) are dropped.
+
+    State sizing is the 100 TB design decision:
+    - with ``event_time_col`` + ``watermark``: dedup-within-horizon via
+      dropDuplicatesWithinWatermark — state for a content hash is
+      evicted once the watermark passes it, so state is bounded by the
+      horizon's distinct-content rate. The right mode for endless
+      ingestion where re-crawls arrive close together.
+    - without: exact global dedup; state grows with distinct content
+      (8-byte hash per entry). Right for bounded backfills.
+
+    The stored key is the 8-byte xxhash64, never the content itself —
+    the same shuffle-payload rule as the batch dedup family.
+    """
+    hashed = df.withColumn("__content_hash", F.xxhash64(*content_cols))
+    if watermark is not None:
+        if event_time_col is None:
+            raise ValueError("watermark requires event_time_col")
+        return (
+            hashed.withWatermark(event_time_col, watermark)
+            .dropDuplicatesWithinWatermark(["__content_hash"])
+            .drop("__content_hash")
+        )
+    return hashed.dropDuplicates(["__content_hash"]).drop("__content_hash")
+
+
 def _window_duration(window: str) -> str:
     """ns duration string → Spark interval string, validated: silent //
     truncation would turn '500us' into '0 milliseconds' and shrink

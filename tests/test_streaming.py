@@ -274,3 +274,44 @@ def test_no_driver_collect_in_streaming_sinks():
     src = inspect.getsource(st)
     assert ".collect()" not in src
     assert "foreachPartition" in src
+
+
+def test_stream_exact_dedup_across_microbatches(spark, tmp_path):
+    """Duplicates arriving in LATER micro-batches are suppressed by the
+    dedup state store, and the surviving content set equals the batch
+    exact-dedup result."""
+    import pixie_spark.streaming as S
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    batch1 = [(i, f"text number {i}") for i in range(5)]
+    # batch 2: 3 duplicates of batch-1 content under NEW ids + 2 fresh
+    batch2 = [(10 + i, f"text number {i}") for i in range(3)] + [
+        (20, "fresh twenty"), (21, "fresh twentyone"),
+    ]
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = S.stream_table(spark, src, schema, max_files_per_trigger=1)
+    dedup = S.stream_exact_dedup(stream, ["text"])
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("dedup_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT * FROM dedup_stream_out").collect()
+    texts = [r["text"] for r in out]
+    assert len(texts) == len(set(texts)) == 7  # 5 + 2 fresh, 3 dups dropped
+    assert set(texts) == {f"text number {i}" for i in range(5)} | {
+        "fresh twenty", "fresh twentyone",
+    }
