@@ -1,7 +1,7 @@
 """Golden-VALUE assertions for flagship PxL corpus scripts.
 
 tests/test_pxl_corpus.py proves the reference's 67 shipped scripts RUN
-verbatim; these tests prove twenty-eight of the flagship ones are RIGHT, pinning
+verbatim; these tests prove thirty-two of the flagship ones are RIGHT, pinning
 exact expected values computed from the seeded deterministic fixtures —
 the reference's own e2e test style (expected column values per query,
 src/carnot/carnot_test.cc:97-1103) rather than non-empty checks.
@@ -609,3 +609,83 @@ def test_http_post_requests_golden(spark, ctx):
         "POST", "/api/v1/inventory", 204, 10432677,
     )
     assert b["service"] == "prod/api"
+
+
+def test_redis_stats_golden(spark, ctx):
+    """prod Redis windowed stats + latency histogram: exact window
+    count, throughput mass, p99 peak, destination fan-out, histogram."""
+    from pyspark.sql import functions as F
+
+    pa = {"start_time": "-1h", "pod": "prod/"}
+    out = _run(
+        "redis_stats/redis_stats.pxl",
+        calls=[("pod_redis_let", pa), ("latency_histogram", pa)],
+    )
+    df = out["pod_redis_let"]
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("request_throughput").alias("tot"),
+        F.max("latency_p99").alias("maxp99"),
+        F.countDistinct("destination").alias("dsts"),
+        F.min("time_").alias("t0"),
+    ).collect()[0]
+    assert (agg["n"], agg["dsts"], agg["maxp99"]) == (267, 67, 12820084)
+    assert agg["tot"] == approx(2.67e-08, rel=1e-9)
+    assert agg["t0"] == 1704067200000000000
+    hist = _rows(out["latency_histogram"])
+    assert hist == [{"request_latency": 0, "count": 267}]
+
+
+def test_pgsql_stats_golden(spark, ctx):
+    """prod PostgreSQL windowed stats + latency histogram — exact."""
+    from pyspark.sql import functions as F
+
+    pa = {"start_time": "-1h", "pod": "prod/"}
+    out = _run(
+        "pgsql_stats/pgsql_stats.pxl",
+        calls=[("pod_pgsql_let", pa), ("latency_histogram", pa)],
+    )
+    df = out["pod_pgsql_let"]
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("request_throughput").alias("tot"),
+        F.max("latency_p99").alias("maxp99"),
+        F.countDistinct("destination").alias("dsts"),
+    ).collect()[0]
+    assert (agg["n"], agg["dsts"], agg["maxp99"]) == (259, 66, 22865244)
+    assert agg["tot"] == approx(2.59e-08, rel=1e-9)
+    hist = _rows(out["latency_histogram"])
+    assert hist == [{"request_latency": 0, "count": 259}]
+
+
+def test_amqp_data_golden(spark, ctx):
+    """AMQP trace slice, per-method message stats, and flow graph:
+    exact counts and the full stats table."""
+    args = {"start_time": "-1h", "source_filter": "", "destination_filter": ""}
+    out = _run(
+        "amqp_data/amqp_data.pxl",
+        calls=[("amqp_data", args), ("amqp_msg_stats", args),
+               ("amqp_flow_graph", {**args, "ns": "prod"})],
+    )
+    assert out["amqp_data"].count() == 300
+    assert out["amqp_flow_graph"].count() == 89
+    stats = _rows(out["amqp_msg_stats"], "req_name")
+    assert stats == [
+        {"frame_name": "Frame method", "req_name": "BasicDeliver", "stats": 153},
+        {"frame_name": "Frame method", "req_name": "BasicPublish", "stats": 147},
+    ]
+
+
+def test_mux_data_golden(spark, ctx):
+    """Mux trace head: exact row count and time extent."""
+    from pyspark.sql import functions as F
+
+    out = _run("mux_data/data.pxl",
+               calls=[("mux_data", {"start_time": "-1h", "num_head": 100})])
+    agg = out["mux_data"].agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("time_").alias("t0"),
+        F.max("time_").alias("t1"),
+    ).collect()[0]
+    assert agg["n"] == 100
+    assert (agg["t0"], agg["t1"]) == (1704067200000000000, 1704068091000000000)
