@@ -144,6 +144,74 @@ def fingerprint(text: Column) -> Column:
     return F.aggregate(blocks, F.lit(0).cast("long"), _step)
 
 
+def vocab_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus vocabulary table: (term, count, doc_freq) — the input to
+    tokenizer training, stop-word mining, and Zipf diagnostics.
+
+    One explode + one groupBy on the term (map-side partial counts
+    absorb Zipf head terms — 'the' costs one partial counter per task,
+    not a hot-key shuffle). doc_freq via count_distinct(doc) inside the
+    same aggregate. ``top_k`` returns the head via orderBy+limit
+    (TakeOrderedAndProject — per-partition heaps, never a global sort).
+    """
+    from pixie_spark.operators.dedup import _word_rows
+
+    w = _word_rows(df, id_col, text_col).select(
+        "doc", (F.lower("word") if lowercase else F.col("word")).alias("term")
+    )
+    out = w.groupBy("term").agg(
+        F.count(F.lit(1)).alias("count"),
+        F.countDistinct("doc").alias("doc_freq"),
+    )
+    if top_k is not None:
+        out = out.orderBy(F.col("count").desc(), "term").limit(top_k)
+    return out
+
+
+def bpe_pair_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Adjacent-character-pair frequencies over the corpus — the
+    statistic the first BPE merge step maximizes (Sennrich et al.
+    2016): (left, right, count) where count sums over all corpus
+    occurrences of each word containing the pair.
+
+    Computed from the DISTINCT-word vocabulary weighted by word count,
+    so a word occurring a million times explodes its characters ONCE —
+    corpus size only affects the (cheap) vocab aggregation, and the
+    pair explosion is bounded by total vocabulary characters.
+    """
+    vocab = vocab_stats(df, id_col, text_col, lowercase=lowercase)
+    # guard: sequence(1, 0) would COUNT DOWN ([1, 0]) for 1-char words
+    grams = F.when(
+        F.length("term") > 1,
+        F.transform(
+            F.sequence(F.lit(1), F.length("term") - 1),
+            lambda i: F.struct(
+                F.col("term").substr(i, F.lit(1)).alias("left"),
+                F.col("term").substr(i + 1, F.lit(1)).alias("right"),
+            ),
+        ),
+    ).otherwise(F.array())
+    pairs = vocab.select("count", F.explode(grams).alias("p"))
+    out = pairs.groupBy(
+        F.col("p.left").alias("left"), F.col("p.right").alias("right")
+    ).agg(F.sum("count").alias("count"))
+    if top_k is not None:
+        out = out.orderBy(F.col("count").desc(), "left", "right").limit(top_k)
+    return out
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass map stage computing all text statistics."""
     t = F.col(text_col)

@@ -1774,6 +1774,25 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "vocab_bpe_stats",
+    # Rows-only in the driver gate (window full); value equality vs
+    # Python references in tests/test_vocab.py.
+    None,
+    doc="Tokenizer-prep statistics: corpus vocabulary (term, count, "
+    "doc_freq — map-side partials absorb Zipf head terms) and "
+    "BPE-merge adjacent-char-pair frequencies computed from the "
+    "DISTINCT-word vocabulary weighted by count, so a million-"
+    "occurrence word explodes its characters once "
+    "(operators/text.py:vocab_stats, bpe_pair_stats).",
+)
+def q_vocab_bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.operators.text import bpe_pair_stats
+
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_pair_stats(doc, top_k=50)
+
+
+@query(
     "corpus_clean_pipeline",
     # Rows-only in the driver gate (window full); each stage's removal
     # behavior is pinned on planted offenders in tests/test_pipeline.py.
