@@ -68,3 +68,14 @@ def test_bloom_hit_counts_vs_position_level_truth(spark, sf_dir):
     }
     for doc, n_true in truth.items():
         assert bloom.get(doc, 0) >= n_true, (doc, bloom.get(doc), n_true)
+
+
+def test_bloom_empty_probe_set(spark):
+    """No probes -> all-zero bitset -> zero hits anywhere."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string"
+    )
+    bits = dd.shingle_bloom_bits(empty, n=3, n_bits=1 << 12)
+    assert sum(bits) == 0
+    assert dd.bloom_contamination_check(docs, bits, n=3).count() == 0

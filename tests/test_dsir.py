@@ -71,3 +71,12 @@ def test_gumbel_resample_deterministic_and_bounded(spark):
     # output rows keep the raw schema plus the score column
     out = S.dsir_resample(raw, target, k=3, seed=7)
     assert set(out.columns) == {"doc_id", "text", "score"}
+
+
+def test_edge_cases_empty_inputs(spark):
+    """Empty target -> smoothing-only uniform distribution (no crash);
+    empty raw -> empty selection."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    docs = _mk(spark, ["a b c d e f g h i j k l"])
+    assert S.dsir_resample(docs, empty, k=1, n_buckets=64).count() == 1
+    assert S.dsir_resample(empty, docs, k=1, n_buckets=64).count() == 0
