@@ -1,7 +1,7 @@
 """Golden-VALUE assertions for flagship PxL corpus scripts.
 
 tests/test_pxl_corpus.py proves the reference's 67 shipped scripts RUN
-verbatim; these tests prove thirty-two of the flagship ones are RIGHT, pinning
+verbatim; these tests prove thirty-nine of the flagship ones are RIGHT, pinning
 exact expected values computed from the seeded deterministic fixtures —
 the reference's own e2e test style (expected column values per query,
 src/carnot/carnot_test.cc:97-1103) rather than non-empty checks.
@@ -689,3 +689,36 @@ def test_mux_data_golden(spark, ctx):
     ).collect()[0]
     assert agg["n"] == 100
     assert (agg["t0"], agg["t1"]) == (1704067200000000000, 1704068091000000000)
+
+
+DATA_SCRIPT_GOLDENS = {
+    # script, fn, (rows, min_time_, max_time_, latency_sum|None)
+    "dns_data/data.pxl": ("dns_data", 100, 1704068190000000000, 78183656),
+    "mysql_data/mysql_data.pxl": ("mysql_data", 100, 1704068091000000000, 158936516),
+    "kafka_data/kafka_data.pxl": ("kafka_data", 100, 1704068010000000000, 170905941),
+    "mongodb_data/mongodb_data.pxl": ("mongodb_data", 100, 1704068091000000000, 216537784),
+    "nats_data/nats_data.pxl": ("nats_data", 100, 1704068091000000000, None),
+    "cql_data/data.pxl": ("cql_data", 100, 1704068091000000000, 133265250),
+    "pgsql_data/pgsql_data.pxl": ("pgsql_data", 100, 1704068091000000000, 130173998),
+}
+
+
+@pytest.mark.parametrize("rel", sorted(DATA_SCRIPT_GOLDENS))
+def test_protocol_data_scripts_golden(spark, ctx, rel):
+    """Per-protocol trace slices (num_head=100): exact row count, time
+    extent, and total latency mass — pins head-limit semantics, the
+    time filter, and the latency column end-to-end per protocol."""
+    from pyspark.sql import functions as F
+
+    fn, n, t1, lat_sum = DATA_SCRIPT_GOLDENS[rel]
+    args = {"start_time": "-1h", "source_filter": "",
+            "destination_filter": "", "num_head": 100}
+    df = _run(rel, calls=[(fn, args)])[fn]
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("time_").alias("t0"),
+        F.max("time_").alias("t1"),
+    ).collect()[0]
+    assert (agg["n"], agg["t0"], agg["t1"]) == (n, 1704067200000000000, t1)
+    if lat_sum is not None:
+        assert df.agg(F.sum("latency")).collect()[0][0] == lat_sum
