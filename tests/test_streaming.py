@@ -315,3 +315,54 @@ def test_stream_exact_dedup_across_microbatches(spark, tmp_path):
     assert set(texts) == {f"text number {i}" for i in range(5)} | {
         "fresh twenty", "fresh twentyone",
     }
+
+
+def test_stream_quality_ingest_equals_batch(spark, tmp_path):
+    """The streaming ingestion front of the corpus pipeline: in-row
+    Gopher stats (stateless map — works unchanged on a stream) +
+    content dedup, arriving over multiple micro-batches, must equal the
+    batch computation on the union of the data."""
+    import pixie_spark.streaming as S
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from pixie_spark.operators.quality import doc_shape_stats, line_repetition_stats
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    b1 = [(1, "the cat sat\nthe cat sat\nok fine"), (2, "alpha beta gamma")]
+    b2 = [(3, "alpha beta gamma"), (4, "# # # ...\nbullets - here")]
+    src = str(tmp_path / "q_src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def enrich(df):
+        exprs = {**line_repetition_stats(F.col("text")), **doc_shape_stats(F.col("text"))}
+        return df.withColumns(exprs)
+
+    stream = S.stream_table(spark, src, schema, max_files_per_trigger=1)
+    q = (
+        enrich(S.stream_exact_dedup(stream, ["text"]))
+        .writeStream.format("memory")
+        .queryName("q_ingest_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["text"]: r.asDict() for r in spark.sql("SELECT * FROM q_ingest_out").collect()}
+
+    batch = enrich(
+        spark.createDataFrame(b1 + b2, schema).dropDuplicates(["text"])
+    )
+    exp = {r["text"]: r.asDict() for r in batch.collect()}
+    assert set(got) == set(exp) and len(got) == 3  # doc 3 deduped
+    stat_cols = [c for c in next(iter(exp.values())) if c not in ("doc_id", "text")]
+    for text in exp:
+        for c in stat_cols:
+            assert got[text][c] == exp[text][c], (text, c)
