@@ -1,7 +1,7 @@
 """Golden-VALUE assertions for flagship PxL corpus scripts.
 
 tests/test_pxl_corpus.py proves the reference's 67 shipped scripts RUN
-verbatim; these tests prove thirty-nine of the flagship ones are RIGHT, pinning
+verbatim; these tests prove forty-two of the flagship ones are RIGHT, pinning
 exact expected values computed from the seeded deterministic fixtures —
 the reference's own e2e test style (expected column values per query,
 src/carnot/carnot_test.cc:97-1103) rather than non-empty checks.
@@ -722,3 +722,71 @@ def test_protocol_data_scripts_golden(spark, ctx, rel):
     assert (agg["n"], agg["t0"], agg["t1"]) == (n, 1704067200000000000, t1)
     if lat_sum is not None:
         assert df.agg(F.sum("latency")).collect()[0][0] == lat_sum
+
+
+def test_pod_timeseries_golden(spark, ctx):
+    """pod.pxl resource + inbound-latency timeseries: exact window
+    counts, time extents, and latency mass."""
+    from pyspark.sql import functions as F
+
+    pod = "prod/frontend-0000"
+    out = _run(
+        "pod/pod.pxl",
+        calls=[
+            ("resource_timeseries", {"start_time": "-1h", "pod": pod}),
+            ("inbound_latency_timeseries", {"start_time": "-1h", "pod": pod}),
+        ],
+    )
+    rt = out["resource_timeseries"]
+    agg = rt.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("time_").alias("t0"),
+        F.max("time_").alias("t1"),
+    ).collect()[0]
+    assert (agg["n"], agg["t0"], agg["t1"]) == (
+        40, 1704067200000000000, 1704067590000000000,
+    )
+    il = out["inbound_latency_timeseries"]
+    agg = il.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("latency_p50").alias("p50"),
+        F.sum("latency_p90").alias("p90"),
+        F.sum("latency_p99").alias("p99"),
+    ).collect()[0]
+    assert (agg["n"], agg["p50"], agg["p90"], agg["p99"]) == (
+        137, 536728747, 796157260, 796157260,
+    )
+
+
+def test_agent_status_golden(spark, ctx):
+    """agent_status.pxl: the single healthy agent row's deterministic
+    fields (timestamps/memory are live host values — not pinned)."""
+    out = _run("agent_status/agent_status.pxl")
+    rows = out["output"].collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["hostname"] == "vm"
+    assert r["ip_address"] == "127.0.0.1"
+    assert r["agent_state"] == "AGENT_STATE_HEALTHY"
+    assert r["asid"] == 0
+    assert r["kernel_headers_installed"] is False
+
+
+def test_perf_flamegraph_golden(spark, ctx):
+    """perf_flamegraph stacktraces: exact folded-stack row count and
+    total sample mass."""
+    from pyspark.sql import functions as F
+
+    out = _run(
+        "perf_flamegraph/flamegraph.pxl",
+        calls=[("stacktraces",
+                {"start_time": "-1h", "node": "", "namespace": "", "pod": "",
+                 "pct_basis_entity": "node"})],
+    )
+    st = out["stacktraces"]
+    agg = st.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("count").alias("samples"),
+        F.countDistinct("node").alias("nodes"),
+    ).collect()[0]
+    assert (agg["n"], agg["samples"], agg["nodes"]) == (389, 9928, 1)
