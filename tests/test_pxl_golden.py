@@ -765,8 +765,9 @@ def test_agent_status_golden(spark, ctx):
     rows = out["output"].collect()
     assert len(rows) == 1
     r = rows[0]
-    assert r["hostname"] == "vm"
-    assert r["ip_address"] == "127.0.0.1"
+    # hostname/ip/memory are LIVE host values (socket.gethostname) —
+    # assert presence, pin only the deterministic agent fields
+    assert r["hostname"] and r["ip_address"]
     assert r["agent_state"] == "AGENT_STATE_HEALTHY"
     assert r["asid"] == 0
     assert r["kernel_headers_installed"] is False
