@@ -212,6 +212,118 @@ def bpe_pair_stats(
     return out
 
 
+def bpe_train(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_merges: int = 100,
+    lowercase: bool = True,
+    max_vocab_rows: int = 1_000_000,
+) -> list[tuple[str, str]]:
+    """Train a BPE merge table (Sennrich et al. 2016) over the corpus.
+
+    Split of labor at 100 TB: the CORPUS-sized work — word counting —
+    is the distributed vocab_stats aggregate; the merge loop then runs
+    on the collected (word, count) vocabulary, which Zipf keeps
+    driver-sized (a trillion-token corpus has ~10^7 distinct words;
+    ``max_vocab_rows`` truncates the tail, whose pair mass is
+    negligible by construction). Each merge rescans only words that
+    still contain the merged pair.
+
+    Ties break deterministically (lexicographically smallest pair), so
+    the merge table is reproducible across runs and engines. Returns
+    merges in application order.
+    """
+    rows = vocab_stats(df, id_col, text_col, lowercase=lowercase, top_k=max_vocab_rows)
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(r["term"]): r["count"] for r in rows.collect()
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for word, c in vocab.items():
+            for a, b in zip(word, word[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + c
+        if not pair_counts:
+            break
+        # max count; ties -> lexicographically smallest pair
+        best = min(pair_counts, key=lambda p: (-pair_counts[p], p))
+        if pair_counts[best] < 2:
+            break
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for word, c in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(word):
+                if i + 1 < len(word) and word[i] == a and word[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply a merge table to one word: repeatedly merge the
+    lowest-rank adjacent pair — the standard BPE inference loop."""
+    parts = list(word)
+    while len(parts) > 1:
+        best_i, best_rank = -1, None
+        for i, pair in enumerate(zip(parts, parts[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_i, best_rank = i, r
+        if best_rank is None:
+            break
+        parts[best_i : best_i + 2] = [parts[best_i] + parts[best_i + 1]]
+    return parts
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    lowercase: bool = True,
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize a text column with a trained merge table, as an
+    Arrow-batched pandas UDF (the merge loop is per-word imperative —
+    not expressible as native columns — so it rides the sanctioned
+    vectorized-Python path, cf. the IVF quantizer). The merge table is
+    closure-captured: it ships once per executor, the broadcast-
+    variable pattern."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    # NOTE: no type annotations on `enc` — this module uses
+    # `from __future__ import annotations`, which stringifies hints;
+    # pyspark resolves them in module globals where `pd` isn't bound.
+    @pandas_udf("array<string>")
+    def enc(texts):
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            ws = [w for w in (t.lower() if lowercase else t).split() if w]
+            toks: list[str] = []
+            for w in ws:
+                toks.extend(bpe_encode_word(w, ranks))
+            out.append(toks)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, enc(F.col(text_col)))
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass map stage computing all text statistics."""
     t = F.col(text_col)
