@@ -1,7 +1,8 @@
 """Golden-VALUE assertions for flagship PxL corpus scripts.
 
 tests/test_pxl_corpus.py proves the reference's 67 shipped scripts RUN
-verbatim; these tests prove forty-two of the flagship ones are RIGHT, pinning
+verbatim; these tests prove forty-two of them are RIGHT (the remaining
+twenty-five are pinned in test_pxl_golden2.py — all 67 covered), pinning
 exact expected values computed from the seeded deterministic fixtures —
 the reference's own e2e test style (expected column values per query,
 src/carnot/carnot_test.cc:97-1103) rather than non-empty checks.
