@@ -1896,6 +1896,30 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_filters(doc).orderBy("doc")
 
 
+@query(
+    "lm_perplexity",
+    # Rows-only in the driver gate (the 50-entry window is full of
+    # hash-matched rows); scores are exact-matched against a pure-Python
+    # Counter+log reference in tests/test_lm.py.
+    None,
+    doc="CCNet-style LM quality scoring (Wenzek et al. 2020): bigram "
+    "stupid-backoff LM (Brants et al. 2007) trained on the corpus, every "
+    "document scored with its perplexity. All counting/joining on 8-byte "
+    "xxhash64 gram ids; the min_count-pruned model auto-broadcasts under "
+    "AQE (operators/lm.py).",
+)
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.operators.lm import lm_score, ngram_lm_train
+
+    doc = load_table(spark, sf_dir, "documents")
+    lm = ngram_lm_train(doc, min_count=2)
+    return (
+        lm_score(doc, lm)
+        .select("doc_id", "n_tokens", dround("perplexity", 6).alias("perplexity"))
+        .orderBy("doc_id")
+    )
+
+
 # =============================================================================
 # Gate-window ordering
 # =============================================================================

@@ -1,0 +1,133 @@
+"""Bigram stupid-backoff LM perplexity (operators/lm.py) vs a pure-Python
+reference implementation (Counters + math.log) — exact score equality,
+plus the CCNet-filter semantics (fluent docs score below gibberish)."""
+
+import math
+from collections import Counter
+
+import pytest
+from pytest import approx
+from pyspark.sql import functions as F
+
+from pixie_spark.operators.lm import (
+    BACKOFF_ALPHA,
+    lm_score,
+    ngram_lm_train,
+    perplexity_filter,
+)
+
+TRAIN = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick red fox runs over the lazy cat"),
+    (3, "a lazy dog sleeps all day under the tree"),
+    (4, "The Quick Brown Dog Jumps Over The Fence"),  # case-folds into mass
+    (5, "every quick fox loves the lazy dog"),
+]
+
+SCORE = [
+    (10, "the quick brown fox"),          # in-distribution: low ppl
+    (11, "the lazy dog sleeps"),          # in-distribution
+    (12, "zxq vvw qqq plorth"),           # pure OOV gibberish: high ppl
+    (13, "fox the over quick lazy"),      # known words, unseen order
+    (14, ""),                             # empty: no rows
+    (15, "the"),                          # single token: unigram only
+]
+
+
+def py_reference(train_texts, score_texts, min_count=1):
+    """Independent reimplementation of the scoring contract."""
+    uni, bi = Counter(), Counter()
+    for t in train_texts:
+        ws = t.lower().split()
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    n, v = sum(uni.values()), len(uni)
+    log_oov = math.log(1.0 / (n + v + 1))
+
+    def p_uni(w):
+        return math.log((uni[w] + 1) / (n + v + 1)) if w in uni else log_oov
+
+    out = {}
+    for i, t in enumerate(score_texts):
+        ws = t.lower().split()
+        if not ws:
+            continue
+        lps = [p_uni(ws[0])]
+        for w1, w2 in zip(ws, ws[1:]):
+            if bi[(w1, w2)] >= max(1, min_count) and (w1, w2) in bi:
+                lps.append(math.log(bi[(w1, w2)] / uni[w1]))
+            else:
+                lps.append(math.log(BACKOFF_ALPHA) + p_uni(w2))
+        out[i] = (len(lps), sum(lps), math.exp(-sum(lps) / len(lps)))
+    return out
+
+
+@pytest.fixture(scope="module")
+def lm_and_scores(spark):
+    train = spark.createDataFrame(TRAIN, ["doc_id", "text"])
+    score = spark.createDataFrame(SCORE, ["doc_id", "text"])
+    lm = ngram_lm_train(train)
+    got = {r["doc_id"]: (r["n_tokens"], r["log_prob"], r["perplexity"])
+           for r in lm_score(score, lm).collect()}
+    return lm, got
+
+
+def test_model_scalars(spark, lm_and_scores):
+    lm, _ = lm_and_scores
+    words = [w for _, t in TRAIN for w in t.lower().split()]
+    assert lm.total_tokens == len(words)
+    assert lm.vocab_size == len(set(words))
+
+
+def test_scores_match_python_reference(spark, lm_and_scores):
+    _, got = lm_and_scores
+    ref = py_reference([t for _, t in TRAIN], [t for _, t in SCORE])
+    # reference is keyed by list index; spark by doc_id (10 + index)
+    assert set(got) == {10 + i for i in ref}
+    for i, (n, lp, ppl) in ref.items():
+        gn, glp, gppl = got[10 + i]
+        assert gn == n
+        assert glp == approx(lp, rel=1e-12)
+        assert gppl == approx(ppl, rel=1e-12)
+
+
+def test_empty_doc_scores_no_row(spark, lm_and_scores):
+    _, got = lm_and_scores
+    assert 14 not in got
+
+
+def test_fluent_below_gibberish(spark, lm_and_scores):
+    """The CCNet premise on this tiny model: in-distribution text scores
+    far lower perplexity than OOV gibberish, and lower than scrambled
+    word salad of in-vocabulary words."""
+    _, got = lm_and_scores
+    fluent, salad, gibberish = got[10][2], got[13][2], got[12][2]
+    assert fluent < salad < gibberish
+    assert gibberish / fluent > 20
+
+
+def test_perplexity_filter_keeps_head(spark):
+    train = spark.createDataFrame(TRAIN, ["doc_id", "text"])
+    score = spark.createDataFrame([r for r in SCORE if r[1]], ["doc_id", "text"])
+    lm = ngram_lm_train(train)
+    ppls = {r["doc_id"]: r["perplexity"] for r in lm_score(score, lm).collect()}
+    cut = sorted(ppls.values())[len(ppls) // 2]  # keep the low-ppl half
+    kept = perplexity_filter(score, lm, cut)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert kept_ids == {d for d, p in ppls.items() if p <= cut}
+    assert "text" in kept.columns and "perplexity" in kept.columns
+
+
+def test_min_count_prunes_bigrams(spark):
+    """min_count=2 drops hapax bigrams: every surviving bigram occurred
+    at least twice in training; scores then back off more often (ppl for
+    a once-seen continuation rises)."""
+    train = spark.createDataFrame(TRAIN, ["doc_id", "text"])
+    lm1 = ngram_lm_train(train, min_count=1)
+    lm2 = ngram_lm_train(train, min_count=2)
+    assert lm2.bigrams.count() < lm1.bigrams.count()
+    # 'brown fox' occurs once in training → pruned at min_count=2
+    probe = spark.createDataFrame([(1, "brown fox")], ["doc_id", "text"])
+    p1 = lm_score(probe, lm1).first()["perplexity"]
+    p2 = lm_score(probe, lm2).first()["perplexity"]
+    assert p2 > p1
