@@ -1,0 +1,290 @@
+"""Product-quantized ANN (IVF-PQ): the faiss IVFPQ index (Jégou et al.
+2011, "Product Quantization for Nearest Neighbor Search") re-expressed
+as a Spark plan — the scale path for similarity search when the corpus
+no longer fits as float32.
+
+Why this exists at 100 TB: IVF-Flat (operators/similarity.ivf_topk)
+still stores every vector verbatim — 256 B/vector at dim=64 float32.
+PQ encodes each vector as ``m`` one-byte codes (m=8 → 32× smaller), so
+the scored payload for a trillion-vector corpus drops from ~256 TB to
+~8 TB, and the per-candidate scoring work drops from a dim-length dot
+product to ``m`` table lookups (ADC — asymmetric distance computation).
+
+Spark mapping:
+
+- **Train** (coarse quantizer + per-subspace codebooks): numpy Lloyd's
+  over one bounded, seeded-hash-deterministic corpus sample — the faiss
+  convention; O(1) in corpus size, everything else stays distributed.
+- **Encode** (the index build): one Arrow-batched pandas_udf doing three
+  BLAS matmuls per batch (coarse assign, residual, per-subspace argmin).
+  Output is a NARROW (vec_id, list_id, m-byte codes) table — at scale
+  this is written partitioned by list_id, so probing prunes partitions
+  exactly like IVF-Flat, but the bytes read per probed list are 32×
+  fewer.
+- **Search** (ADC): queries broadcast, equijoin on list_id (never a
+  cross join). Inner-product ADC decomposes as
+  q·x ≈ q·c_list + Σ_j q_sub_j · codebook_j[code_j]: the first term is
+  a per-(query,list) scalar, the lookup table T_j[k] = q_sub_j·cb_j[k]
+  depends ONLY on the query — computed once per query per Arrow batch
+  in the scoring pandas_udf, then each candidate costs m uint8 lookups.
+  Per-query top-k via window rank, as in the rest of the ANN family.
+
+Exactness anchor (mirrors ivf_topk's nprobe=n_lists gate trick): with
+``ksub`` ≥ sample size and the sample covering the whole corpus, Lloyd's
+assigns every distinct residual subvector its own centroid — encoding is
+LOSSLESS, ADC equals the exact inner product, and (at nprobe=n_lists)
+the ranking equals brute force exactly. tests/test_pq.py pins this, plus
+the recall curve in the genuinely lossy regime.
+
+Reference parity note: the reference engine has no ANN operator; this
+extends the engine's ML family (src/carnot/exec/ml/kmeans.cc is its
+only quantizer) toward embedding-scale retrieval.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import _train_quantizer
+
+
+def _np_kmeans(x: np.ndarray, k: int, max_iter: int = 20) -> np.ndarray:
+    """Plain Lloyd's, deterministic init = first k sample rows (the
+    sample order is already seeded-hash-shuffled upstream). With
+    k ≥ len(x) every point is its own centroid — zero distortion, the
+    lossless anchor the tests exploit."""
+    k = min(k, len(x))
+    centroids = x[:k].copy()
+    for _ in range(max_iter):
+        d2 = (centroids**2).sum(axis=1)[None, :] - 2.0 * (x @ centroids.T)
+        assign = d2.argmin(axis=1)
+        new = centroids.copy()
+        for kk in range(k):
+            members = x[assign == kk]
+            if len(members):
+                new[kk] = members.mean(axis=0)
+        if np.allclose(new, centroids, atol=1e-12):
+            break
+        centroids = new
+    return centroids
+
+
+def pq_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    centroids: list[list[float]] | None = None,
+    n_lists: int = 16,
+    seed: int = 42,
+    sample_size: int = 8192,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Train (coarse centroids, per-subspace residual codebooks).
+
+    Returns ``(centroids [n_lists][dim], codebooks [m][ksub][dsub])``.
+    Codebooks quantize the RESIDUAL x − c_list (the faiss IVFPQ choice:
+    residuals are centered, so the same ksub spends its resolution on a
+    much smaller cell). Training runs on one bounded seeded sample.
+    """
+    assert dim % m == 0, f"dim={dim} not divisible by m={m} subspaces"
+    dsub = dim // m
+    if centroids is None:
+        centroids = _train_quantizer(corpus, vec_col, n_lists, dim, seed, sample_size)
+    if not centroids:
+        return [], []
+    cmat = np.array(centroids)
+    rows = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("v").cast("array<float>").cast("string"), F.lit(seed)))
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.array([list(map(float, r["v"][:dim])) for r in rows])
+    d2 = (cmat**2).sum(axis=1)[None, :] - 2.0 * (x @ cmat.T)
+    resid = x - cmat[d2.argmin(axis=1)]
+    codebooks = [
+        _np_kmeans(np.ascontiguousarray(resid[:, j * dsub : (j + 1) * dsub]), ksub)
+        for j in range(m)
+    ]
+    return centroids, [[list(map(float, c)) for c in cb] for cb in codebooks]
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Index build: (vec_id, list_id, codes array<smallint>) — m codes
+    per vector (smallint so ksub up to 32768; a production writer packs
+    uint8 at ksub ≤ 256). At scale: write this partitioned by list_id."""
+    cmat = np.array(centroids)
+    cnorm2 = (cmat**2).sum(axis=1)
+    cbs = [np.array(cb) for cb in codebooks]
+    m = len(cbs)
+    dsub = dim // m
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<list_id:int, codes:array<smallint>>")
+    def encode(vecs):
+        import pandas as pd
+
+        x = np.array([np.asarray(v, dtype=np.float64)[:dim] for v in vecs])
+        if not len(x):
+            return pd.DataFrame({"list_id": [], "codes": []})
+        d = cnorm2[None, :] - 2.0 * (x @ cmat.T)
+        lists = d.argmin(axis=1)
+        resid = x - cmat[lists]
+        codes = np.empty((len(x), m), dtype=np.int64)
+        for j in range(m):
+            r = resid[:, j * dsub : (j + 1) * dsub]
+            dj = (cbs[j] ** 2).sum(axis=1)[None, :] - 2.0 * (r @ cbs[j].T)
+            codes[:, j] = dj.argmin(axis=1)
+        return pd.DataFrame(
+            {"list_id": lists.astype("int32"), "codes": [row.tolist() for row in codes]}
+        )
+
+    return corpus.select(
+        F.col(id_col).alias("vec_id"), encode(F.col(vec_col)).alias("e")
+    ).select("vec_id", "e.list_id", "e.codes")
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    refine_factor: int = 4,
+) -> DataFrame:
+    """IVF-PQ approximate top-k by inner product (= cosine for unit-norm
+    embeddings, the fixture convention): probe ``nprobe`` lists, score
+    candidates via ADC over the m-byte codes, per-query window top-k.
+
+    ``refine_factor`` > 0 adds the production re-ranking stage (faiss
+    IndexRefineFlat): the ADC pass keeps a shortlist of
+    ``refine_factor·k`` per query, the TRUE vectors for just those
+    candidates are fetched (an id-equijoin — at 100 TB this touches
+    refine_factor·k·|Q| rows, not the corpus) and re-scored exactly.
+    PQ distortion among near-ties is what ADC gets wrong; measured here:
+    recall@10 0.44 pure-ADC → 1.0 at refine_factor=4 on clustered
+    unit-norm data (tests/test_pq.py). 0 disables refinement (pure ADC).
+
+    Returns (query_id, vec_id, score, rank) — score is exact q·x when
+    refined, else the ADC estimate (exact in the lossless regime).
+    """
+    if centroids is None or codebooks is None:
+        centroids, codebooks = pq_train(
+            corpus, vec_col, m=m, ksub=ksub, dim=dim,
+            centroids=centroids, n_lists=n_lists, seed=seed,
+        )
+    if not centroids:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, vec_id long, score double, rank int"
+        )
+    cmat = np.array(centroids)
+    cnorm2 = (cmat**2).sum(axis=1)
+    cbs = [np.array(cb) for cb in codebooks]
+    mm = len(cbs)
+    dsub = dim // mm
+    nprobe = min(nprobe, len(centroids))
+
+    index = ivfpq_encode(corpus, centroids, codebooks, id_col, vec_col, dim)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def probe_lists(vecs):
+        import pandas as pd
+
+        x = np.array([np.asarray(v, dtype=np.float64)[:dim] for v in vecs])
+        if not len(x):
+            return pd.Series([], dtype="object")
+        d = cnorm2[None, :] - 2.0 * (x @ cmat.T)
+        order = np.argsort(d, axis=1)[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probe_lists(F.col(vec_col))).alias("list_id"),
+    )
+
+    @pandas_udf("double")
+    def adc(qv, list_id, codes):
+        import pandas as pd
+
+        if not len(qv):
+            return pd.Series([], dtype="float64")
+        out = np.empty(len(qv), dtype=np.float64)
+        qarr = [np.asarray(v, dtype=np.float64)[:dim] for v in qv]
+        codes_arr = np.array([np.asarray(c, dtype=np.int64) for c in codes])
+        lid = list_id.to_numpy()
+        # group rows by query (key = vector bytes — Arrow hands each row
+        # its own list object) so the whole batch runs as a handful of
+        # BLAS calls: one (m, ksub) table + one (rows, dim)·(dim,) matvec
+        # + one fancy-index gather per distinct query in the batch
+        groups: dict[bytes, list[int]] = {}
+        for i, qx in enumerate(qarr):
+            groups.setdefault(qx.tobytes(), []).append(i)
+        jj = np.arange(mm)
+        for key, idx in groups.items():
+            qx = qarr[idx[0]]
+            t = np.stack(
+                [qx[j * dsub : (j + 1) * dsub] @ cbs[j].T for j in range(mm)]
+            )  # (m, ksub)
+            ix = np.array(idx)
+            out[ix] = cmat[lid[ix]] @ qx + t[jj[None, :], codes_arr[ix]].sum(axis=1)
+        return pd.Series(out)
+
+    scored = (
+        index.join(F.broadcast(q), "list_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            adc(F.col("q_vec"), F.col("list_id"), F.col("codes")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    shortlist_k = k * refine_factor if refine_factor > 0 else k
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= shortlist_k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+    if refine_factor <= 0:
+        return shortlist
+
+    # refinement: exact scores for the tiny shortlist only. Queries are
+    # broadcast (small by contract); the corpus side is an id-equijoin
+    # that AQE plans from the shortlist's size, not the corpus's.
+    from .similarity import dot_product
+
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    cv = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+    exact = (
+        shortlist.drop("score", "rank")
+        .join(F.broadcast(qv), "query_id")
+        .join(cv, "vec_id")
+        .select("query_id", "vec_id", dot_product(F.col("q_vec"), F.col("c_vec")).alias("score"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )

@@ -1897,6 +1897,28 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_ivfpq_topk",
+    # Rows-only (gate window full). The lossless anchor — ksub ≥ corpus
+    # sample + nprobe=n_lists ⇒ ADC ≡ exact inner product — is pinned in
+    # tests/test_pq.py, alongside refined-recall and compression checks.
+    None,
+    doc="ANN at the 100 TB price point: IVF-PQ (Jégou et al. 2011 / "
+    "faiss IVFPQ) — coarse lists + m×1-byte product codes (32× smaller "
+    "scored payload), ADC table-lookup scoring, exact re-rank of the "
+    "4k shortlist (IndexRefineFlat pattern). operators/pq.py.",
+)
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.operators.pq import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 8)
+    return ivfpq_topk(
+        emb, queries_df, "vec_id", "embedding",
+        k=10, n_lists=16, nprobe=4, m=8, ksub=16, dim=64, refine_factor=4,
+    ).withColumn("score", dround("score", 6)).orderBy("query_id", "rank")
+
+
+@query(
     "lm_perplexity",
     # Rows-only in the driver gate (the 50-entry window is full of
     # hash-matched rows); scores are exact-matched against a pure-Python
