@@ -95,3 +95,25 @@ def test_no_cartesian_in_any_oracle_query(spark, sf_dir):
             continue
         plan = plan_string(spec.fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, name
+
+
+def test_lm_perplexity_plan(spark, sf_dir):
+    """LM scoring stays JVM-side end-to-end (no Python UDF anywhere —
+    the model is DataFrames, not a driver object), joins on keys (no
+    cartesian), and aggregates with a partial phase."""
+    plan = plan_string(QUERIES["lm_perplexity"].fn(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_plan(spark, sf_dir):
+    """IVF-PQ: Arrow-batched pandas_udfs only (encode/probe/ADC do BLAS
+    per batch — same justified exception as ann_ivf_topk), never
+    row-at-a-time BatchEvalPython; candidate generation is a key equijoin
+    on list_id, never a cartesian; the query side is broadcast."""
+    df = QUERIES["ann_ivfpq_topk"].fn(spark, sf_dir)
+    plan = plan_string(df)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" in plan  # the BLAS batch path is actually in use
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
