@@ -1919,6 +1919,29 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "nb_classify",
+    # Rows-only (gate window full); exact log-score equality vs a pure
+    # Python Counter reference is pinned in tests/test_classifier.py.
+    None,
+    doc="fastText-shaped corpus classifier (Joulin et al. 2017) as "
+    "closed-form hashed-n-gram Naive Bayes: train = ONE map-side-combined "
+    "counting pass over (label, 8-byte fid), score = one AQE-broadcastable "
+    "model join + native array-sum argmax. The quality/domain/language "
+    "filter stage of LLM data recipes (operators/classifier.py).",
+)
+def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.operators.classifier import naive_bayes_predict, naive_bayes_train
+
+    doc = load_table(spark, sf_dir, "documents")
+    model = naive_bayes_train(doc, "lang", min_count=2)
+    return (
+        naive_bayes_predict(doc, model)
+        .select("doc_id", "label")
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "lm_perplexity",
     # Rows-only in the driver gate (the 50-entry window is full of
     # hash-matched rows); scores are exact-matched against a pure-Python

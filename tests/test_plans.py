@@ -117,3 +117,11 @@ def test_ivfpq_plan(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "ArrowEvalPython" in plan  # the BLAS batch path is actually in use
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+def test_nb_classifier_plan(spark, sf_dir):
+    """NB classifier: train+score is pure DataFrame ops — no Python UDF,
+    no cartesian; the model join is a key equijoin on the 8-byte fid."""
+    plan = plan_string(QUERIES["nb_classify"].fn(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
