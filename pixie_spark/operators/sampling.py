@@ -12,6 +12,12 @@
   fill context windows. Deterministic given an ordering column; packs
   at bucket boundaries may exceed the budget by < one document (greedy
   bin packing needs per-partition state; this is the shuffle-free form).
+- temperature_mix: the multi-domain sampling rule of multilingual /
+  multi-source pretraining (T5 §3.4.3 "examples-proportional mixing
+  with temperature", XLM-R): domain d sampled ∝ count_d^(1/T),
+  upweighting tails. Selection is a deterministic seeded-hash
+  threshold, so the mixture is exactly reproducible across runs,
+  partitionings, and engines — df.sample cannot promise that.
 """
 
 from __future__ import annotations
@@ -41,6 +47,73 @@ def proportional_sample(
 ) -> DataFrame:
     """Per-stratum Bernoulli sampling (df.sampleBy) — ratio mixing."""
     return df.sampleBy(stratum_col, fractions, seed)
+
+
+def temperature_weights(
+    counts: dict[str, int], temperature: float, target_total: int
+) -> dict[str, float]:
+    """Per-domain KEEP probabilities for a temperature-T mixture.
+
+    w_d ∝ count_d^(1/T) (T=1 proportional; T→∞ uniform over domains);
+    p_d = min(1, target_total·w_d / count_d), renormalized over the
+    unsaturated domains so the expected kept total still hits
+    ``target_total`` when possible (the waterfilling step — without it,
+    capping a small upweighted domain at 1 silently shrinks the total).
+    Driver-side math over O(|domains|) scalars.
+    """
+    if not counts or target_total <= 0:
+        return {d: 0.0 for d in counts}
+    inv_t = 1.0 / temperature
+    free = dict(counts)  # domains not yet saturated at p=1
+    probs = {d: 0.0 for d in counts}
+    budget = float(target_total)
+    # waterfilling converges in ≤ |domains| rounds: each round either
+    # saturates ≥1 domain or terminates
+    while free and budget > 1e-12:
+        z = sum(c**inv_t for c in free.values())
+        sat = {
+            d for d, c in free.items() if budget * (c**inv_t) / z >= c
+        }
+        if not sat:
+            for d, c in free.items():
+                probs[d] = budget * (c**inv_t) / z / c
+            break
+        for d in sat:
+            probs[d] = 1.0
+            budget -= free.pop(d)
+    return probs
+
+
+def temperature_mix(
+    df: DataFrame,
+    domain_col: str,
+    target_total: int,
+    temperature: float = 2.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-sampled mixture: keep each row of domain d with
+    probability p_d from ``temperature_weights``, decided by a seeded
+    hash of the whole row — deterministic, no shuffle at all (the
+    domain counts are one map-side-combined aggregate of |domains|
+    rows; selection is a scan-attached filter).
+
+    At T>1 tail domains keep a larger share than proportional; head
+    domains are downsampled toward the target. Rows keep iff
+    uniform_hash(row, seed) < p_d where uniform_hash maps xxhash64 onto
+    [0,1) — the same row always gets the same draw.
+    """
+    counts = {
+        r[domain_col]: r["n"]
+        for r in df.groupBy(domain_col).agg(F.count("*").alias("n")).collect()
+    }
+    probs = temperature_weights(counts, temperature, target_total)
+    pmap = F.create_map(
+        *[x for d, p in sorted(probs.items()) for x in (F.lit(d), F.lit(float(p)))]
+    )
+    u = (F.pmod(F.xxhash64(F.struct(*df.columns), F.lit(seed)), F.lit(1 << 32))) / F.lit(
+        float(1 << 32)
+    )
+    return df.where(u < pmap[F.col(domain_col)])
 
 
 def sequence_packing(

@@ -1919,6 +1919,27 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "temperature_mix",
+    # Rows-only (gate window full); the waterfilling math and the exact
+    # hash-threshold selection are pinned in tests/test_temperature_mix.py.
+    None,
+    doc="Temperature-sampled domain mixture (T5 §3.4.3 / XLM-R): keep "
+    "domain d with p ∝ count_d^(1/T) waterfilled to a target total, "
+    "decided by a seeded row hash — deterministic, zero-shuffle "
+    "scan-attached filter (operators/sampling.py).",
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.operators.sampling import temperature_mix
+
+    doc = load_table(spark, sf_dir, "documents")
+    return (
+        temperature_mix(doc.select("doc_id", "lang"), "lang",
+                        target_total=200, temperature=2.0)
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "nb_classify",
     # Rows-only (gate window full); exact log-score equality vs a pure
     # Python Counter reference is pinned in tests/test_classifier.py.
