@@ -75,14 +75,15 @@ def have_pillow() -> bool:
         return False
 
 
-def decode_ppm(payload: bytes) -> np.ndarray | None:
-    """REAL image decode for binary PPM/PGM (P6/P5) in pure numpy — no
-    image library needed. Parses the netpbm header (whitespace-separated
-    width/height/maxval tokens, '#' comments allowed), reads the raw
-    sample plane, gray-converts (P6 channel mean), nearest-neighbor
-    resizes to √FEATURE_DIM per side, and returns FEATURE_DIM floats in
-    [0,1] — the same feature contract as every other decode path.
-    Returns None when the payload is not a binary netpbm file."""
+def decode_ppm_gray(payload: bytes) -> np.ndarray | None:
+    """Full-resolution grayscale decode for binary PPM/PGM (P6/P5) in
+    pure numpy — no image library needed. Parses the netpbm header
+    (whitespace-separated width/height/maxval tokens, '#' comments
+    allowed), reads the raw sample plane, and gray-converts (P6 channel
+    mean). Returns an (h, w) float array in [0, 1], or None when the
+    payload is not a binary netpbm file. decode_ppm (the FEATURE_DIM
+    featurizer) and operators/phash (perceptual hashing, which needs the
+    full-resolution plane) both build on this single parser."""
     if not payload or payload[:2] not in (b"P6", b"P5"):
         return None
     # tokenize header: magic, width, height, maxval; comments run to EOL
@@ -116,11 +117,22 @@ def decode_ppm(payload: bytes) -> np.ndarray | None:
     if len(raster) < need or w <= 0 or h <= 0:
         return None
     arr = np.frombuffer(raster, dtype=dtype).reshape(h, w, channels).astype(np.float32)
-    gray = arr.mean(axis=2)
+    return arr.mean(axis=2) / float(maxval)
+
+
+def decode_ppm(payload: bytes) -> np.ndarray | None:
+    """REAL image decode for binary PPM/PGM via decode_ppm_gray,
+    nearest-neighbor resized to √FEATURE_DIM per side — FEATURE_DIM
+    floats in [0,1], the same feature contract as every other decode
+    path. Returns None when the payload is not a binary netpbm file."""
+    gray = decode_ppm_gray(payload)
+    if gray is None:
+        return None
+    h, w = gray.shape
     side = int(FEATURE_DIM**0.5)
     iy = (np.arange(side) * h) // side
     ix = (np.arange(side) * w) // side
-    return (gray[np.ix_(iy, ix)] / float(maxval)).reshape(-1)[:FEATURE_DIM]
+    return gray[np.ix_(iy, ix)].reshape(-1)[:FEATURE_DIM]
 
 
 def decode_wav(payload: bytes) -> np.ndarray | None:

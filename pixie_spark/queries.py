@@ -1986,6 +1986,63 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "image_phash_dedup",
+    # Rows-only in the driver gate (binary media decode is not
+    # SQL-expressible); full pair-set equality vs an all-pairs Python
+    # hamming reference is pinned in tests/test_phash.py.
+    None,
+    doc="Perceptual image near-dedup (Zauner 2010 aHash/dHash/pHash): "
+    "one Arrow-batched map stage turns each image payload into an 8-byte "
+    "dHash (payloads never shuffle), then the simhash banding story with "
+    "an EXACT pigeonhole recall guarantee — bands = max_hamming+1 bit "
+    "segments, posting-list in-row pair expansion with the dedup "
+    "family's hot-bucket cap, native bit_count(xor) verify on candidates "
+    "only (operators/phash.py). The image counterpart of text "
+    "MinHash/SimHash in the training-data pipeline.",
+)
+def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.operators import multimodal as mm
+    from pixie_spark.operators.phash import image_dedup_pairs
+
+    media = mm.synthetic_media(spark, n=300)
+    return (
+        image_dedup_pairs(media, method="dhash", max_hamming=8)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "rollup_cascade",
+    # Rows-only in the driver gate (window full); every cascaded level is
+    # exact-matched against a direct-from-raw DuckDB oracle per
+    # resolution in tests/test_rollup.py.
+    None,
+    doc="Multi-resolution rollup cascade (TimescaleDB continuous "
+    "aggregates / Druid rollup): raw events are scanned ONCE into 1m "
+    "(count,sum,min,max) partials, then 10m and 1h levels merge the "
+    "finer level's partials — the reference's partial/finalize UDA "
+    "decomposition (plan.proto:244-266) reused across materialization "
+    "boundaries. Cascaded levels are EXACTLY equal to direct "
+    "aggregation from raw (operators/rollup.py).",
+)
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.operators.rollup import cascade_long, rollup_cascade
+
+    ev = load_table(spark, sf_dir, "events")
+    widths = [60 * 10**9, 600 * 10**9, 3600 * 10**9]
+    levels = rollup_cascade(ev, "ts", "value", ["event_type"], widths)
+    return (
+        cascade_long(levels, ["event_type"])
+        .select(
+            "level_width_s", "event_type", "bucket_ts", "n",
+            dround("sum_v", 4).alias("sum_v"), "min_v", "max_v",
+            dround("avg_v", 6).alias("avg_v"),
+        )
+        .orderBy("level_width_s", "event_type", "bucket_ts")
+    )
+
+
 # =============================================================================
 # Gate-window ordering
 # =============================================================================
