@@ -1,0 +1,180 @@
+"""Managed time-partitioned table sink: write / pruned read / compaction
+/ retention for long-lived event tables.
+
+The reference keeps every table in a time-ordered in-memory store with
+hot→cold batch compaction (src/table_store/table/table.h:84-97 — "hot
+batches are compacted into batches of roughly compacted_batch_size_ …
+the compaction routine should be called periodically") and byte-budget
+expiration of the oldest batches (table.h:222,243-250,
+batches_expired_). On Spark the durable analogue is a parquet table
+partitioned by a coarse time bucket; this module makes that layout a
+first-class, safely-operable contract instead of an ad-hoc write:
+
+- ``write_time_partitioned``: derives the bucket column from the long-ns
+  time column, shuffles once on the bucket so each partition directory
+  is written by few tasks, and uses DYNAMIC partition overwrite for
+  replays — rewriting one hour replaces exactly that hour's directory,
+  so backfills and streaming replays are idempotent (no read-modify-
+  write, no duplicate rows).
+- ``read_time_partitioned``: time-range reads hit PartitionFilters (the
+  bucket predicate prunes directories — the pruning contract asserted
+  in tests/test_layout.py) plus an exact row-level bound on the time
+  column itself.
+- ``compact_partitions``: streaming appends leave many small files per
+  bucket; compaction rewrites chosen buckets to ``target_files`` files.
+  The read side is materialized via an eager localCheckpoint before the
+  overwrite so the rewrite never reads the files it is deleting.
+- ``expire_before``: retention — drops whole bucket directories older
+  than a cutoff, touching no surviving data (the eviction in
+  table.h:222 keyed by time instead of bytes).
+- ``partition_stats``: files/bytes/rows per bucket so compaction and
+  retention decisions are observable (the counters in table_metrics.h).
+
+At 100 TB the bucket width sets both the pruning granularity and the
+retention/compaction unit; directories stay independent so every
+operation here is per-bucket parallel and restart-safe.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+HOUR_NS = 3_600 * 10**9
+DAY_NS = 24 * HOUR_NS
+BUCKET_COL = "time_bucket"
+
+
+def with_bucket(df: DataFrame, time_col: str, bucket_ns: int) -> DataFrame:
+    return df.withColumn(BUCKET_COL, (F.col(time_col) / F.lit(bucket_ns)).cast("long"))
+
+
+def write_time_partitioned(
+    df: DataFrame,
+    path: str,
+    time_col: str = "ts",
+    bucket_ns: int = HOUR_NS,
+    mode: str = "overwrite",
+) -> None:
+    """Write/replay a time-partitioned parquet table.
+
+    mode='overwrite' uses DYNAMIC partition overwrite: only the bucket
+    directories present in ``df`` are replaced — replaying a corrected
+    hour is idempotent and leaves every other hour untouched.
+    mode='append' adds files (compact later). One shuffle on the bucket
+    keeps file counts low; within-bucket sort by time gives parquet
+    min/max stats their pruning power on the row-level bound.
+    """
+    (
+        with_bucket(df, time_col, bucket_ns)
+        .repartition(BUCKET_COL)
+        .sortWithinPartitions(BUCKET_COL, time_col)
+        .write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BUCKET_COL)
+        .parquet(path)
+    )
+
+
+def read_time_partitioned(
+    spark: SparkSession,
+    path: str,
+    time_col: str = "ts",
+    bucket_ns: int = HOUR_NS,
+    start_ns: int | None = None,
+    end_ns: int | None = None,
+) -> DataFrame:
+    """Time-range read: bucket predicate → PartitionFilters (directory
+    pruning), exact [start_ns, end_ns) bound on the time column itself."""
+    df = spark.read.parquet(path)
+    if start_ns is not None:
+        df = df.where(
+            (F.col(BUCKET_COL) >= start_ns // bucket_ns) & (F.col(time_col) >= start_ns)
+        )
+    if end_ns is not None:
+        # end bucket is inclusive (the bucket containing end_ns - 1)
+        df = df.where(
+            (F.col(BUCKET_COL) <= (end_ns - 1) // bucket_ns) & (F.col(time_col) < end_ns)
+        )
+    return df
+
+
+def _bucket_dirs(path: str) -> dict[int, str]:
+    out = {}
+    if not os.path.isdir(path):
+        return out
+    for name in os.listdir(path):
+        if name.startswith(f"{BUCKET_COL}="):
+            try:
+                out[int(name.split("=", 1)[1])] = os.path.join(path, name)
+            except ValueError:
+                continue
+    return out
+
+
+def partition_stats(spark: SparkSession, path: str) -> DataFrame:
+    """(time_bucket, n_files, bytes) per bucket directory — the
+    observability feed for compaction/retention (cf. table_metrics.h)."""
+    rows = []
+    for bucket, d in sorted(_bucket_dirs(path).items()):
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        size = sum(os.path.getsize(os.path.join(d, f)) for f in files)
+        rows.append((bucket, len(files), size))
+    return spark.createDataFrame(rows, "time_bucket long, n_files long, bytes long")
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    buckets: list[int] | None = None,
+    target_files: int = 1,
+    min_files: int = 2,
+) -> list[int]:
+    """Rewrite small-file buckets down to ``target_files`` files each.
+
+    Only buckets with more than ``min_files`` files are touched (an
+    already-compact bucket costs nothing). Data is materialized via an
+    eager localCheckpoint before the dynamic overwrite so the rewrite
+    never reads the directories it replaces. Returns the compacted
+    bucket ids.
+    """
+    dirs = _bucket_dirs(path)
+    if buckets is None:
+        buckets = [
+            b
+            for b, d in dirs.items()
+            if len([f for f in os.listdir(d) if f.endswith(".parquet")]) > min_files
+        ]
+    done = []
+    for b in sorted(buckets):
+        if b not in dirs:
+            continue
+        part = spark.read.parquet(path).where(F.col(BUCKET_COL) == b)
+        snapshot = part.coalesce(target_files).localCheckpoint(eager=True)
+        (
+            snapshot.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(BUCKET_COL)
+            .parquet(path)
+        )
+        done.append(b)
+    return done
+
+
+def expire_before(
+    path: str, cutoff_ns: int, bucket_ns: int = HOUR_NS
+) -> list[int]:
+    """Retention: remove bucket directories that end at or before the
+    cutoff (every row in them is < cutoff_ns). Surviving buckets are
+    untouched; a bucket straddling the cutoff is KEPT — retention is
+    bucket-granular by design, exactly like the reference's batch-
+    granular expiration. Returns the expired bucket ids."""
+    expired = []
+    for bucket, d in sorted(_bucket_dirs(path).items()):
+        if (bucket + 1) * bucket_ns <= cutoff_ns:
+            shutil.rmtree(d)
+            expired.append(bucket)
+    return expired
