@@ -2043,6 +2043,45 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "web_url_pipeline",
+    # Rows-only in the driver gate (window full); normalization is
+    # exact-matched against an independent Python urllib reference in
+    # tests/test_web.py.
+    None,
+    doc="Web-crawl URL front end (C4/RefinedWeb recipe stage 0): "
+    "normalize (tracking-param strip, canonical host/port/path) → "
+    "registrable-domain blocklist (broadcast anti-join) → URL-exact "
+    "dedup → per-domain survivor counts. All native Column expressions "
+    "(try_parse_url + higher-order array functions) — a zero-shuffle "
+    "codegen'd scan filter until the final dedup/count "
+    "(operators/web.py). URLs derive deterministically from the "
+    "documents table (the fixtures carry no URL column).",
+)
+def q_web_url_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.operators import web
+
+    doc = load_table(spark, sf_dir, "documents")
+    urls = doc.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://www."),
+            F.col("source"),
+            F.lit(".com/p/"),
+            (F.col("doc_id") % 40).cast("string"),
+            F.lit("?utm_source=feed&id="),
+            (F.col("doc_id") % 7).cast("string"),
+        ).alias("url"),
+    )
+    block = spark.createDataFrame([("src0.com",), ("src13.com",)], ["domain"])
+    kept = web.url_dedup(web.blocklist_filter(urls, block))
+    return (
+        kept.groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+        .orderBy("domain")
+    )
+
+
 # =============================================================================
 # Gate-window ordering
 # =============================================================================
