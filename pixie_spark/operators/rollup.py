@@ -50,35 +50,54 @@ def rollup_base(
     value_col: str,
     group_cols: list[str],
     width_ns: int,
+    distinct_col: str | None = None,
 ) -> DataFrame:
     """Finest level: one scan of raw rows → per-(group, bucket) mergeable
-    partials. Columns: group_cols + bucket_ts + (n, sum_v, min_v, max_v)."""
-    return df.groupBy(
-        *group_cols, _bucket(time_col, width_ns).cast("long").alias("bucket_ts")
-    ).agg(
+    partials. Columns: group_cols + bucket_ts + (n, sum_v, min_v, max_v)
+    [+ hll_v, a DataSketches HLL state for distinct-count rollup when
+    ``distinct_col`` is given — countdistinct is NOT sum-mergeable, the
+    sketch is what makes it cascade]."""
+    aggs = [
         F.count(value_col).alias("n"),
         F.sum(value_col).alias("sum_v"),
         F.min(value_col).alias("min_v"),
         F.max(value_col).alias("max_v"),
-    )
+    ]
+    if distinct_col is not None:
+        aggs.append(F.hll_sketch_agg(distinct_col).alias("hll_v"))
+    return df.groupBy(
+        *group_cols, _bucket(time_col, width_ns).cast("long").alias("bucket_ts")
+    ).agg(*aggs)
 
 
 def rollup_merge(level: DataFrame, group_cols: list[str], width_ns: int) -> DataFrame:
     """Coarser level from a finer level's partials — raw data untouched.
-    Exact for count/sum/min/max because each is associative-mergeable."""
-    return level.groupBy(
-        *group_cols, _bucket("bucket_ts", width_ns).cast("long").alias("bucket_ts")
-    ).agg(
+    Exact for count/sum/min/max (associative-mergeable); hll_v merges by
+    sketch union, which is lossless w.r.t. the sketch state (the merged
+    estimate EQUALS the direct-from-raw estimate, not merely nears it)."""
+    aggs = [
         F.sum("n").alias("n"),
         F.sum("sum_v").alias("sum_v"),
         F.min("min_v").alias("min_v"),
         F.max("max_v").alias("max_v"),
-    )
+    ]
+    if "hll_v" in level.columns:
+        aggs.append(F.hll_union_agg("hll_v").alias("hll_v"))
+    return level.groupBy(
+        *group_cols, _bucket("bucket_ts", width_ns).cast("long").alias("bucket_ts")
+    ).agg(*aggs)
 
 
 def finalize(level: DataFrame) -> DataFrame:
-    """Partials → user-facing aggregates (avg derived from sum/count)."""
-    return level.withColumn("avg_v", F.col("sum_v") / F.col("n"))
+    """Partials → user-facing aggregates (avg derived from sum/count;
+    the HLL state becomes an approx distinct count and the binary sketch
+    is dropped from the user-facing shape)."""
+    out = level.withColumn("avg_v", F.col("sum_v") / F.col("n"))
+    if "hll_v" in level.columns:
+        out = out.withColumn(
+            "approx_distinct", F.hll_sketch_estimate("hll_v")
+        ).drop("hll_v")
+    return out
 
 
 def rollup_cascade(
@@ -88,6 +107,7 @@ def rollup_cascade(
     group_cols: list[str],
     widths_ns: list[int],
     checkpoint: bool = True,
+    distinct_col: str | None = None,
 ) -> dict[int, DataFrame]:
     """{width_ns: partial-state level} for an ascending width cascade.
 
@@ -105,7 +125,9 @@ def rollup_cascade(
                 "would be wrong, not approximate"
             )
     levels: dict[int, DataFrame] = {}
-    cur = rollup_base(df, time_col, value_col, group_cols, widths_ns[0])
+    cur = rollup_base(
+        df, time_col, value_col, group_cols, widths_ns[0], distinct_col=distinct_col
+    )
     if checkpoint:
         # each level feeds BOTH its consumers and the next level; without
         # a checkpoint every materialized resolution re-runs the raw scan
@@ -124,15 +146,12 @@ def cascade_long(levels: dict[int, DataFrame], group_cols: list[str]) -> DataFra
     the shape a dashboard's resolution picker reads."""
     out = None
     for w, level in levels.items():
-        tagged = finalize(level).select(
-            F.lit(w // 1_000_000_000).alias("level_width_s"),
-            *group_cols,
-            "bucket_ts",
-            "n",
-            "sum_v",
-            "min_v",
-            "max_v",
-            "avg_v",
+        fin = finalize(level)
+        cols = ["bucket_ts", "n", "sum_v", "min_v", "max_v", "avg_v"] + (
+            ["approx_distinct"] if "approx_distinct" in fin.columns else []
+        )
+        tagged = fin.select(
+            F.lit(w // 1_000_000_000).alias("level_width_s"), *group_cols, *cols
         )
         out = tagged if out is None else out.unionByName(tagged)
     return out

@@ -2031,13 +2031,15 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     widths = [60 * 10**9, 600 * 10**9, 3600 * 10**9]
-    levels = rollup_cascade(ev, "ts", "value", ["event_type"], widths)
+    levels = rollup_cascade(
+        ev, "ts", "value", ["event_type"], widths, distinct_col="user_id"
+    )
     return (
         cascade_long(levels, ["event_type"])
         .select(
             "level_width_s", "event_type", "bucket_ts", "n",
             dround("sum_v", 4).alias("sum_v"), "min_v", "max_v",
-            dround("avg_v", 6).alias("avg_v"),
+            dround("avg_v", 6).alias("avg_v"), "approx_distinct",
         )
         .orderBy("level_width_s", "event_type", "bucket_ts")
     )

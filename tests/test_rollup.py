@@ -13,6 +13,7 @@ from pixie_spark.operators.rollup import (
     finalize,
     rollup_base,
     rollup_cascade,
+    rollup_merge,
 )
 from pixie_spark.sources import load_table
 
@@ -83,3 +84,98 @@ def test_base_level_only_scan_touches_raw(spark, sf_dir):
     plan = levels[WIDTHS[-1]]._jdf.queryExecution().executedPlan().toString()
     assert "Scan ExistingRDD" in plan or "Scan rdd" in plan.lower()
     assert "parquet" not in plan.lower()
+
+
+def test_hll_distinct_cascade_equals_direct(spark, sf_dir):
+    """Distinct-count rollup: the merged-sketch estimate at every coarser
+    level EQUALS the direct-from-raw sketch estimate (HLL union is
+    lossless over the sketch state), and tracks exact distinct counts."""
+    from pixie_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    levels = rollup_cascade(
+        ev, "ts", "value", ["event_type"], WIDTHS, distinct_col="user_id"
+    )
+    coarse = finalize(levels[WIDTHS[-1]])
+    got = {
+        (r.event_type, r.bucket_ts): r.approx_distinct for r in coarse.collect()
+    }
+    direct = (
+        rollup_base(ev, "ts", "value", ["event_type"], WIDTHS[-1], distinct_col="user_id")
+    )
+    expect = {
+        (r.event_type, r.bucket_ts): r.approx_distinct
+        for r in finalize(direct).collect()
+    }
+    assert got == expect  # sketch-merge losslessness: exact equality
+    exact = {
+        (r.event_type, r.b): r.d
+        for r in ev.groupBy(
+            "event_type", F.expr(f"ts DIV {WIDTHS[-1]}").alias("bb")
+        ).agg(F.countDistinct("user_id").alias("d"))
+        .selectExpr("event_type", f"bb * {WIDTHS[-1]} as b", "d")
+        .collect()
+    }
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), k
+
+
+def test_streaming_base_level_merges_to_batch_cascade(spark, sf_dir, tmp_path):
+    """Stream→rollup duality: base partials computed by Structured
+    Streaming (windowed count/sum/min/max), then batch-merged one level
+    up, equal the all-batch cascade — the hypertable ingestion shape
+    (streaming fine level, batch continuous aggregate)."""
+    import time
+
+    from pixie_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    d = str(tmp_path / "ev")
+    ev.coalesce(4).write.mode("overwrite").parquet(d)
+
+    fine, coarse = WIDTHS[0], WIDTHS[1]
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(d)
+    )
+    base = (
+        stream.withColumn("__ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .groupBy(F.window("__ts", f"{fine // 10**9} seconds"), "event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.sum("value").alias("sum_v"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+        .withColumn("bucket_ts", F.unix_micros(F.col("window.start")) * 1000)
+        .drop("window")
+    )
+    q = (
+        base.writeStream.format("memory")
+        .queryName("rollup_stream_base")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p is not None and p.get("numInputRows", -1) == 0:
+                break
+            time.sleep(1)
+        streamed_base = spark.table("rollup_stream_base")
+        merged = rollup_merge(streamed_base, ["event_type"], coarse)
+        got = {
+            (r.event_type, r.bucket_ts): (r.n, round(r.sum_v, 6), r.min_v, r.max_v)
+            for r in merged.collect()
+        }
+    finally:
+        q.stop()
+    batch_levels = rollup_cascade(ev, "ts", "value", ["event_type"], [fine, coarse])
+    expect = {
+        (r.event_type, r.bucket_ts): (r.n, round(r.sum_v, 6), r.min_v, r.max_v)
+        for r in batch_levels[coarse].collect()
+    }
+    assert got == expect
