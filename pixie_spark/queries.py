@@ -2084,6 +2084,62 @@ def q_web_url_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "warc_ingest_pipeline",
+    # Rows-only (binary-archive source is not SQL-expressible); the
+    # parser/bridge are pinned by roundtrip + golden-text tests in
+    # tests/test_warc.py.
+    None,
+    doc="Crawl-archive ingestion (ISO 28500 WARC/WET, the Common Crawl "
+    "interchange format): binaryFile → from-scratch record parser in an "
+    "Arrow-batched kernel → documents-shaped bridge (http-header strip "
+    "+ native tag-strip for response records, passthrough for WET "
+    "conversion records) → URL featurization + quality score "
+    "(sources/warc.py). The fixture archive is synthesized from the "
+    "documents table (bounded 100-doc collect, demo-only — production "
+    "reads real .warc.gz paths with one task per archive).",
+)
+def q_warc_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pixie_spark.operators import web
+    from pixie_spark.operators.text import quality_score
+    from pixie_spark.sources.warc import build_warc_bytes, read_warc, warc_documents
+
+    src = [
+        (r.doc_id, r.text)
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(100)
+        .collect()
+    ]
+    records = [
+        {
+            "warc_type": "conversion",
+            "target_uri": f"https://doc{i % 10}.example.org/d/{i}",
+            "record_id": f"<urn:uuid:doc-{i}>",
+            "content_type": "text/plain",
+            "payload": text.encode(),
+        }
+        for i, text in src
+    ]
+    d = tempfile.mkdtemp(prefix="warc_demo_")
+    with open(os.path.join(d, "demo.warc"), "wb") as f:
+        f.write(build_warc_bytes(records))
+    docs = warc_documents(read_warc(spark, d))
+    feats = web.url_features(docs).withColumn("q", quality_score(F.col("text")))
+    return (
+        feats.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            dround(F.avg("q"), 6).alias("avg_quality"),
+        )
+        .orderBy("host")
+    )
+
+
 # =============================================================================
 # Gate-window ordering
 # =============================================================================
