@@ -2140,6 +2140,40 @@ def q_warc_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_incremental",
+    # Rows-only (window full); exact slice-equality vs a full rebuild is
+    # pinned in tests/test_incremental.py.
+    None,
+    doc="Incremental near-dup against a persisted MinHash-LSH index — "
+    "the ingestion-loop shape at 100 TB: the new batch's band entries "
+    "BROADCAST against the stored corpus index (corpus never shuffles), "
+    "new-vs-new via the ordinary posting-list path, signature verify "
+    "fetches only candidate-matched signatures; the index update is an "
+    "append of the batch's own rows. Deterministic hashing makes the "
+    "incremental result EXACTLY the pairs-involving-the-batch slice of "
+    "a full rebuild (operators/incremental.py).",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.operators.incremental import build_index, incremental_pairs
+
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = doc.where(F.col("doc_id") % 5 != 0)
+    new = doc.where(F.col("doc_id") % 5 == 0).unionByName(
+        old.where(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 100_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        )
+    )
+    oe, os_ = build_index(old, "doc_id", "text")
+    ne, ns = build_index(new, "doc_id", "text")
+    return (
+        incremental_pairs(ne, ns, oe, os_, threshold=0.5)
+        .select("doc_a", "doc_b", dround("est_jaccard", 6).alias("est_jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # =============================================================================
 # Gate-window ordering
 # =============================================================================
