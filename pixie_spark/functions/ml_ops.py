@@ -67,27 +67,58 @@ def kmeans_fit(
     max_iter: int = 10,
     seed: int = 42,
     dim: int | None = None,
+    weight_col: str | None = None,
 ) -> list[list[float]]:
     """Lloyd's algorithm over DataFrames (ref: _kmeans_fit + kmeans.cc).
 
     Each iteration: one map (assignment expression) + one groupBy
     (centroid means via per-dimension avg) — a single shuffle of k rows
     worth of state. Init: deterministic sample of k rows.
+
+    ``weight_col`` fits WEIGHTED k-means (centroid = Σw·x / Σw) — the
+    form a coreset requires: lightweight_coreset oversamples far-from-
+    mean points by design, and only the 1/(m·q) weights undo that bias
+    (unweighted Lloyd's on a coreset drags centroids toward outliers).
     """
     first = df.select(vec_col).first()
     if first is None:
         return []
     if dim is None:
         dim = len(first[0])
-    init = df.select(vec_col).orderBy(F.xxhash64(F.col(vec_col).cast("array<float>").cast("string"), F.lit(seed))).limit(k).collect()
-    centroids = [list(map(float, r[0])) for r in init]
-    k = len(centroids)  # fewer rows than requested clusters → clamp
     # flatten once: assignment as plain arithmetic over d0..d{dim-1}
     # (HOF-based per-centroid distances recompile enormous lambda trees
     # every iteration — measured 6× slower)
+    wcols = [F.col(weight_col).cast("double").alias("__w")] if weight_col else []
     flat = df.select(
-        *[F.element_at(vec_col, i + 1).cast("double").alias(f"d{i}") for i in range(dim)]
+        *[F.element_at(vec_col, i + 1).cast("double").alias(f"d{i}") for i in range(dim)],
+        *wcols,
     ).localCheckpoint()
+    dcols = [f"d{i}" for i in range(dim)]
+
+    # Init: deterministic farthest-point traversal (maximin, Gonzalez
+    # 1985) — first point by seeded-hash min, then k-1 argmax-of-min-
+    # distance picks, each a TakeOrdered(1) job over the checkpointed
+    # flat frame. Hash-ordered init (the previous scheme) routinely put
+    # two seeds in one cluster basin, and Lloyd's cannot split a basin —
+    # the coreset transfer test caught exactly that collapse. k-1 extra
+    # tiny jobs, each collecting ONE row; still deterministic.
+    c0 = flat.orderBy(F.xxhash64(F.struct(*dcols), F.lit(seed))).limit(1).collect()
+    centroids = [[float(c0[0][c]) for c in dcols]]
+    while len(centroids) < k:
+        mind = ",".join(
+            " + ".join(f"(d{i} - ({c[i]!r})) * (d{i} - ({c[i]!r}))" for i in range(dim))
+            for c in centroids
+        )
+        far = (
+            flat.selectExpr(*dcols, f"array_min(array({mind})) AS __mind")
+            .orderBy(F.desc("__mind"))
+            .limit(1)
+            .collect()
+        )
+        if not far or float(far[0]["__mind"]) == 0.0:
+            break  # fewer distinct points than clusters → clamp
+        centroids.append([float(far[0][c]) for c in dcols])
+    k = len(centroids)
     for _ in range(max_iter):
         # The whole assignment is assembled as ONE SQL string: k·dim
         # squared-diff terms built as Column objects cost ~k·dim py4j
@@ -105,11 +136,14 @@ def kmeans_fit(
             "*",
             "CAST(array_position(__dists, array_min(__dists)) - 1 AS INT) AS cluster",
         )
-        rows = (
-            assigned.groupBy("cluster")
-            .agg(*[F.avg(f"d{i}").alias(f"d{i}") for i in range(dim)])
-            .collect()
-        )
+        if weight_col:
+            aggs = [
+                (F.sum(F.col(f"d{i}") * F.col("__w")) / F.sum("__w")).alias(f"d{i}")
+                for i in range(dim)
+            ]
+        else:
+            aggs = [F.avg(f"d{i}").alias(f"d{i}") for i in range(dim)]
+        rows = assigned.groupBy("cluster").agg(*aggs).collect()
         new_centroids = list(centroids)
         for r in rows:
             new_centroids[r["cluster"]] = [r[f"d{i}"] for i in range(dim)]
@@ -126,6 +160,98 @@ def kmeans_fit(
 
 def kmeans_inference(df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("cluster", kmeans_assign(F.col(vec_col), centroids))
+
+
+def lightweight_coreset(
+    df: DataFrame,
+    m: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Lightweight coreset for k-means (Bachem, Lucic & Krause, KDD 2018)
+    — the Spark-first re-expression of the reference's coreset kernel
+    (src/carnot/exec/ml/coreset.cc, used by ml_ops.cc's kmeans UDA to
+    bound state): a small weighted point set whose weighted k-means cost
+    approximates the full corpus's for ANY set of centers.
+
+    Sampling distribution q(x) = ½·1/n + ½·d(x,μ)²/Σd(·,μ)² (mean μ of
+    the data; uniform term covers dense regions, distance term covers
+    outliers). Weight w(x) = 1/(m·q(x)) makes Σ_coreset w·cost an
+    unbiased estimate of Σ_full cost under iid sampling; we draw the m
+    points WITHOUT replacement via deterministic Gumbel-top-m on
+    log q(x) + G_x with per-row Gumbel noise derived from
+    xxhash64(id, seed) — reproducible across runs and engines, at the
+    cost of a small (O(m/n)) bias vs the paper's iid-with-replacement
+    draw. (The reference's tree coreset differs in construction but
+    serves the same role: fixed-memory summarization for clustering.)
+
+    Plan at 100 TB: two full scans, both map-side-combined global
+    aggregates (mean, then Σd²) collecting ONE row each; scoring is a
+    native arithmetic expression assembled as a single SQL string (the
+    kmeans_fit lesson: dim Column-object terms cost dim py4j round
+    trips); selection is orderBy+limit → TakeOrderedAndProject
+    (per-partition heaps, never a global sort). Nothing wide ever
+    shuffles — output is m rows.
+
+    Output: (id_col, vec_col, q, weight).
+    """
+    first = df.select(vec_col).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, {vec_col} array<double>, q double, weight double"
+        )
+    if dim is None:
+        dim = len(first[0])
+    flat = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        *[F.element_at(vec_col, i + 1).cast("double").alias(f"d{i}") for i in range(dim)],
+    ).localCheckpoint()  # mean pass + score pass share the flatten
+    mu_row = flat.agg(*[F.avg(f"d{i}").alias(f"d{i}") for i in range(dim)]).first()
+    mu = [float(mu_row[f"d{i}"]) for i in range(dim)]
+    sq = " + ".join(f"(d{i} - ({mu[i]!r})) * (d{i} - ({mu[i]!r}))" for i in range(dim))
+    scored = flat.selectExpr(id_col, vec_col, f"{sq} AS sqd")
+    tot = scored.agg(
+        F.sum("sqd").alias("tot"), F.count(F.lit(1)).alias("n")
+    ).first()
+    total, n = float(tot["tot"]), int(tot["n"])
+    if total <= 0.0:
+        # all points identical: q degenerates to uniform
+        q = F.lit(1.0 / n)
+    else:
+        q = 0.5 / F.lit(float(n)) + 0.5 * F.col("sqd") / F.lit(total)
+    u = (F.pmod(F.xxhash64(id_col, F.lit(seed)), F.lit(2**52)) + 0.5) / F.lit(float(2**52))
+    gumbel_key = F.log(q) - F.log(-F.log(u))
+    return (
+        scored.withColumn("q", q)
+        .withColumn("__key", gumbel_key)
+        .orderBy(F.desc("__key"))
+        .limit(m)
+        .select(
+            id_col,
+            vec_col,
+            "q",
+            (F.lit(1.0) / (F.lit(float(m)) * F.col("q"))).alias("weight"),
+        )
+    )
+
+
+def kmeans_cost(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    weight_col: str | None = None,
+) -> float:
+    """Σ (w·) min_k ||x-c_k||² — the quantization cost a coreset is
+    contracted to preserve. Native argmin-distance expression + one
+    global agg."""
+    d = F.array(*[_sq_dist(F.col(vec_col), c) for c in centroids])
+    cost = F.array_min(d)
+    if weight_col is not None:
+        cost = cost * F.col(weight_col)
+    return float(df.agg(F.sum(cost)).first()[0])
 
 
 def sample_per_group(df: DataFrame, group_cols: list[str], n: int, seed: int = 42) -> DataFrame:

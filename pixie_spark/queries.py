@@ -2200,6 +2200,39 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff_summary(snapshot_diff(old, new, ["doc_id"])).orderBy("status")
 
 
+@query(
+    "kmeans_coreset",
+    None,  # stochastic summarization — rows-only; cost-preservation and
+    # q-math are value-checked in tests/test_coreset.py.
+    doc="Lightweight coreset (Bachem et al. 2018; ref kernel: "
+    "src/carnot/exec/ml/coreset.cc): m weighted points preserving the "
+    "k-means cost of the full embedding set. Two map-side-combined "
+    "global aggregates + Gumbel-top-m TakeOrderedAndProject; scoring is "
+    "one native SQL-string expression. Output: coreset sized vs corpus "
+    "with its weight mass (≈ n) and weighted cost against the full "
+    "corpus's centroids.",
+)
+def q_kmeans_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.functions.ml_ops import kmeans_cost, kmeans_fit, lightweight_coreset
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    core = lightweight_coreset(emb, m=100, vec_col="embedding", id_col="vec_id", dim=64)
+    core = core.localCheckpoint()  # feeds count + weight-sum + cost
+    centroids = kmeans_fit(core, "embedding", k=4, max_iter=3, dim=64, weight_col="weight")
+    full_cost = kmeans_cost(emb, centroids, "embedding")
+    core_cost = kmeans_cost(core, centroids, "embedding", weight_col="weight")
+    stats = core.agg(
+        F.count(F.lit(1)).alias("m"),
+        dround(F.sum("weight"), 3).alias("weight_mass"),
+    )
+    return stats.select(
+        "m",
+        "weight_mass",
+        dround(F.lit(full_cost), 3).alias("full_cost"),
+        dround(F.lit(core_cost), 3).alias("coreset_cost"),
+    )
+
+
 # =============================================================================
 # Gate-window ordering
 # =============================================================================

