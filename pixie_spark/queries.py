@@ -2233,6 +2233,31 @@ def q_kmeans_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "training_shards",
+    None,  # layout operator — rows-only; membership/size/permutation
+    # contracts are value-checked in tests/test_shards.py.
+    doc="Deterministic training-shard layout (sources/shards.py): seeded-"
+    "hash global permutation + two-phase distributed ranking (range "
+    "exchange + broadcast offset map — never Exchange SinglePartition) "
+    "→ exact fixed-size shards. Output: per-shard row counts and id "
+    "spread demonstrating each shard samples the whole corpus.",
+)
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.sources.shards import assign_shards
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    assigned = assign_shards(docs, shard_rows=100, id_col="doc_id")
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.max("doc_id") - F.min("doc_id")).alias("id_spread"),
+        )
+        .orderBy("shard")
+    )
+
+
 # =============================================================================
 # Gate-window ordering
 # =============================================================================

@@ -1,0 +1,137 @@
+"""Training-shard writer: the output stage of a training-data pipeline.
+
+Samplers and loaders (webdataset/tf.data-style) want the cleaned corpus
+as fixed-size shards in a deterministic random order — globally
+shuffled so each shard is an unbiased corpus sample, sized so one shard
+is one loader work unit, reproducible so a rerun of the pipeline bit-
+for-bit recreates the same shard layout (training-run provenance).
+
+The reference engine has no durable output stage at all (results stream
+back to the client — src/carnot/exec/grpc_sink_node.cc); this extends
+the managed-sink family (sources/sink.py) with the shape LLM training
+jobs consume.
+
+Spark-first mechanics:
+
+- The "random" order is a seeded hash of the document id — a
+  deterministic permutation, not an RNG, so the layout is reproducible
+  across runs AND engines (the same trick the sampling family uses).
+- Exact fixed-size shards need a GLOBAL rank, and the naive
+  ``row_number() OVER (ORDER BY key)`` collapses the corpus through one
+  task (Exchange SinglePartition). Instead: two-phase ranking —
+  range-partition by the hash key, count rows per partition (one
+  bounded collect of n_partitions longs), convert counts to prefix
+  offsets, and add each partition's offset to its LOCAL row_number.
+  Every stage is per-partition parallel; the only global object is the
+  n_partitions-entry offset map riding along as a broadcast join.
+- Each output shard is one directory (``shard=K/``) written by one
+  task: ranks are contiguous within a range partition, so hashing the
+  derived shard id re-clusters rows one-task-per-shard.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SHARD_COL = "shard"
+
+
+def global_rank(
+    df: DataFrame,
+    key,
+    n_partitions: int | None = None,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """0-based dense global rank of every row under ORDER BY ``key``,
+    without ever funneling the data through one task.
+
+    ``key`` is a Column (ties broken arbitrarily-but-deterministically
+    by the range partitioner; pass a unique key for a total order).
+    Plan: one range-exchange + per-partition sort + per-partition
+    window; the cross-partition coordination is an n_partitions-row
+    collect turned into a broadcast offset map.
+    """
+    if n_partitions is None:
+        n_partitions = df.sparkSession.sparkContext.defaultParallelism
+    keyed = df.withColumn("__key", key)
+    # localCheckpoint pins the partition layout: the counts collect and
+    # the ranked output MUST see identical __pid assignments, and a
+    # recomputed range exchange could re-sample boundaries.
+    parts = (
+        keyed.repartitionByRange(n_partitions, "__key")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = {r["__pid"]: r["n"] for r in parts.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = df.sparkSession.createDataFrame(offsets, "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy("__key")
+    return (
+        parts.join(F.broadcast(off_df), "__pid")
+        .withColumn(rank_col, F.col("__off") + F.row_number().over(w) - 1)
+        .drop("__pid", "__off", "__key")
+    )
+
+
+def assign_shards(
+    df: DataFrame,
+    shard_rows: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic globally-shuffled shard assignment: permutation
+    order = xxhash64(id, seed), shard = global_rank // shard_rows.
+    Every shard holds exactly ``shard_rows`` rows except the last."""
+    ranked = global_rank(df, F.xxhash64(F.col(id_col), F.lit(seed)))
+    return ranked.withColumn(
+        SHARD_COL, (F.col("rank") / F.lit(shard_rows)).cast("long")
+    ).drop("rank")
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    shard_rows: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> int:
+    """Write fixed-size deterministic shards under ``path`` as
+    ``shard=K/`` parquet directories; returns the shard count.
+
+    The pre-write ``repartition(shard)`` clusters each shard into one
+    task so a shard is one file (plus the parquet footer contract
+    loaders expect); AQE may coalesce several SMALL shards into one
+    task, which still yields one file per shard directory.
+    """
+    assigned = assign_shards(df, shard_rows, id_col, seed)
+    n = assigned.select(F.max(SHARD_COL)).first()[0]
+    n_shards = int(n) + 1 if n is not None else 0
+    (
+        assigned.repartition(n_shards or 1, SHARD_COL)
+        .write.mode("overwrite")
+        .partitionBy(SHARD_COL)
+        .parquet(path)
+    )
+    return n_shards
+
+
+def read_training_shards(
+    spark: SparkSession, path: str, shards: list[int] | None = None
+) -> DataFrame:
+    """Read shards back; ``shards`` prunes to the named shard
+    directories via a partition-column filter (a loader reading its
+    worker's slice)."""
+    df = spark.read.parquet(path)
+    if shards is not None:
+        df = df.where(F.col(SHARD_COL).isin([int(s) for s in shards]))
+    return df
+
+
+def expected_shard_count(n_rows: int, shard_rows: int) -> int:
+    return math.ceil(n_rows / shard_rows) if n_rows else 0
