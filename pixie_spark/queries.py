@@ -2258,6 +2258,36 @@ def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "term_freq_cms",
+    None,  # sketch — rows-only; one-sided error, linearity-merge, and
+    # weighted-build equality are value-checked in tests/test_sketch.py.
+    doc="Count-min sketch term frequencies (Cormode & Muthukrishnan "
+    "2005; operators/sketch.py): fixed depth×width mergeable cells — "
+    "shuffle bounded by sketch size, not vocabulary — probed for the "
+    "corpus's top exact terms. Columns prove the one-sided contract "
+    "(est ≥ exact, overcount ≤ εN).",
+)
+def q_term_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.operators.sketch import cms_build, cms_estimate
+
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", r"\s+")).alias("term"))
+        .where(F.col("term") != "")
+    )
+    words = words.localCheckpoint()  # feeds build + exact counts
+    cms = cms_build(words, "term")
+    exact = words.groupBy("term").agg(F.count(F.lit(1)).alias("exact"))
+    top = exact.orderBy(F.desc("exact"), "term").limit(20)
+    est = cms_estimate(cms, top.select("term"), "term")
+    return (
+        top.join(est, "term")
+        .select("term", "exact", "est", (F.col("est") - F.col("exact")).alias("overcount"))
+        .orderBy(F.desc("exact"), "term")
+    )
+
+
 # =============================================================================
 # Gate-window ordering
 # =============================================================================

@@ -1,0 +1,89 @@
+"""Count-min sketch (operators/sketch.py): one-sided error, the exact
+linearity/merge property, error bound, weighted build, and the
+bounded-size/broadcast plan contracts."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from pixie_spark.operators.sketch import (
+    cms_build,
+    cms_error_bound,
+    cms_estimate,
+    cms_merge,
+)
+
+
+def _terms(spark, counts: dict[str, int]):
+    rows = [(t,) for t, c in counts.items() for _ in range(c)]
+    return spark.createDataFrame(rows, "term string")
+
+
+COUNTS = {f"t{i}": i + 1 for i in range(50)} | {"hot": 400, "warm": 120}
+
+
+def test_estimates_one_sided_and_bounded(spark):
+    df = _terms(spark, COUNTS)
+    cms = cms_build(df, "term", depth=4, width=1024)
+    probes = spark.createDataFrame([(t,) for t in COUNTS], "term string")
+    est = {r["term"]: r["est"] for r in cms_estimate(cms, probes, "term", 4, 1024).collect()}
+    n = sum(COUNTS.values())
+    bound = cms_error_bound(n, 1024)
+    for t, true in COUNTS.items():
+        assert est[t] >= true  # never under-counts
+        assert est[t] <= true + max(bound, 1)
+
+
+def test_merge_equals_build_on_union(spark):
+    """CMS linearity — the property that makes per-slice sketches
+    combinable: merge(build(A), build(B)) == build(A++B) cell-for-cell."""
+    a = {f"a{i}": i + 1 for i in range(30)}
+    b = {f"a{i}": 2 * i + 1 for i in range(15, 45)}
+    da, db = _terms(spark, a), _terms(spark, b)
+    merged = cms_merge(cms_build(da, "term"), cms_build(db, "term"))
+    whole = cms_build(da.unionByName(db), "term")
+    ma = {(r["j"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    wa = {(r["j"], r["bucket"]): r["cnt"] for r in whole.collect()}
+    assert ma == wa
+
+
+def test_weighted_build_equals_exploded(spark):
+    """Feeding pre-aggregated (term, count) rows with weight_col must
+    equal building from the raw one-row-per-occurrence stream."""
+    pre = spark.createDataFrame(list(COUNTS.items()), "term string, c long")
+    w = cms_build(pre, "term", weight_col="c")
+    raw = cms_build(_terms(spark, COUNTS), "term")
+    assert {tuple(r) for r in w.collect()} == {tuple(r) for r in raw.collect()}
+
+
+def test_unseen_terms_estimate_small(spark):
+    cms = cms_build(_terms(spark, COUNTS), "term", depth=4, width=4096)
+    probes = spark.createDataFrame([(f"unseen{i}",) for i in range(20)], "term string")
+    est = cms_estimate(cms, probes, "term", 4, 4096).collect()
+    n = sum(COUNTS.values())
+    for r in est:
+        assert r["est"] <= cms_error_bound(n, 4096) + 1
+
+
+def test_sketch_size_bounded(spark):
+    df = _terms(spark, {f"x{i}": 1 for i in range(500)})
+    cms = cms_build(df, "term", depth=3, width=64)
+    assert cms.count() <= 3 * 64
+
+
+def test_estimate_plan_broadcasts_sketch(spark):
+    cms = cms_build(_terms(spark, COUNTS), "term")
+    probes = spark.createDataFrame([("hot",)], "term string")
+    plan = (
+        cms_estimate(cms, probes, "term")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_deterministic(spark):
+    df = _terms(spark, COUNTS)
+    a = sorted(tuple(r) for r in cms_build(df, "term").collect())
+    b = sorted(tuple(r) for r in cms_build(df, "term").collect())
+    assert a == b
