@@ -591,6 +591,14 @@ def remove_duplicate_spans(
         .dropDuplicates(["doc", "pos"])
         .withColumn("rm", F.lit(True))
     )
+    return _rebuild_minus_removed(w, removable)
+
+
+def _rebuild_minus_removed(w: DataFrame, removable: DataFrame) -> DataFrame:
+    """(doc, text, n_removed): rebuild each doc's text from its
+    (doc, pos, word) rows minus the (doc, pos, rm=true) positions.
+    One left join + one per-doc aggregation (reuses the by-doc
+    partitioning); in-row array_sort restores word order."""
     kept = w.join(removable, ["doc", "pos"], "left")
     return (
         kept.groupBy("doc")
@@ -610,6 +618,57 @@ def remove_duplicate_spans(
         )
         .select("doc", "text", F.coalesce("n_removed", F.lit(0)).alias("n_removed"))
     )
+
+
+def decontaminate_spans(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_id_col: str = "doc_id",
+    probe_text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Span-level benchmark decontamination: rebuild each corpus document
+    with every word position covered by a k-gram that ALSO occurs in the
+    probe set (an eval benchmark) removed — the surgical alternative to
+    dropping whole contaminated documents (:func:`contamination_check`
+    flags; this repairs). Production corpus preps remove the overlapping
+    spans so one leaked benchmark sentence doesn't cost an otherwise-good
+    document.
+
+    Plan: k-gram window hashes on both sides (window-lead, codegen; no
+    window string materialized). The probe wid set is benchmark-sized →
+    broadcast, so the corpus NEVER shuffles for detection; covered
+    positions explode only from hit windows (≤k rows per hit); the
+    rebuild reuses the by-doc partitioning. Output:
+    (doc, text, n_removed) for every corpus doc — n_removed = 0 for
+    clean docs.
+    """
+    win = Window.partitionBy("doc").orderBy("pos")
+    w = _word_rows(corpus, id_col, text_col).localCheckpoint()
+    leads = [F.col("word").alias("w0")] + [
+        F.lead("word", j).over(win).alias(f"w{j}") for j in range(1, k)
+    ]
+    wins = (
+        w.select("doc", "pos", *leads)
+        .where(F.col(f"w{k - 1}").isNotNull())
+        .select("doc", "pos", F.xxhash64(*[f"w{j}" for j in range(k)]).alias("wid"))
+    )
+    probe_wids = (
+        _word_rows(probes, probe_id_col, probe_text_col)
+        .select("doc", "pos", *leads)
+        .where(F.col(f"w{k - 1}").isNotNull())
+        .select(F.xxhash64(*[f"w{j}" for j in range(k)]).alias("wid"))
+        .distinct()
+    )
+    removable = (
+        wins.join(F.broadcast(probe_wids), "wid")
+        .select("doc", F.explode(F.sequence("pos", F.col("pos") + k - 1)).alias("pos"))
+        .dropDuplicates(["doc", "pos"])
+        .withColumn("rm", F.lit(True))
+    )
+    return _rebuild_minus_removed(w, removable)
 
 
 def contamination_check(

@@ -174,3 +174,43 @@ def perplexity_filter(
     columns (join back on the id, 8-byte-ish key)."""
     scores = lm_score(df, lm, id_col=id_col, text_col=text_col)
     return df.join(scores, id_col, "inner").where(F.col("perplexity") <= max_perplexity)
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    lm: HashedBigramLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = None,
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+) -> DataFrame:
+    """CCNet's head/middle/tail partition (Wenzek et al. 2020 §4.3):
+    bucket each document by where its perplexity falls among the
+    percentiles of ITS GROUP (CCNet buckets per language — pass
+    ``group_col``; None buckets against the whole corpus). head = most
+    fluent third, tail = least.
+
+    Cut points come from percentile_approx over the score frame — a
+    mergeable-sketch aggregate (one pass, partial+final, the same
+    two-phase shape as every UDA here) — then bucketing is a native
+    when-chain against the per-group cut literals joined back (groups
+    are dimension-sized → broadcast). Output: original rows +
+    (n_tokens, perplexity, bucket).
+    """
+    scores = df.join(lm_score(df, lm, id_col=id_col, text_col=text_col), id_col)
+    keys = [group_col] if group_col else []
+    agg = [
+        F.percentile_approx("perplexity", list(cuts), 10_000).alias("__cuts"),
+    ]
+    cut_rows = scores.groupBy(*keys).agg(*agg) if keys else scores.agg(*agg)
+    joined = (
+        scores.join(F.broadcast(cut_rows), keys) if keys else scores.crossJoin(F.broadcast(cut_rows))
+    )
+    lo = F.element_at("__cuts", 1)
+    hi = F.element_at("__cuts", 2)
+    return joined.withColumn(
+        "bucket",
+        F.when(F.col("perplexity") <= lo, "head")
+        .when(F.col("perplexity") <= hi, "middle")
+        .otherwise("tail"),
+    ).drop("__cuts")

@@ -2288,6 +2288,56 @@ def q_term_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "decontaminate_spans",
+    None,  # rows-only (window full); position-level equality vs a
+    # brute-force Python k-gram cover in tests/test_dedup_extra.py.
+    doc="Span-level benchmark decontamination (operators/dedup.py): "
+    "remove every word position covered by a k-gram shared with the "
+    "probe set instead of dropping whole documents. Probe wids "
+    "broadcast — the corpus never shuffles for detection.",
+)
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.operators.dedup import decontaminate_spans
+
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # plant: use a slice of the corpus itself as the "benchmark"
+    probes = doc.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    out = decontaminate_spans(doc, probes, k=10)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_removed") > 0).cast("long")).alias("n_touched"),
+        F.sum("n_removed").alias("total_removed"),
+    )
+
+
+@query(
+    "perplexity_buckets",
+    None,  # rows-only (window full); bucket ordering/balance and
+    # per-group cuts are value-checked in tests/test_lm.py.
+    doc="CCNet head/middle/tail buckets (Wenzek et al. 2020 §4.3, "
+    "operators/lm.py): per-language perplexity percentile cuts via "
+    "percentile_approx (mergeable sketch, partial+final) broadcast back "
+    "onto the corpus as a native when-chain.",
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.operators.lm import ngram_lm_train, perplexity_buckets
+
+    doc = load_table(spark, sf_dir, "documents")
+    lm = ngram_lm_train(doc, min_count=2)
+    out = perplexity_buckets(doc, lm, group_col="lang")
+    return (
+        out.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            dround(F.avg("perplexity"), 4).alias("avg_ppl"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
 # =============================================================================
 # Gate-window ordering
 # =============================================================================

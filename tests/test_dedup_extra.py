@@ -278,3 +278,80 @@ def test_duplicate_spans_matches_duckdb_oracle(spark, sf_dir):
     oracle_rows = {(int(a), int(b), int(c), int(d)) for a, b, c, d in oracle}
     assert len(spark_rows) > 0
     assert spark_rows == oracle_rows
+
+
+def test_decontaminate_spans_removes_planted_benchmark(spark):
+    """A leaked benchmark sentence is removed from the corpus doc while
+    the rest of the document survives; clean docs are untouched."""
+    from pixie_spark.operators.dedup import decontaminate_spans
+
+    bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro words here " + bench + " closing words after"),
+            (2, "totally clean document with enough words to stand alone"),
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame([(900, bench)], "doc_id long, text string")
+    out = {r["doc"]: r for r in decontaminate_spans(corpus, probes, k=10).collect()}
+    assert out[1]["n_removed"] == 10
+    for w in bench.split():
+        assert w not in out[1]["text"].split()
+    assert "intro" in out[1]["text"] and "closing" in out[1]["text"]
+    assert out[2]["n_removed"] == 0
+    assert out[2]["text"] == "totally clean document with enough words to stand alone"
+
+
+def test_decontaminate_spans_matches_python_reference(spark):
+    """Position-level equality vs a brute-force Python reimplementation
+    of the k-gram cover."""
+    from pixie_spark.operators.dedup import decontaminate_spans
+
+    k = 4
+    corpus_rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "x y z a b c d q r s t u"),
+        (3, "no overlap at all in this document"),
+        (4, "a b c"),  # shorter than k: never matches
+    ]
+    probe_rows = [(50, "a b c d"), (51, "q r s t u v")]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    probes = spark.createDataFrame(probe_rows, "doc_id long, text string")
+
+    probe_grams = set()
+    for _, t in probe_rows:
+        ws = t.split()
+        for i in range(len(ws) - k + 1):
+            probe_grams.add(tuple(ws[i : i + k]))
+    expected = {}
+    for d, t in corpus_rows:
+        ws = t.split()
+        rm = set()
+        for i in range(len(ws) - k + 1):
+            if tuple(ws[i : i + k]) in probe_grams:
+                rm.update(range(i, i + k))
+        kept = [w for j, w in enumerate(ws) if j not in rm]
+        expected[d] = (" ".join(kept), len(rm))
+
+    out = {r["doc"]: (r["text"], r["n_removed"]) for r in decontaminate_spans(corpus, probes, k=k).collect()}
+    assert out == expected
+
+
+def test_decontaminate_probe_side_broadcasts(spark):
+    """The corpus must never shuffle for detection: the probe wid set
+    joins in as a broadcast."""
+    from pixie_spark.operators.dedup import decontaminate_spans
+
+    corpus = spark.createDataFrame(
+        [(i, "w" + " w".join(str(j) for j in range(i, i + 15))) for i in range(5)],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame([(9, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")], "doc_id long, text string")
+    plan = (
+        decontaminate_spans(corpus, probes, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan

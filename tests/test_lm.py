@@ -131,3 +131,43 @@ def test_min_count_prunes_bigrams(spark):
     p1 = lm_score(probe, lm1).first()["perplexity"]
     p2 = lm_score(probe, lm2).first()["perplexity"]
     assert p2 > p1
+
+
+def test_perplexity_buckets_thirds(spark):
+    """head/middle/tail split: each bucket holds ~a third, ordered by
+    fluency (every head doc scores below every tail doc)."""
+    from pixie_spark.operators.lm import perplexity_buckets
+
+    train = spark.createDataFrame(TRAIN, "doc_id long, text string")
+    lm = ngram_lm_train(train, min_count=1)
+    docs = [(i, "the quick brown fox " + "zx " * (i % 7)) for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = perplexity_buckets(df, lm).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["perplexity"])
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+    assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+    # roughly balanced thirds (ties at the cut can shift a few docs)
+    for b in by_bucket.values():
+        assert 10 <= len(b) <= 30
+
+
+def test_perplexity_buckets_per_group(spark):
+    """CCNet buckets per language: cuts computed within each group, so a
+    group whose scores are uniformly high still gets its own head."""
+    from pixie_spark.operators.lm import perplexity_buckets
+
+    train = spark.createDataFrame(TRAIN, "doc_id long, text string")
+    lm = ngram_lm_train(train, min_count=1)
+    rows = [(i, "the quick brown fox", "en") for i in range(10)]
+    rows += [(100 + i, "zxq vvw qqq plorth " + "zz " * (i % 5), "xx") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = perplexity_buckets(df, lm, group_col="lang").collect()
+    langs = {}
+    for r in out:
+        langs.setdefault(r["lang"], set()).add(r["bucket"])
+    # the gibberish group still has a head bucket OF ITS OWN
+    assert "head" in langs["xx"]
+    assert "head" in langs["en"]
