@@ -2338,6 +2338,36 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mixture_shards",
+    None,  # rows-only (window full); unbiasedness, replay identity, and
+    # id re-keying are value-checked in tests/test_shards.py.
+    doc="Mixture materialization (sources/shards.materialize_mixture): "
+    "temperature-sampled multi-source selection → deterministic global "
+    "permutation → fixed-size shards; per-shard source composition "
+    "tracks the global mixture (each shard is an unbiased sample). "
+    "Output: per-shard row counts and tail-domain fraction.",
+)
+def q_mixture_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.operators.sampling import temperature_mix
+    from pixie_spark.sources.shards import assign_shards
+
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    mixed = temperature_mix(doc, "lang", target_total=300, temperature=2.0)
+    assigned = assign_shards(mixed, shard_rows=64, id_col="doc_id")
+    top_lang = doc.groupBy("lang").count().orderBy(F.desc("count")).first()["lang"]
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dround(F.avg((F.col("lang") == top_lang).cast("double")), 4).alias(
+                "head_lang_frac"
+            ),
+        )
+        .orderBy("shard")
+    )
+
+
 # =============================================================================
 # Gate-window ordering
 # =============================================================================

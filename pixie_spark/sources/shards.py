@@ -135,3 +135,48 @@ def read_training_shards(
 
 def expected_shard_count(n_rows: int, shard_rows: int) -> int:
     return math.ceil(n_rows / shard_rows) if n_rows else 0
+
+
+def materialize_mixture(
+    sources: dict[str, DataFrame],
+    path: str,
+    target_total: int,
+    shard_rows: int,
+    temperature: float = 2.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> int:
+    """End-to-end mixture materialization: named corpora → temperature-
+    sampled selection → deterministic fixed-size shards on disk.
+    Returns the shard count.
+
+    This is the last mile of the training pipeline: the mixing step
+    (operators/sampling.temperature_mix — T>1 upweights tail domains)
+    decides WHAT goes in; the global hash permutation decides WHERE it
+    lands, so every shard is an unbiased sample of the final mixture
+    (per-shard source proportions ≈ global proportions — tested) and a
+    loader can train on shards in any order without a separate shuffle
+    pass.
+
+    Rows are re-keyed by xxhash64(source, id) so ids colliding across
+    sources stay distinct; each shard row carries (mix_id, source,
+    id_col, text_col). Selection and placement both derive from seeded
+    hashes — the whole materialization replays bit-for-bit.
+    """
+    from pixie_spark.operators.sampling import temperature_mix
+
+    parts = [
+        df.select(
+            F.lit(name).alias("source"),
+            F.col(id_col),
+            F.col(text_col),
+            F.xxhash64(F.lit(name), F.col(id_col)).alias("mix_id"),
+        )
+        for name, df in sources.items()
+    ]
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    mixed = temperature_mix(unioned, "source", target_total, temperature, seed)
+    return write_training_shards(mixed, path, shard_rows, id_col="mix_id", seed=seed)

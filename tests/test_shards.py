@@ -103,3 +103,59 @@ def test_empty_input(spark, tmp_path):
     df = _docs(spark, 0)
     n = write_training_shards(df, str(tmp_path / "empty"), shard_rows=10)
     assert n == 0
+
+
+def test_materialize_mixture_shards_are_unbiased(spark, tmp_path):
+    """Per-shard source proportions track the global mixture proportions
+    — the property that lets a loader train on shards in any order."""
+    from pixie_spark.sources.shards import materialize_mixture
+
+    head = _docs(spark, 2000)  # big "web" domain
+    tail = _docs(spark, 200)   # small "books" domain
+    n = materialize_mixture(
+        {"web": head, "books": tail},
+        str(tmp_path / "mix"),
+        target_total=1000,
+        shard_rows=200,
+        temperature=2.0,
+    )
+    back = read_training_shards(spark, str(tmp_path / "mix"))
+    total = back.count()
+    assert abs(total - 1000) < 150  # expected kept total ≈ target
+    global_books = back.where(F.col("source") == "books").count() / total
+    # T=2 upweights the tail domain well beyond its 1/11 proportional share
+    assert global_books > 0.15
+    per_shard = (
+        back.groupBy("shard")
+        .agg(
+            F.avg((F.col("source") == "books").cast("double")).alias("frac"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert len(per_shard) == n
+    for r in per_shard:
+        if r["n"] >= 150:  # full shards only; the ragged tail shard is noisier
+            assert abs(r["frac"] - global_books) < 0.12
+
+
+def test_materialize_mixture_replays_identically(spark, tmp_path):
+    from pixie_spark.sources.shards import materialize_mixture
+
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    srcs = {"x": _docs(spark, 300), "y": _docs(spark, 100)}
+    materialize_mixture(srcs, a_dir, target_total=200, shard_rows=50)
+    materialize_mixture(srcs, b_dir, target_total=200, shard_rows=50)
+    a = {(r["mix_id"], r["shard"]) for r in read_training_shards(spark, a_dir).collect()}
+    b = {(r["mix_id"], r["shard"]) for r in read_training_shards(spark, b_dir).collect()}
+    assert a == b
+
+
+def test_materialize_mixture_distinct_ids_across_sources(spark, tmp_path):
+    """Same doc_id in two sources must stay two rows (re-keyed mix_id)."""
+    from pixie_spark.sources.shards import materialize_mixture
+
+    srcs = {"x": _docs(spark, 50), "y": _docs(spark, 50)}  # identical id ranges
+    materialize_mixture(srcs, str(tmp_path / "m"), target_total=100, shard_rows=40)
+    back = read_training_shards(spark, str(tmp_path / "m"))
+    assert back.select("mix_id").distinct().count() == back.count()
