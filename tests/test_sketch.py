@@ -87,3 +87,38 @@ def test_deterministic(spark):
     a = sorted(tuple(r) for r in cms_build(df, "term").collect())
     b = sorted(tuple(r) for r in cms_build(df, "term").collect())
     assert a == b
+
+
+def test_streaming_microbatch_cms_equals_batch(spark, tmp_path):
+    """Streaming-base duality for the frequency sketch (the HLL rollup's
+    duality test, frequency twin): per-microbatch CMS builds merged via
+    foreachBatch accumulation equal the one-shot batch build cell-for-
+    cell — CMS linearity makes the incremental ingestion path exact."""
+    import pixie_spark.streaming as S
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("term", T.StringType())])
+    b1 = [(t,) for t, c in list(COUNTS.items())[:30] for _ in range(c)]
+    b2 = [(t,) for t, c in list(COUNTS.items())[30:] for _ in range(c)]
+    src = str(tmp_path / "cms_src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    merged: list = []
+
+    def absorb(batch_df, _epoch):
+        sketch = cms_build(batch_df, "term")
+        merged.append(sketch.sparkSession.createDataFrame(
+            sketch.collect(), "j int, bucket long, cnt long"
+        ))
+
+    stream = S.stream_table(spark, src, schema, max_files_per_trigger=1)
+    q = stream.writeStream.foreachBatch(absorb).trigger(availableNow=True).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(merged) >= 2  # data really arrived over multiple microbatches
+    inc = {(r["j"], r["bucket"]): r["cnt"] for r in cms_merge(*merged).collect()}
+    whole = cms_build(_terms(spark, COUNTS), "term")
+    assert inc == {(r["j"], r["bucket"]): r["cnt"] for r in whole.collect()}
