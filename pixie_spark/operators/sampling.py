@@ -18,6 +18,12 @@
   upweighting tails. Selection is a deterministic seeded-hash
   threshold, so the mixture is exactly reproducible across runs,
   partitionings, and engines — df.sample cannot promise that.
+- epoch_expand: fractional dataset REPEATS for data-constrained
+  training (Muennighoff et al. 2023, "Scaling Data-Constrained
+  Language Models"): when the budget exceeds the corpus, domains are
+  repeated ~N.x epochs — floor(N) full copies per row plus one extra
+  copy for a seeded-hash-selected x-fraction. In-row explode, zero
+  shuffle, reproducible.
 """
 
 from __future__ import annotations
@@ -114,6 +120,53 @@ def temperature_mix(
         float(1 << 32)
     )
     return df.where(u < pmap[F.col(domain_col)])
+
+
+def epoch_expand(
+    df: DataFrame,
+    domain_col: str,
+    epochs: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Repeat each domain's rows ``epochs[domain]`` times (fractional):
+    floor(e) full copies of every row, plus one extra copy for the
+    deterministic frac(e)-share of rows chosen by seeded hash — so a
+    domain at e=2.5 contributes every row twice and half the rows a third
+    time, totalling ≈ 2.5·n rows. Domains missing from ``epochs``
+    default to 1.0; e < 1 downsamples (0 full copies, an e-share keeps
+    one).
+
+    Output: original columns + ``epoch`` (0-based copy index) —
+    (id, epoch) is unique, so downstream shard layout can re-key on it.
+    Plan: a broadcast map literal + ONE in-row explode of
+    sequence(0, copies-1); zero shuffle, and a row's copy count depends
+    only on (id, seed) — the expansion replays bit-for-bit.
+    """
+    full_map = F.create_map(
+        *[
+            x
+            for d, e in sorted(epochs.items())
+            for x in (F.lit(d), F.lit(int(math.floor(e))))
+        ]
+    )
+    frac_map = F.create_map(
+        *[
+            x
+            for d, e in sorted(epochs.items())
+            for x in (F.lit(d), F.lit(float(e - math.floor(e))))
+        ]
+    )
+    u = (F.pmod(F.xxhash64(id_col, F.lit(seed)), F.lit(1 << 32))) / F.lit(float(1 << 32))
+    full = F.coalesce(full_map[F.col(domain_col)], F.lit(1))
+    frac = F.coalesce(frac_map[F.col(domain_col)], F.lit(0.0))
+    copies = full + (u < frac).cast("int")
+    return (
+        df.withColumn("__copies", copies)
+        .where(F.col("__copies") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("__copies") - 1)))
+        .drop("__copies")
+    )
 
 
 def sequence_packing(

@@ -2368,6 +2368,30 @@ def q_mixture_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "epoch_expansion",
+    None,  # rows-only (window full); exact per-row replica of the
+    # fractional pick is value-checked in tests/test_temperature_mix.py.
+    doc="Fractional dataset repeats for data-constrained training "
+    "(Muennighoff et al. 2023; operators/sampling.epoch_expand): "
+    "floor(e) full copies per row + a seeded-hash frac(e) share once "
+    "more — one in-row explode, zero shuffle, bit-for-bit replayable.",
+)
+def q_epoch_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.operators.sampling import epoch_expand
+
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    langs = [r["lang"] for r in doc.select("lang").distinct().collect()]
+    # upweight the alphabetically-last domain 2.5×, downsample the first
+    epochs = {min(langs): 0.5, max(langs): 2.5}
+    out = epoch_expand(doc, "lang", epochs, id_col="doc_id")
+    return (
+        out.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.max("epoch").alias("max_epoch"))
+        .orderBy("lang")
+    )
+
+
 # =============================================================================
 # Gate-window ordering
 # =============================================================================

@@ -82,3 +82,75 @@ def test_mix_no_shuffle_plan(spark, corpus):
     """Selection is a scan-attached filter: no Exchange in the plan."""
     plan = temperature_mix(corpus, "domain", 500, 2.0)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# --- epoch_expand (data-constrained repeats) --------------------------------
+
+
+def _dom_docs(spark, spec):
+    rows = [
+        (d * 1000 + i, f"text {d} {i}", d)
+        for d, n in spec.items()
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang long")
+
+
+def test_epoch_expand_counts(spark):
+    from pixie_spark.operators.sampling import epoch_expand
+
+    df = _dom_docs(spark, {1: 200, 2: 100, 3: 50})
+    out = epoch_expand(df, "lang", {1: 1.0, 2: 2.5, 3: 0.4}, id_col="doc_id")
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts[1] == 200           # e=1: unchanged
+    assert 230 <= counts[2] <= 270    # e=2.5: 200 full + ~50 fractional
+    assert 10 <= counts[3] <= 30      # e=0.4: ~20 kept once
+    # every (id, epoch) pair is unique → safe downstream shard key
+    assert out.select("doc_id", "epoch").distinct().count() == out.count()
+
+
+def test_epoch_expand_exact_python_replica(spark):
+    """The fractional pick is a pure function of (id, seed): replicate
+    the threshold decision row-for-row."""
+    from pixie_spark.operators.sampling import epoch_expand
+
+    df = _dom_docs(spark, {7: 40})
+    hashes = {
+        r["doc_id"]: r["u"]
+        for r in df.select(
+            "doc_id",
+            (F.pmod(F.xxhash64("doc_id", F.lit(42)), F.lit(1 << 32)) / F.lit(float(1 << 32))).alias("u"),
+        ).collect()
+    }
+    out = epoch_expand(df, "lang", {7: 1.3}, id_col="doc_id").collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(r["epoch"])
+    for did, u in hashes.items():
+        expect = [0, 1] if u < 0.3 else [0]
+        assert sorted(got[did]) == expect
+
+
+def test_epoch_expand_defaults_and_determinism(spark):
+    from pixie_spark.operators.sampling import epoch_expand
+
+    df = _dom_docs(spark, {1: 30, 2: 30})
+    out = epoch_expand(df, "lang", {2: 2.0})  # lang 1 missing → e=1
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {1: 30, 2: 60}
+    a = sorted((r["doc_id"], r["epoch"]) for r in epoch_expand(df, "lang", {1: 1.5}).collect())
+    b = sorted((r["doc_id"], r["epoch"]) for r in epoch_expand(df, "lang", {1: 1.5}).collect())
+    assert a == b
+
+
+def test_epoch_expand_no_shuffle(spark):
+    from pixie_spark.operators.sampling import epoch_expand
+
+    df = _dom_docs(spark, {1: 10})
+    plan = (
+        epoch_expand(df, "lang", {1: 2.5})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
