@@ -179,17 +179,22 @@ def sequence_packing(
     ~budget tokens per pack: pack_id = exclusive-prefix-sum(tokens) DIV
     budget.
 
-    Global window (single-partition cumsum) here; at 100 TB, compute
-    per-partition prefix sums + a driver-side partition-offset pass (the
-    classic two-phase scan) — the assignment formula is unchanged.
+    The running total is the distributed two-phase scan
+    (sources/shards.global_prefix_sum: range exchange + per-partition
+    window + broadcast offset map) — earlier rounds used a global
+    window here, which is an Exchange SinglePartition funneling the
+    corpus through one task; the assignment formula (and the gate
+    oracle hash) is unchanged.
     """
-    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
-    cum_prev = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    from pixie_spark.sources.shards import global_prefix_sum
+
+    out = global_prefix_sum(df, token_col, order_col, out_col="__cum_prev")
     # decimal division: cum_prev is int64 and double division misbins
     # beyond 2^53 (verified: 2^56-3 / 4096 lands one pack too high)
-    return df.withColumn(
-        "pack_id", F.floor(cum_prev.cast("decimal(38,0)") / budget).cast("long")
-    )
+    return out.withColumn(
+        "pack_id",
+        F.floor(F.col("__cum_prev").cast("decimal(38,0)") / budget).cast("long"),
+    ).drop("__cum_prev")
 
 
 # ---------------------------------------------------------------------------

@@ -79,6 +79,55 @@ def global_rank(
     )
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    out_col: str = "cum_prev",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE global prefix sum of ``value_col`` under ORDER BY
+    ``order_col`` — the distributed two-phase scan, same shape as
+    :func:`global_rank`: range-partition on the order key, collect one
+    per-partition SUM (bounded: n_partitions longs), convert to prefix
+    offsets, add each partition's offset to its local exclusive window
+    cumsum. No Exchange SinglePartition anywhere.
+
+    Exclusive means row i's ``out_col`` = sum of values of all rows
+    strictly before it in the order — the running-total form sequence
+    packing needs (a row's own weight lands it in the pack its PREFIX
+    filled up to)."""
+    if n_partitions is None:
+        n_partitions = df.sparkSession.sparkContext.defaultParallelism
+    parts = (
+        df.repartitionByRange(n_partitions, order_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()  # pin layout: sums collect + ranked output must agree
+    )
+    sums = {
+        r["__pid"]: r["s"]
+        for r in parts.groupBy("__pid")
+        .agg(F.sum(F.col(value_col).cast("long")).alias("s"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(sums):
+        offsets.append((pid, acc))
+        acc += int(sums[pid] or 0)
+    off_df = df.sparkSession.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.coalesce(F.sum(F.col(value_col).cast("long")).over(w), F.lit(0))
+    return (
+        parts.join(F.broadcast(off_df), "__pid")
+        .withColumn(out_col, F.col("__off") + local)
+        .drop("__pid", "__off")
+    )
+
+
 def assign_shards(
     df: DataFrame,
     shard_rows: int,

@@ -159,3 +159,30 @@ def test_materialize_mixture_distinct_ids_across_sources(spark, tmp_path):
     materialize_mixture(srcs, str(tmp_path / "m"), target_total=100, shard_rows=40)
     back = read_training_shards(spark, str(tmp_path / "m"))
     assert back.select("mix_id").distinct().count() == back.count()
+
+
+def test_global_prefix_sum_matches_python(spark):
+    from pixie_spark.sources.shards import global_prefix_sum
+
+    rows = [(i, (i * 37) % 11 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    out = {r["k"]: r["cum_prev"] for r in global_prefix_sum(df, "v", "k", n_partitions=7).collect()}
+    acc = 0
+    for k, v in rows:  # rows already in k order
+        assert out[k] == acc
+        acc += v
+
+
+def test_sequence_packing_has_no_single_partition_exchange(spark):
+    """The round-4 rewrite's contract: packing's running total is the
+    two-phase scan, not a global window."""
+    from pixie_spark.operators.sampling import sequence_packing
+
+    df = spark.range(100).select(F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("tok"))
+    plan = (
+        sequence_packing(df, "tok", 16, "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange SinglePartition" not in plan
