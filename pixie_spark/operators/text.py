@@ -339,3 +339,49 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(t),
         }
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split long documents into fixed-word-window chunks with overlap —
+    the pre-embedding / pre-indexing step of retrieval and long-context
+    pipelines (a 100-page doc becomes ~N encoder-sized pieces; overlap
+    keeps boundary sentences queryable from either side).
+
+    Chunk i covers words [i·stride, i·stride + chunk_words) with
+    stride = chunk_words - overlap; the last chunk is ragged, and any
+    final window fully contained in the previous one is not emitted.
+    Docs with ≤ chunk_words words yield exactly one chunk. Pure in-row
+    expression work (split once, sequence + transform + slice) — zero
+    shuffle, one codegen'd map stage; (id, chunk_id) is unique.
+
+    Output: (id_col, chunk_id, chunk_text, n_words).
+    """
+    if overlap >= chunk_words:
+        raise ValueError("overlap must be smaller than chunk_words")
+    stride = chunk_words - overlap
+    ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    # number of chunks: 1 + ceil(max(0, n - chunk) / stride)
+    extra = F.greatest(F.size(ws) - chunk_words, F.lit(0))
+    n_chunks = F.lit(1) + F.ceil(extra / F.lit(stride)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            F.slice(ws, i * stride + 1, chunk_words).alias("w"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.concat_ws(" ", F.col("c.w")).alias("chunk_text"),
+            F.size(F.col("c.w")).alias("n_words"),
+        )
+    )

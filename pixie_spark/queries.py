@@ -2392,6 +2392,28 @@ def q_epoch_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_chunking",
+    None,  # rows-only (window full); chunk boundaries are value-checked
+    # against a Python reference in tests/test_operators.py.
+    doc="Fixed-window document chunking with overlap (operators/"
+    "text.chunk_documents): the pre-embedding step of retrieval "
+    "pipelines — one codegen'd map stage (split once, sequence + "
+    "slice in-row), zero shuffle.",
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.operators.text import chunk_documents
+
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = chunk_documents(doc, chunk_words=64, overlap=8)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.max("chunk_id").alias("max_chunk_id"),
+        dround(F.avg("n_words"), 4).alias("avg_chunk_words"),
+    )
+
+
 # =============================================================================
 # Gate-window ordering
 # =============================================================================

@@ -269,3 +269,62 @@ def test_ivf_topk_probes_prune_lists(spark, emb):
     e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
     assert f == e  # all lists probed == brute force
     assert len(p) > 0
+
+
+def test_chunk_documents_matches_python_reference(spark):
+    from pixie_spark.operators.text import chunk_documents
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(300))),
+        (2, " ".join(f"x{i}" for i in range(128))),   # exactly one chunk
+        (3, " ".join(f"y{i}" for i in range(130))),   # barely two
+        (4, "short doc"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_words=128, overlap=16)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], {})[r["chunk_id"]] = (r["chunk_text"], r["n_words"])
+
+    stride = 112
+    for did, text in rows:
+        ws = [w for w in text.split() if w]
+        n = len(ws)
+        extra = max(0, n - 128)
+        n_chunks = 1 + -(-extra // stride)
+        expect = {}
+        for i in range(n_chunks):
+            piece = ws[i * stride : i * stride + 128]
+            expect[i] = (" ".join(piece), len(piece))
+        assert got[did] == expect, did
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    """Every word position is covered, and consecutive chunks share
+    exactly `overlap` words (except the ragged tail)."""
+    from pixie_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(500)))], "doc_id long, text string"
+    )
+    chunks = sorted(
+        chunk_documents(df, chunk_words=100, overlap=20).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    seen = set()
+    for r in chunks:
+        seen.update(r["chunk_text"].split())
+    assert seen == {f"w{i}" for i in range(500)}
+    for a, b in zip(chunks, chunks[1:]):
+        shared = set(a["chunk_text"].split()) & set(b["chunk_text"].split())
+        if b["n_words"] == 100:
+            assert len(shared) == 20
+
+
+def test_chunk_documents_zero_shuffle(spark):
+    from pixie_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
