@@ -497,3 +497,142 @@ def _train_quantizer(
             break
         centroids = new
     return [list(map(float, c)) for c in centroids]
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index: list_id-partitioned parquet, probes = pruning
+# ---------------------------------------------------------------------------
+
+
+def ivf_index_build(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Materialize the IVF index ivf_topk's docstring promises: the
+    corpus written ONCE as parquet partitioned by ``list_id``, plus the
+    quantizer centroids as a JSON sidecar. Build once, query many —
+    the production shape (faiss's train/add vs search split), and the
+    Spark-first trick is that an inverted list IS a partition
+    directory: at search time the nprobe list filter becomes partition
+    pruning, so a query batch physically reads nprobe/n_lists of the
+    index bytes (asserted on inputFiles in tests).
+
+    Returns the centroids (also persisted at ``path``/centroids.json).
+    """
+    import json
+    import os
+
+    centroids = _train_quantizer(corpus, vec_col, n_lists, dim, seed)
+    if not centroids:
+        raise ValueError("cannot build an IVF index over an empty corpus")
+    cmat = np.array(centroids)
+    cnorm2 = (cmat**2).sum(axis=1)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def assign_list(vecs):
+        import pandas as pd
+
+        x = np.array([np.asarray(v, dtype=np.float64)[:dim] for v in vecs])
+        if not len(x):
+            return pd.Series([], dtype="int32")
+        d = cnorm2[None, :] - 2.0 * (x @ cmat.T)
+        return pd.Series(d.argmin(axis=1)).astype("int32")
+
+    def el(col: str, i: int) -> str:
+        return f"CAST(element_at({col}, {i + 1}) AS DOUBLE)"
+
+    norm = "sqrt(" + " + ".join(f"({el(vec_col, i)} * {el(vec_col, i)})" for i in range(dim)) + ")"
+    assigned = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("c_vec"),
+        # norms precomputed at build time — search never recomputes them
+        F.expr(norm).alias("c_norm"),
+        assign_list(F.col(vec_col)).alias("list_id"),
+    )
+    # one task per list directory: the shuffle is on the 4-byte list id
+    assigned.repartition("list_id").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(os.path.join(path, "vectors"))
+    with open(os.path.join(path, "centroids.json"), "w") as f:
+        json.dump(centroids, f)
+    return centroids
+
+
+def ivf_index_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Search a persisted IVF index (:func:`ivf_index_build`).
+
+    The query batch's probe sets are computed driver-side against the
+    centroid sidecar (n_lists·dim floats — driver math, the same
+    bounded-collect contract as the quantizer), their UNION becomes a
+    LITERAL isin filter on the partition column — Catalyst prunes the
+    unprobed list directories before any task launches — and the
+    per-query (query_id, list_id) probe entries broadcast into the
+    scoring equijoin exactly as in ivf_topk. Scoring reuses the
+    precomputed corpus norms from build time.
+
+    Results are IDENTICAL to ivf_topk run with the same centroids
+    (tested), just against index bytes on disk instead of a live frame.
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "centroids.json")) as f:
+        centroids = json.load(f)
+    cmat = np.array(centroids)
+    cnorm2 = (cmat**2).sum(axis=1)
+
+    qrows = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")).collect()
+    if not qrows:
+        return spark.createDataFrame([], "query_id long, vec_id long, score double, rank int")
+    qx = np.array([np.asarray(r["q_vec"], dtype=np.float64)[:dim] for r in qrows])
+    d = cnorm2[None, :] - 2.0 * (qx @ cmat.T)
+    order = np.argsort(d, axis=1)[:, :nprobe]
+    probe_entries = [
+        (int(r["query_id"]), [float(v) for v in r["q_vec"]], int(lid))
+        for r, lids in zip(qrows, order)
+        for lid in lids
+    ]
+    probed_lists = sorted({e[2] for e in probe_entries})
+    q = spark.createDataFrame(
+        probe_entries, f"query_id long, q_vec array<double>, list_id int"
+    )
+
+    idx = spark.read.parquet(os.path.join(path, "vectors")).where(
+        F.col("list_id").isin(probed_lists)
+    )
+
+    def el(col: str, i: int) -> str:
+        return f"CAST(element_at({col}, {i + 1}) AS DOUBLE)"
+
+    qnorm = "sqrt(" + " + ".join(f"({el('q_vec', i)} * {el('q_vec', i)})" for i in range(dim)) + ")"
+    dot = " + ".join(f"({el('q_vec', i)} * {el('c_vec', i)})" for i in range(dim))
+    scored = (
+        idx.join(F.broadcast(q), "list_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            F.expr(f"({dot}) / (({qnorm}) * c_norm)").alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )

@@ -2414,6 +2414,33 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_ivf_persisted",
+    None,  # rows-only (window full); persisted-search ≡ live-ivf_topk,
+    # full-probe ≡ brute force, and the partition-pruning plan are
+    # value-checked in tests/test_ivf_index.py.
+    doc="Persisted IVF index (operators/similarity.ivf_index_build/"
+    "search): the corpus written once as list_id-PARTITIONED parquet + "
+    "a centroid sidecar; at search time the query batch's nprobe "
+    "union becomes a literal partition filter, so nprobe selection is "
+    "physical partition pruning — a query reads nprobe/n_lists of the "
+    "index bytes. Build once, query many.",
+)
+def q_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pixie_spark.operators.similarity import ivf_index_build, ivf_index_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="pixie_spark_ivf_")
+    ivf_index_build(emb, path, n_lists=16, dim=64)
+    queries_df = emb.where(F.col("vec_id") % 61 == 0)
+    out = ivf_index_search(spark, path, queries_df, k=10, nprobe=4, dim=64)
+    return out.select(
+        "query_id", "vec_id", dround("score", 6).alias("score"), "rank"
+    ).orderBy("query_id", "rank")
+
+
 # =============================================================================
 # Gate-window ordering
 # =============================================================================
