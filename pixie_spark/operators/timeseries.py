@@ -1,0 +1,139 @@
+"""Time-series pattern search & anomaly flags over metric streams.
+
+The observability side of the engine produces per-entity metric series
+(pod CPU, request rate, latency — the reference's counter/gauge tables,
+src/stirling's network_stats/process_stats schemas); these operators
+answer the two questions an operator actually asks of them: "where else
+does THIS shape occur?" (incident-signature search — cf. the
+subsequence-similarity literature, e.g. "Time Series Similarity Search
+for Streaming Data in Distributed Systems", EDBT 2019) and "which
+points are abnormal for their own series?" (rolling z-score).
+
+Both are expressed with the same window-lead machinery the dedup family
+uses for shingles — per-entity windows ordered by time, all-native
+arithmetic, one shuffle on the entity key, no Python anywhere:
+
+- pattern_search: slide a length-m window over every entity's series,
+  z-normalize each window IN-ROW, score against the z-normalized query
+  pattern by squared Euclidean distance (the UCR-suite distance), and
+  return the global top-k matches. Z-normalization makes the match
+  amplitude/offset-invariant — a CPU spike shape matches whether it
+  peaks at 40% or 90%.
+- rolling_anomalies: trailing mean/std per entity (excluding the
+  current point — a spike must not inflate its own baseline), flag
+  |z| ≥ threshold once the baseline has enough support.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _znorm_pattern(pattern: list[float]) -> list[float]:
+    m = len(pattern)
+    mu = sum(pattern) / m
+    var = sum((v - mu) ** 2 for v in pattern) / m
+    sd = math.sqrt(var)
+    if sd == 0.0:
+        return [0.0] * m
+    return [(v - mu) / sd for v in pattern]
+
+
+def pattern_search(
+    df: DataFrame,
+    pattern: list[float],
+    entity_col: str = "entity",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k z-normalized subsequence matches of ``pattern`` across every
+    entity's series. Output: (entity_col, ts_col of the window start,
+    dist, rank) — dist = Σ (zw_i - zq_i)², lower is a better match.
+
+    Plan: the length-m windows come from m-1 ``lead``s over the
+    per-entity time order (ONE shuffle on the entity key, identical to
+    the shingle construction); the window mean/std and the distance are
+    a fixed-size native arithmetic expression assembled as one SQL
+    string (m terms — the kmeans_fit py4j lesson); the global top-k is
+    orderBy+limit → TakeOrderedAndProject. Flat windows (zero variance)
+    cannot match a non-flat pattern and are scored +inf via a guarded
+    division.
+    """
+    m = len(pattern)
+    if m < 2:
+        raise ValueError("pattern must have at least 2 points")
+    zq = _znorm_pattern(pattern)
+    win = Window.partitionBy(entity_col).orderBy(ts_col)
+    vals = [F.col(value_col).cast("double").alias("v0")] + [
+        F.lead(F.col(value_col).cast("double"), j).over(win).alias(f"v{j}")
+        for j in range(1, m)
+    ]
+    rows = df.select(F.col(entity_col), F.col(ts_col), *vals).where(
+        F.col(f"v{m - 1}").isNotNull()
+    )
+    mean = "((" + " + ".join(f"v{i}" for i in range(m)) + f") / {m})"
+    var = "((" + " + ".join(f"(v{i} - __mu) * (v{i} - __mu)" for i in range(m)) + f") / {m})"
+    dist = " + ".join(
+        f"((v{i} - __mu) / __sd - ({zq[i]!r})) * ((v{i} - __mu) / __sd - ({zq[i]!r}))"
+        for i in range(m)
+    )
+    scored = (
+        rows.selectExpr(entity_col, ts_col, *[f"v{i}" for i in range(m)], f"{mean} AS __mu")
+        .selectExpr(entity_col, ts_col, *[f"v{i}" for i in range(m)], "__mu", f"sqrt({var}) AS __sd")
+        .selectExpr(
+            entity_col,
+            ts_col,
+            f"CASE WHEN __sd = 0.0 THEN double('inf') ELSE {dist} END AS dist",
+        )
+    )
+    topk = scored.orderBy(F.asc("dist"), entity_col, ts_col).limit(k)
+    w = Window.orderBy(F.asc("dist"), entity_col, ts_col)
+    # rank over k collected rows only — the limit already reduced to k
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
+def rolling_anomalies(
+    df: DataFrame,
+    entity_col: str = "entity",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    baseline_rows: int = 20,
+    min_support: int = 8,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Flag points abnormal against their OWN series' trailing baseline:
+    z = (v - mean_prev) / std_prev over the previous ``baseline_rows``
+    points (current point excluded so a spike can't inflate its own
+    baseline). A PERFECTLY FLAT baseline has sd = 0: z stays null (no
+    divide-by-zero) but any departure from the constant is still
+    flagged — a constant series jumping is the clearest anomaly there
+    is. Points with fewer than ``min_support`` trailing points are
+    warm-up and unflagged. Output: input columns +
+    (baseline_n, z, is_anomaly).
+
+    One shuffle on the entity key; the trailing moments are a single
+    native window aggregate pair over the same frame.
+    """
+    win = (
+        Window.partitionBy(entity_col)
+        .orderBy(ts_col)
+        .rowsBetween(-baseline_rows, -1)
+    )
+    v = F.col(value_col).cast("double")
+    mu = F.avg(v).over(win)
+    sd = F.stddev_pop(v).over(win)
+    n = F.count(v).over(win)
+    z = F.when((n >= min_support) & (sd > 0), (v - mu) / sd)
+    flat_jump = (n >= min_support) & (sd == 0) & (v != mu)
+    return (
+        df.withColumn("baseline_n", n)
+        .withColumn("z", z)
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(F.abs(F.col("z")) >= z_threshold, F.lit(False)) | F.coalesce(flat_jump, F.lit(False)),
+        )
+    )

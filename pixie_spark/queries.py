@@ -2441,6 +2441,54 @@ def q_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+@query(
+    "ts_pattern_search",
+    None,  # rows-only (window full); distances are value-checked against
+    # a numpy reference in tests/test_timeseries.py.
+    doc="Z-normalized subsequence pattern search (operators/timeseries."
+    "pattern_search): incident-signature matching over per-entity metric "
+    "series — m-1 window-leads (one shuffle on the entity key), in-row "
+    "z-normalization, native UCR-style distance, TakeOrdered top-k. "
+    "Amplitude/offset-invariant by construction.",
+)
+def q_ts_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.operators.timeseries import pattern_search
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("entity"), "ts", "value"
+    )
+    spike = [0.0, 1.0, 3.0, 1.0, 0.0]
+    out = pattern_search(ev, spike, k=15)
+    return out.select("entity", "ts", dround("dist", 6).alias("dist"), "rank")
+
+
+@query(
+    "ts_anomalies",
+    None,  # rows-only (window full); z-scores replicate a numpy
+    # reference exactly in tests/test_timeseries.py.
+    doc="Rolling z-score anomaly flags (operators/timeseries."
+    "rolling_anomalies): per-entity trailing mean/std window excluding "
+    "the current point, warm-up gated, flat-baseline jumps flagged. "
+    "Output: per-entity anomaly counts over the events table.",
+)
+def q_ts_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.operators.timeseries import rolling_anomalies
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("entity"), "ts", "value"
+    )
+    out = rolling_anomalies(ev, baseline_rows=50, min_support=20, z_threshold=3.0)
+    return (
+        out.groupBy("entity")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(F.col("is_anomaly").cast("long")).alias("n_anomalies"),
+            dround(F.max(F.abs("z")), 6).alias("max_abs_z"),
+        )
+        .orderBy("entity")
+    )
+
+
 # =============================================================================
 # Gate-window ordering
 # =============================================================================

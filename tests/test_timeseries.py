@@ -1,0 +1,119 @@
+"""Time-series pattern search + rolling anomalies
+(operators/timeseries.py) vs numpy references; planted-shape recovery;
+plan contracts (no Python, TakeOrdered top-k)."""
+
+import math
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from pixie_spark.operators.timeseries import (
+    _znorm_pattern,
+    pattern_search,
+    rolling_anomalies,
+)
+
+
+def _series_df(spark, series: dict[str, list[float]]):
+    rows = [(e, t, float(v)) for e, vs in series.items() for t, v in enumerate(vs)]
+    return spark.createDataFrame(rows, "entity string, ts long, value double")
+
+
+def _np_dists(vs, pattern):
+    zq = np.array(_znorm_pattern(pattern))
+    m = len(pattern)
+    out = {}
+    for i in range(len(vs) - m + 1):
+        w = np.array(vs[i : i + m], dtype=float)
+        sd = w.std()
+        if sd == 0:
+            out[i] = math.inf
+        else:
+            zw = (w - w.mean()) / sd
+            out[i] = float(((zw - zq) ** 2).sum())
+    return out
+
+
+def test_pattern_search_matches_numpy_reference(spark):
+    rng = np.random.default_rng(4)
+    series = {"a": list(rng.normal(size=60)), "b": list(rng.normal(size=45))}
+    pattern = [0.0, 1.0, 3.0, 1.0, 0.0]
+    got = pattern_search(_series_df(spark, series), pattern, k=12).collect()
+    expect = {}
+    for e, vs in series.items():
+        for i, d in _np_dists(vs, pattern).items():
+            expect[(e, i)] = d
+    best = sorted(expect.items(), key=lambda kv: (kv[1], kv[0]))[:12]
+    assert [(r["entity"], r["ts"]) for r in got] == [k for k, _ in best]
+    for r, (_, d) in zip(got, best):
+        assert r["dist"] == pytest.approx(d, rel=1e-9)
+    assert [r["rank"] for r in got] == list(range(1, 13))
+
+
+def test_pattern_search_finds_planted_shape_amplitude_invariant(spark):
+    """The same spike shape planted at 10x amplitude in another entity
+    must match equally well (z-normalization)."""
+    base = [5.0] * 30
+    spike = [0.0, 2.0, 6.0, 2.0, 0.0]
+    a = base[:10] + [v + 1.0 for v in spike] + base[15:]          # small spike
+    b = base[:20] + [10 * v + 50.0 for v in spike] + base[25:]    # huge spike
+    df = _series_df(spark, {"small": a, "huge": b})
+    got = pattern_search(df, spike, k=2).collect()
+    hits = {(r["entity"], r["ts"]) for r in got}
+    assert hits == {("small", 10), ("huge", 20)}
+    assert got[0]["dist"] == pytest.approx(0.0, abs=1e-18)
+    assert got[1]["dist"] == pytest.approx(0.0, abs=1e-18)
+
+
+def test_pattern_search_no_python_in_plan(spark):
+    df = _series_df(spark, {"a": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    plan = (
+        pattern_search(df, [0.0, 1.0, 0.0], k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
+
+
+def test_rolling_anomalies_matches_numpy(spark):
+    rng = np.random.default_rng(9)
+    vs = list(rng.normal(loc=10, scale=1, size=50))
+    vs[30] = 30.0  # planted spike
+    df = _series_df(spark, {"a": vs})
+    out = {r["ts"]: r for r in rolling_anomalies(df, baseline_rows=20, min_support=8).collect()}
+    flagged = {t for t, r in out.items() if r["is_anomaly"]}
+    assert 30 in flagged
+    for t, r in out.items():
+        lo = max(0, t - 20)
+        base = np.array(vs[lo:t])
+        assert r["baseline_n"] == len(base)
+        if len(base) >= 8 and base.std() > 0:
+            z = (vs[t] - base.mean()) / base.std()
+            assert r["z"] == pytest.approx(float(z), rel=1e-9)
+            assert r["is_anomaly"] == (abs(z) >= 3.0)
+        else:
+            assert r["z"] is None and not r["is_anomaly"]
+
+
+def test_rolling_anomalies_spike_does_not_flag_recovery(spark):
+    """After the spike, the baseline absorbs it — the return to normal
+    must not cascade into more flags than the spike itself."""
+    vs = [10.0] * 30 + [100.0] + [10.0] * 30
+    df = _series_df(spark, {"a": vs})
+    out = rolling_anomalies(df, baseline_rows=20, min_support=8).collect()
+    flags = [r["ts"] for r in out if r["is_anomaly"]]
+    assert flags[0] == 30
+    assert len(flags) <= 3  # the spike + at most the immediate shadow
+
+
+def test_flat_baseline_jump_flagged_without_z(spark):
+    df = _series_df(spark, {"a": [5.0] * 15 + [50.0]})
+    out = {r["ts"]: r for r in rolling_anomalies(df, min_support=8).collect()}
+    # flat baseline: sd == 0 → no z value, but the jump still flags
+    assert out[15]["z"] is None and out[15]["is_anomaly"]
+    # continuing the constant does not flag
+    assert not out[14]["is_anomaly"]
+    for t in range(8):  # warm-up
+        assert not out[t]["is_anomaly"]
