@@ -240,3 +240,54 @@ def test_quality_stats_match_python(spark, texts):
             assert math.isclose(got[i][k], v, abs_tol=1e-9), (i, k, got[i][k], v)
         for k, v in py_ngram(text).items():
             assert math.isclose(ngr[i][k], v, abs_tol=1e-9), (i, k, ngr[i][k], v)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=9),
+)
+def test_global_prefix_sum_matches_python(spark, values, n_parts):
+    """Exclusive prefix sum under any partition count equals the serial
+    scan."""
+    from pixie_spark.sources.shards import global_prefix_sum
+
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    out = {
+        r["k"]: r["cum_prev"]
+        for r in global_prefix_sum(df, "v", "k", n_partitions=n_parts).collect()
+    }
+    acc = 0
+    for k, v in rows:
+        assert out[k] == acc
+        acc += v
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=8),
+    st.integers(min_value=2, max_value=12),
+    st.integers(min_value=0, max_value=11),
+)
+def test_chunk_documents_matches_python(spark, lengths, chunk_words, overlap):
+    """Chunk boundaries replicate the serial splitter for any
+    (chunk, overlap) with overlap < chunk."""
+    from pixie_spark.operators.text import chunk_documents
+
+    if overlap >= chunk_words:
+        overlap = chunk_words - 1
+    stride = chunk_words - overlap
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(n))) for i, n in enumerate(lengths)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in chunk_documents(df, chunk_words=chunk_words, overlap=overlap).collect():
+        got.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["chunk_text"]
+    for did, text in rows:
+        ws = text.split()
+        extra = max(0, len(ws) - chunk_words)
+        n_chunks = 1 + -(-extra // stride)
+        expect = {
+            i: " ".join(ws[i * stride : i * stride + chunk_words]) for i in range(n_chunks)
+        }
+        assert got[did] == expect
