@@ -95,3 +95,98 @@ def running_totals(
         F.sum(F.col(value_col).cast("double")).alias("total"),
         F.max(time_col).alias("last_seen"),
     )
+
+
+def anomaly_schema(entity_field: T.StructField, ts_field: T.StructField) -> T.StructType:
+    return T.StructType(
+        [
+            entity_field,
+            ts_field,
+            T.StructField("value", T.DoubleType()),
+            T.StructField("baseline_n", T.LongType()),
+            T.StructField("z", T.DoubleType()),
+            T.StructField("is_anomaly", T.BooleanType()),
+        ]
+    )
+
+
+_ANOMALY_STATE = T.StructType([T.StructField("vals", T.ArrayType(T.DoubleType()))])
+
+
+def streaming_anomalies(
+    df: DataFrame,
+    entity_col: str = "entity",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    baseline_rows: int = 20,
+    min_support: int = 8,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Real-time twin of operators/timeseries.rolling_anomalies: per-
+    entity trailing-z anomaly flags over a stream, with the trailing
+    window living in the state store (≤ baseline_rows doubles per
+    entity — bounded state by construction, checkpoint-recoverable).
+
+    Semantics are IDENTICAL to the batch operator when events arrive in
+    event-time order (the stream≡batch duality test): baseline excludes
+    the current point, warm-up gated, flat-baseline jumps flagged.
+    Batch frames fall back to the window implementation — one model,
+    two modes.
+    """
+    if not df.isStreaming:
+        from pyspark.sql import functions as F
+
+        from pixie_spark.operators.timeseries import rolling_anomalies
+
+        return rolling_anomalies(
+            df, entity_col, ts_col, value_col, baseline_rows, min_support, z_threshold
+        ).select(
+            entity_col, ts_col, F.col(value_col).cast("double").alias("value"),
+            "baseline_n", "z", "is_anomaly",
+        )
+
+    out_schema = anomaly_schema(df.schema[entity_col], df.schema[ts_col])
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        vals: list = list(state.get[0]) if state.exists else []
+        ents, tss, vs, ns, zs, flags = [], [], [], [], [], []
+        for pdf in pdfs:
+            for _, row in pdf.sort_values(ts_col).iterrows():
+                v = float(row[value_col])
+                n = len(vals)
+                z, flag = None, False
+                if n >= min_support:
+                    mu = sum(vals) / n
+                    var = sum((x - mu) ** 2 for x in vals) / n
+                    sd = var**0.5
+                    if sd > 0:
+                        z = (v - mu) / sd
+                        flag = abs(z) >= z_threshold
+                    elif v != mu:
+                        flag = True  # jump off a perfectly flat baseline
+                ents.append(key[0])
+                tss.append(row[ts_col])
+                vs.append(v)
+                ns.append(n)
+                zs.append(z)
+                flags.append(flag)
+                vals.append(v)
+                if len(vals) > baseline_rows:
+                    vals.pop(0)
+        state.update((vals,))
+        yield pd.DataFrame(
+            {
+                entity_col: ents,
+                ts_col: tss,
+                "value": vs,
+                "baseline_n": ns,
+                "z": zs,
+                "is_anomaly": flags,
+            }
+        )
+
+    return df.groupBy(entity_col).applyInPandasWithState(
+        update, out_schema, _ANOMALY_STATE, "append", GroupStateTimeout.NoTimeout
+    )

@@ -62,3 +62,72 @@ def test_stateful_running_totals_match_batch(spark, events_parts, tmp_path):
         assert got == expected
     finally:
         q.stop()
+
+
+def test_streaming_anomalies_match_batch(spark, tmp_path):
+    """Stream≡batch duality for the anomaly detector: per-entity
+    trailing-z flags computed incrementally across micro-batches (the
+    baseline window living in the state store) equal the batch window
+    computation over the union — including a spike planted in a LATER
+    micro-batch whose baseline was built in earlier ones."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    import pixie_spark.streaming as S
+    from pixie_spark.streaming.stateful import streaming_anomalies
+
+    rng = np.random.default_rng(21)
+    rows = []
+    for e in ("svc-a", "svc-b"):
+        vs = list(rng.normal(loc=10, scale=1, size=90))
+        vs[60] = 40.0  # spike lands in the third micro-batch
+        rows += [(e, t, float(v)) for t, v in enumerate(vs)]
+    schema = T.StructType(
+        [
+            T.StructField("entity", T.StringType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "anom_src")
+    # three sequential appends → three micro-batches in event-time order
+    for lo, hi in ((0, 30), (30, 60), (60, 90)):
+        part = [r for r in rows if lo <= r[1] < hi]
+        spark.createDataFrame(part, schema).coalesce(1).write.mode(
+            "append" if lo else "overwrite"
+        ).parquet(src)
+
+    batch = streaming_anomalies(spark.createDataFrame(rows, schema))
+    expected = {
+        (r["entity"], r["ts"]): (
+            r["baseline_n"],
+            None if r["z"] is None else round(r["z"], 6),
+            r["is_anomaly"],
+        )
+        for r in batch.collect()
+    }
+
+    stream = S.stream_table(spark, src, schema, max_files_per_trigger=1)
+    out = streaming_anomalies(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("anom_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["entity"], r["ts"]): (
+            r["baseline_n"],
+            None if r["z"] is None else round(r["z"], 6),
+            r["is_anomaly"],
+        )
+        for r in spark.sql("SELECT * FROM anom_stream_out").collect()
+    }
+    assert got == expected
+    # and the planted spike was flagged from state built in PRIOR batches
+    assert got[("svc-a", 60)][2] and got[("svc-b", 60)][2]
