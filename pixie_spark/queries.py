@@ -2489,6 +2489,39 @@ def q_ts_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "domain_pagerank",
+    None,  # rows-only (window full); ranks match a numpy power-iteration
+    # reference exactly in tests/test_graph.py.
+    doc="PageRank domain authority (operators/graph.py): damped power "
+    "iteration with dangling-mass redistribution over an edge frame — "
+    "per iteration one co-partitioned rank⋈edge join (edge side "
+    "materialized once) + one partial+final agg; host authority joins "
+    "back to the corpus as a broadcast quality prior.",
+)
+def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.operators.graph import pagerank
+
+    doc = load_table(spark, sf_dir, "documents").select("doc_id")
+    # deterministic synthetic link graph over the doc ids (the testdata
+    # has no link table): two chords per node
+    edges = doc.select(
+        F.col("doc_id").cast("string").alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 500).cast("string").alias("dst"),
+    ).union(
+        doc.select(
+            F.col("doc_id").cast("string").alias("src"),
+            ((F.col("doc_id") * 17 + 3) % 100).cast("string").alias("dst"),
+        )
+    ).where(F.col("src") != F.col("dst")).distinct()
+    ranks = pagerank(edges, max_iter=10)
+    return (
+        ranks.orderBy(F.desc("rank"), "node")
+        .limit(10)
+        .select("node", dround("rank", 9).alias("rank"))
+    )
+
+
 # =============================================================================
 # Gate-window ordering
 # =============================================================================

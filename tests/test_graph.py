@@ -1,0 +1,89 @@
+"""PageRank (operators/graph.py) vs a numpy power-iteration reference:
+exact rank equality, dangling handling, probability-mass invariant,
+and the corpus-side authority join contract."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from pixie_spark.operators.graph import domain_authority, out_degrees, pagerank
+
+
+def _np_pagerank(edges, d=0.85, iters=20):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = {u: 0 for u in nodes}
+    for u, _ in edges:
+        out[u] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1.0 - d) / n)
+        dangling = sum(r[idx[u]] for u in nodes if out[u] == 0)
+        nxt += d * dangling / n
+        for u, v in edges:
+            nxt[idx[v]] += d * r[idx[u]] / out[u]
+        r = nxt
+    return {v: r[idx[v]] for v in nodes}
+
+
+EDGES = [
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+    ("d", "c"),            # d has no in-links
+    ("e", "a"),            # e is also a sink target of nothing
+    ("c", "f"),            # f is DANGLING (no out-edges)
+]
+
+
+def _edge_df(spark, edges=EDGES):
+    return spark.createDataFrame(edges, "src string, dst string")
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    got = {r["node"]: r["rank"] for r in pagerank(_edge_df(spark), max_iter=20, tol=0.0).collect()}
+    ref = _np_pagerank(EDGES, iters=20)
+    assert set(got) == set(ref)
+    for v in ref:
+        assert got[v] == pytest.approx(ref[v], rel=1e-9), v
+
+
+def test_rank_mass_is_one_and_hub_ranks_highest(spark):
+    ranks = {r["node"]: r["rank"] for r in pagerank(_edge_df(spark), max_iter=30).collect()}
+    assert sum(ranks.values()) == pytest.approx(1.0, rel=1e-9)
+    # c receives links from a, b, d — the authority of this graph
+    assert max(ranks, key=ranks.get) == "c"
+
+
+def test_dangling_node_keeps_nonzero_rank(spark):
+    ranks = {r["node"]: r["rank"] for r in pagerank(_edge_df(spark), max_iter=20).collect()}
+    assert ranks["f"] > (1.0 - 0.85) / len(ranks)  # gets inflow from c, not just teleport
+
+
+def test_out_degrees(spark):
+    deg = {r["src"]: r["outdeg"] for r in out_degrees(_edge_df(spark)).collect()}
+    assert deg == {"a": 2, "b": 1, "c": 2, "d": 1, "e": 1}
+
+
+def test_convergence_early_stop_matches_long_run(spark):
+    """tol-based early stop must land on the fixed point the long run
+    reaches (power iteration is a contraction)."""
+    a = {r["node"]: r["rank"] for r in pagerank(_edge_df(spark), max_iter=60, tol=1e-12).collect()}
+    b = {r["node"]: r["rank"] for r in pagerank(_edge_df(spark), max_iter=200, tol=1e-12).collect()}
+    for v in a:
+        assert a[v] == pytest.approx(b[v], abs=1e-9)
+
+
+def test_domain_authority_join(spark):
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "c"), (3, "unknown.example")], "doc_id long, domain string"
+    )
+    out = {r["doc_id"]: r["authority"] for r in domain_authority(docs, _edge_df(spark), max_iter=20).collect()}
+    ranks = {r["node"]: r["rank"] for r in pagerank(_edge_df(spark), max_iter=20).collect()}
+    assert out[1] == pytest.approx(ranks["a"], rel=1e-9)
+    assert out[2] == pytest.approx(ranks["c"], rel=1e-9)
+    assert out[3] == pytest.approx(min(ranks.values()), rel=1e-9)  # unknown → floor
+
+
+def test_empty_graph(spark):
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(empty).count() == 0
