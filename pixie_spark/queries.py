@@ -2522,6 +2522,43 @@ def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "jsonl_ingest_pipeline",
+    None,  # rows-only; parse/bridge/corrupt-accounting contracts are
+    # value-checked in tests/test_jsonl.py.
+    doc="JSONL corpus ingestion (sources/jsonl.py — the C4/Pile/Dolma "
+    "interchange format): schema-EXPLICIT read (no inference pass over "
+    "100 TB), PERMISSIVE corrupt-line accounting, deterministic "
+    "url-hash doc ids, documents-table bridge feeding the standard "
+    "cleaning chain. Fixture jsonl is synthesized from the documents "
+    "table (demo-only; production points at real .jsonl.gz paths).",
+)
+def q_jsonl_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pixie_spark.operators.text import quality_score
+    from pixie_spark.sources.jsonl import jsonl_documents
+
+    d = tempfile.mkdtemp(prefix="pixie_spark_jsonl_")
+    (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.concat(F.lit("https://corpus.example/doc/"), "doc_id").alias("url"),
+            "text",
+            "lang",
+        )
+        .coalesce(2)
+        .write.mode("overwrite")
+        .json(d)
+    )
+    docs = jsonl_documents(spark, d, extra_fields={"lang": "string"})
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("doc_id").alias("n_ids"),
+        dround(F.avg(quality_score(F.col("text"))), 6).alias("avg_quality"),
+    ).orderBy("lang")
+
+
 # =============================================================================
 # Gate-window ordering
 # =============================================================================

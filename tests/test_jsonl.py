@@ -1,0 +1,80 @@
+"""JSONL corpus source (sources/jsonl.py): schema-explicit parse,
+corrupt-line accounting, gzip transparency, documents-bridge contract,
+and deterministic ids feeding downstream dedup."""
+
+import gzip
+import json
+
+import pyspark.sql.functions as F
+import pytest
+
+from pixie_spark.sources.jsonl import (
+    corrupt_line_count,
+    jsonl_documents,
+    read_jsonl,
+)
+
+DOCS = [
+    {"url": "https://a.example/1", "text": "the first document body", "lang": "en"},
+    {"url": "https://a.example/2", "text": "the second document body", "lang": "en"},
+    {"url": "https://b.example/1", "text": "el tercero documento", "lang": "es"},
+    {"url": "https://c.example/1", "text": "", "lang": "en"},          # empty text
+    {"url": "https://c.example/2", "text": None, "lang": "en"},        # null text
+]
+
+
+@pytest.fixture(scope="module")
+def jsonl_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("jsonl")
+    lines = [json.dumps(r) for r in DOCS]
+    lines.insert(2, "{this is not json")          # corrupt line
+    lines.append('["array","not","object"]')      # wrong shape
+    (d / "part-0.jsonl").write_text("\n".join(lines[:4]))
+    (d / "part-1.jsonl.gz").write_bytes(gzip.compress("\n".join(lines[4:]).encode()))
+    return str(d)
+
+
+def test_read_with_explicit_schema(spark, jsonl_dir):
+    df = read_jsonl(spark, jsonl_dir, {"url": "string", "text": "string", "lang": "string"})
+    assert [f.name for f in df.schema.fields] == ["url", "text", "lang"]
+    rows = {r["url"]: r for r in df.collect() if r["url"]}
+    assert rows["https://a.example/1"]["lang"] == "en"
+    # fields absent from the declared schema are never surfaced
+    assert "extra" not in df.columns
+
+
+def test_corrupt_lines_counted_not_dropped_silently(spark, jsonl_dir):
+    n = corrupt_line_count(spark, jsonl_dir, {"url": "string", "text": "string"})
+    assert n == 2  # the broken brace + the array line
+
+
+def test_documents_bridge_shape_and_filtering(spark, jsonl_dir):
+    docs = jsonl_documents(spark, jsonl_dir, extra_fields={"lang": "string"})
+    rows = docs.collect()
+    # empty-text and null-text rows dropped; 3 usable docs survive
+    assert len(rows) == 3
+    assert [f.name for f in docs.schema.fields] == ["doc_id", "url", "text", "lang"]
+    assert all(r["doc_id"] is not None for r in rows)
+    assert len({r["doc_id"] for r in rows}) == 3
+
+
+def test_doc_ids_deterministic_and_url_keyed(spark, jsonl_dir):
+    a = {r["url"]: r["doc_id"] for r in jsonl_documents(spark, jsonl_dir).collect()}
+    b = {r["url"]: r["doc_id"] for r in jsonl_documents(spark, jsonl_dir).collect()}
+    assert a == b
+    # id is the url hash: recomputable from the url alone
+    expect = {
+        r["url"]: r["h"]
+        for r in spark.createDataFrame([(u,) for u in a], "url string")
+        .select("url", F.xxhash64("url").alias("h"))
+        .collect()
+    }
+    assert a == expect
+
+
+def test_bridge_feeds_downstream_dedup(spark, jsonl_dir):
+    from pixie_spark.operators.dedup import exact_dedup
+
+    docs = jsonl_documents(spark, jsonl_dir)
+    groups = exact_dedup(docs, "doc_id", ["text"])
+    assert groups.count() == 3  # all distinct texts
