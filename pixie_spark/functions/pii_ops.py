@@ -33,3 +33,38 @@ def redact_pii_best_effort(col) -> Column:
     for kind, pattern in _PATTERNS:
         c = F.regexp_replace(c, pattern, f"<REDACTED_{kind}>")
     return c
+
+
+def pii_counts(col) -> dict[str, Column]:
+    """Per-kind PII match counts for one text column — native
+    regexp_count per pattern (the redaction chain's patterns, so a
+    count of 0 everywhere ⇔ redaction is a no-op on that row)."""
+    c = _c(col)
+    return {kind: F.regexp_count(c, F.lit(pattern)) for kind, pattern in _PATTERNS}
+
+
+def pii_report(df, text_col: str = "text", group_cols: list[str] | None = None):
+    """Corpus PII-exposure report: per group (or globally), the number
+    of documents containing each PII kind, total matches per kind, and
+    the any-PII document rate — the release-gate number a dataset card
+    publishes. One codegen map stage (all regexp_count) + one
+    partial+final aggregate; zero extra shuffles beyond the group key.
+    """
+    counts = pii_counts(F.col(text_col))
+    proj = df.select(
+        *(group_cols or []),
+        *[v.alias(f"n_{k.lower()}") for k, v in counts.items()],
+    )
+    any_pii = None
+    for k in counts:
+        hit = (F.col(f"n_{k.lower()}") > 0).cast("long")
+        any_pii = hit if any_pii is None else any_pii + hit
+    proj = proj.withColumn("__any", (any_pii > 0).cast("long"))
+    aggs = [F.count(F.lit(1)).alias("n_docs"), F.sum("__any").alias("docs_with_pii")]
+    for k in counts:
+        aggs.append(F.sum((F.col(f"n_{k.lower()}") > 0).cast("long")).alias(f"docs_{k.lower()}"))
+        aggs.append(F.sum(f"n_{k.lower()}").alias(f"matches_{k.lower()}"))
+    out = proj.groupBy(*(group_cols or [])).agg(*aggs) if group_cols else proj.agg(*aggs)
+    return out.withColumn(
+        "pii_doc_rate", F.col("docs_with_pii") / F.col("n_docs")
+    )

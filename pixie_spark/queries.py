@@ -2559,6 +2559,30 @@ def q_jsonl_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+@query(
+    "pii_exposure_report",
+    None,  # rows-only (window full); per-kind counts replicate a Python
+    # re reference in tests/test_functions.py.
+    doc="Corpus PII-exposure report (functions/pii_ops.pii_report — the "
+    "release-gate numbers a dataset card publishes): per-language doc/"
+    "match counts per PII kind + any-PII doc rate, all native "
+    "regexp_count in one codegen map stage + one partial+final agg.",
+)
+def q_pii_exposure_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.functions.pii_ops import pii_report
+
+    doc = load_table(spark, sf_dir, "documents")
+    out = pii_report(doc, "text", ["lang"])
+    return out.select(
+        "lang",
+        "n_docs",
+        "docs_with_pii",
+        dround("pii_doc_rate", 6).alias("pii_doc_rate"),
+        "matches_email",
+        "matches_ip",
+    ).orderBy("lang")
+
+
 # =============================================================================
 # Gate-window ordering
 # =============================================================================

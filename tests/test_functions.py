@@ -440,3 +440,36 @@ def test_encode_sentence_piece_real_path_when_available(spark):
         ml_ops.encode_sentence_piece(F.col("t"), model_path=path).alias("ids")
     ).collect()
     assert row["ids"] and all(isinstance(i, int) for i in row["ids"])
+
+
+def test_pii_report_counts(spark):
+    """Per-kind doc/match counts replicate a Python re reference on a
+    planted corpus; clean docs keep the rate denominator honest."""
+    import re
+
+    from pixie_spark.functions.pii_ops import _PATTERNS, pii_report
+
+    rows = [
+        (1, "contact me at alice@example.com or bob@example.com", "en"),
+        (2, "server at 10.0.0.1 and fe80::1 talked", "en"),
+        (3, "ssn 123-45-6789 leaked with card 4111 1111 1111 1111", "en"),
+        (4, "perfectly clean document text", "en"),
+        (5, "another clean one", "es"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    rep = pii_report(df, "text").collect()[0]
+    assert rep["n_docs"] == 5
+    assert rep["docs_with_pii"] == 3
+    assert rep["pii_doc_rate"] == pytest.approx(0.6)
+    assert rep["docs_email"] == 1 and rep["matches_email"] == 2
+    assert rep["docs_ssn"] == 1
+    assert rep["docs_ip"] >= 1
+    # cross-check every kind against Python re on the same patterns
+    for kind, pat in _PATTERNS:
+        total = sum(len(re.findall(pat, t)) for _, t, _ in rows)
+        # the report applies each pattern independently (same as here)
+        assert rep[f"matches_{kind.lower()}"] == total, kind
+
+    by_lang = {r["lang"]: r for r in pii_report(df, "text", ["lang"]).collect()}
+    assert by_lang["en"]["docs_with_pii"] == 3
+    assert by_lang["es"]["docs_with_pii"] == 0
