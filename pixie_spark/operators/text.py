@@ -365,7 +365,12 @@ def chunk_documents(
     if overlap >= chunk_words:
         raise ValueError("overlap must be smaller than chunk_words")
     stride = chunk_words - overlap
-    ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    # null text ≡ empty text (one empty chunk, n_words=0) — without the
+    # coalesce a null row emits n_words=null and poisons downstream sums
+    ws = F.coalesce(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != ""),
+        F.array().cast("array<string>"),
+    )
     # number of chunks: 1 + ceil(max(0, n - chunk) / stride)
     extra = F.greatest(F.size(ws) - chunk_words, F.lit(0))
     n_chunks = F.lit(1) + F.ceil(extra / F.lit(stride)).cast("int")

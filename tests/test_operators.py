@@ -328,3 +328,21 @@ def test_chunk_documents_zero_shuffle(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_text_operators_null_text_robustness(spark):
+    """Null/empty text rows must flow through the text family without
+    nulls poisoning outputs or rows crashing tasks."""
+    from pixie_spark.operators.dedup import exact_dedup, jaccard_pairs
+    from pixie_spark.operators.text import chunk_documents, text_stats
+
+    df = spark.createDataFrame(
+        [(1, "some real text here ok"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    chunks = {r["doc_id"]: r for r in chunk_documents(df, chunk_words=3, overlap=1).collect() if r["chunk_id"] == 0}
+    assert chunks[2]["n_words"] == 0 and chunks[2]["chunk_text"] == ""
+    assert chunks[3]["n_words"] == 0
+    assert text_stats(df).count() == 3
+    assert exact_dedup(df, "doc_id", ["text"]).count() == 3
+    assert jaccard_pairs(df, "doc_id", "text", n=2, threshold=0.3).count() == 0
