@@ -857,3 +857,56 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
         term = F.shiftleft(bit, i)
         sig = term if sig is None else sig.bitwiseXOR(term)
     return sums.select("doc", sig.alias("simhash"))
+
+
+def contamination_matrix(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_suite_col: str = "suite",
+    probe_text_col: str = "text",
+    n: int = 5,
+    corpus_slice_col: str | None = None,
+) -> DataFrame:
+    """Per-suite contamination overview: for EVERY eval suite in the
+    probe frame (suite label per probe row), how many corpus documents
+    share at least one word n-gram with it — optionally broken down by
+    a corpus slice column (domain, lang, source). The release-audit
+    companion to :func:`contamination_check` (which reports per-doc
+    hits for ONE probe set): one number per (suite [, slice]) cell.
+
+    Same scale shape as the single-suite path: both sides shingle via
+    window-lead into 8-byte wids, the probe side (suites × benchmark
+    size — dimension-scale) broadcasts, the corpus never shuffles
+    before the final bounded aggregate over (suite, slice) cells.
+    """
+    slice_cols = [corpus_slice_col] if corpus_slice_col else []
+    c_idx = (
+        _hashed_shingle_rows(corpus, id_col, text_col, n)
+        .withColumnRenamed("sid", "shingle")
+        .dropDuplicates(["doc", "shingle"])
+    )
+    if slice_cols:
+        slices = corpus.select(F.col(id_col).alias("doc"), *slice_cols)
+        c_idx = c_idx.join(slices, "doc")
+    # internal probe-row id must only be unique per row for the shingle
+    # window; a content hash keeps it deterministic across runs and
+    # partitionings (monotonically_increasing_id is neither) — two
+    # byte-identical probe rows merging is harmless (same shingles)
+    p_idx = probes.select(
+        F.col(probe_suite_col).alias("suite"),
+        F.col(probe_text_col).alias("text"),
+        F.xxhash64(probe_suite_col, probe_text_col).alias("doc"),
+    )
+    p_sh = (
+        _hashed_shingle_rows(p_idx, "doc", "text", n)
+        .join(p_idx.select("doc", "suite"), "doc")
+        .select("suite", F.col("sid").alias("shingle"))
+        .distinct()
+    )
+    hits = c_idx.join(F.broadcast(p_sh), "shingle")
+    return hits.groupBy("suite", *slice_cols).agg(
+        F.countDistinct("doc").alias("n_contaminated_docs"),
+        F.count(F.lit(1)).alias("n_shared_ngrams"),
+    )

@@ -2583,6 +2583,33 @@ def q_pii_exposure_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+@query(
+    "contamination_matrix",
+    None,  # rows-only (window full); cells replicate a brute-force
+    # Python n-gram overlap in tests/test_dedup_extra.py.
+    doc="Per-suite × per-slice contamination audit (operators/dedup."
+    "contamination_matrix): every eval suite's n-gram overlap with "
+    "every corpus slice in one pass — probe shingles broadcast, corpus "
+    "never shuffles before the bounded (suite, slice) aggregate.",
+)
+def q_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.operators.dedup import contamination_matrix
+
+    doc = load_table(spark, sf_dir, "documents")
+    # two synthetic "eval suites" drawn from disjoint corpus slices
+    probes = (
+        doc.where(F.col("doc_id") % 100 == 7)
+        .select(F.lit("suite_alpha").alias("suite"), "text")
+        .union(
+            doc.where(F.col("doc_id") % 100 == 13).select(
+                F.lit("suite_beta").alias("suite"), "text"
+            )
+        )
+    )
+    out = contamination_matrix(doc, probes, n=5, corpus_slice_col="lang")
+    return out.orderBy("suite", "lang")
+
+
 # =============================================================================
 # Gate-window ordering
 # =============================================================================

@@ -355,3 +355,68 @@ def test_decontaminate_probe_side_broadcasts(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_contamination_matrix_per_suite_and_slice(spark):
+    """Per-(suite, slice) cells replicate a brute-force Python n-gram
+    overlap count; clean suites report nothing."""
+    from pixie_spark.operators.dedup import contamination_matrix
+
+    n = 3
+    corpus_rows = [
+        (1, "alpha beta gamma delta epsilon zeta", "en"),
+        (2, "one two three four five six seven", "en"),
+        (3, "uno dos tres cuatro cinco seis", "es"),
+        (4, "completely different material entirely here now", "es"),
+    ]
+    probe_rows = [
+        ("suiteA", "beta gamma delta"),          # hits doc 1 (en)
+        ("suiteA", "three four five six"),       # hits doc 2 (en)
+        ("suiteB", "dos tres cuatro cinco"),     # hits doc 3 (es)
+        ("suiteC", "nothing matches this text"), # clean
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string, lang string")
+    probes = spark.createDataFrame(probe_rows, "suite string, text string")
+
+    def grams(t):
+        ws = t.split()
+        return {tuple(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    suite_grams = {}
+    for s, t in probe_rows:
+        suite_grams.setdefault(s, set()).update(grams(t))
+    expect = {}
+    for s, gs in suite_grams.items():
+        for did, text, lang in corpus_rows:
+            shared = grams(text) & gs
+            if shared:
+                k = (s, lang)
+                docs, ngrams = expect.get(k, (set(), 0))
+                expect[k] = (docs | {did}, ngrams + len(shared))
+    expect = {k: (len(d), g) for k, (d, g) in expect.items()}
+
+    out = contamination_matrix(corpus, probes, n=n, corpus_slice_col="lang").collect()
+    got = {(r["suite"], r["lang"]): (r["n_contaminated_docs"], r["n_shared_ngrams"]) for r in out}
+    assert got == expect
+    assert not any(s == "suiteC" for s, _ in got)
+
+    # no-slice variant: one row per contaminated suite
+    flat = {r["suite"]: r["n_contaminated_docs"] for r in contamination_matrix(corpus, probes, n=n).collect()}
+    assert flat == {"suiteA": 2, "suiteB": 1}
+
+
+def test_contamination_matrix_probe_side_broadcasts(spark):
+    from pixie_spark.operators.dedup import contamination_matrix
+
+    corpus = spark.createDataFrame(
+        [(i, "w" + " w".join(str(j) for j in range(i, i + 10))) for i in range(5)],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame([("s", "w1 w2 w3 w4 w5")], "suite string, text string")
+    plan = (
+        contamination_matrix(corpus, probes, n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
