@@ -190,3 +190,93 @@ def streaming_anomalies(
     return df.groupBy(entity_col).applyInPandasWithState(
         update, out_schema, _ANOMALY_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def pattern_match_schema(entity_field: T.StructField, ts_field: T.StructField) -> T.StructType:
+    return T.StructType(
+        [
+            entity_field,
+            ts_field,  # window START time
+            T.StructField("dist", T.DoubleType()),
+        ]
+    )
+
+
+_PATTERN_STATE = T.StructType(
+    [
+        T.StructField("vals", T.ArrayType(T.DoubleType())),
+        T.StructField("tss", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def streaming_pattern_match(
+    df: DataFrame,
+    pattern: list,
+    max_dist: float,
+    entity_col: str = "entity",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Real-time incident-signature detection: emit (entity, window
+    start ts, dist) whenever the last m points of an entity's series
+    z-normalize to within ``max_dist`` of the z-normalized query
+    pattern — the streaming twin of operators/timeseries.pattern_search
+    with the m-1 point history living in the state store (m-1 doubles +
+    longs per entity; bounded by the pattern length, not the stream).
+
+    A window is scored exactly once — when its LAST point arrives — so
+    the emitted match set over any prefix of the stream equals the
+    batch operator's matches filtered to dist ≤ max_dist (duality
+    test). Batch frames route to the batch operator directly.
+    """
+    from pixie_spark.operators.timeseries import _znorm_pattern
+
+    m = len(pattern)
+    if m < 2:
+        raise ValueError("pattern must have at least 2 points")
+    zq = _znorm_pattern(pattern)
+
+    if not df.isStreaming:
+        from pyspark.sql import functions as F
+
+        from pixie_spark.operators.timeseries import pattern_search
+
+        scored = pattern_search(df, pattern, entity_col, ts_col, value_col, k=1_000_000_000)
+        return scored.where(F.col("dist") <= max_dist).select(entity_col, ts_col, "dist")
+
+    out_schema = pattern_match_schema(df.schema[entity_col], df.schema[ts_col])
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            vals, tss = list(state.get[0]), list(state.get[1])
+        else:
+            vals, tss = [], []
+        ents, starts, dists = [], [], []
+        for pdf in pdfs:
+            for _, row in pdf.sort_values(ts_col).iterrows():
+                vals.append(float(row[value_col]))
+                tss.append(int(row[ts_col]))
+                if len(vals) > m:
+                    vals.pop(0)
+                    tss.pop(0)
+                if len(vals) == m:
+                    mu = sum(vals) / m
+                    var = sum((x - mu) ** 2 for x in vals) / m
+                    sd = var**0.5
+                    if sd > 0:
+                        d = sum(
+                            ((x - mu) / sd - q) ** 2 for x, q in zip(vals, zq)
+                        )
+                        if d <= max_dist:
+                            ents.append(key[0])
+                            starts.append(tss[0])
+                            dists.append(d)
+        state.update((vals, tss))
+        yield pd.DataFrame({entity_col: ents, ts_col: starts, "dist": dists})
+
+    return df.groupBy(entity_col).applyInPandasWithState(
+        update, out_schema, _PATTERN_STATE, "append", GroupStateTimeout.NoTimeout
+    )

@@ -131,3 +131,61 @@ def test_streaming_anomalies_match_batch(spark, tmp_path):
     assert got == expected
     # and the planted spike was flagged from state built in PRIOR batches
     assert got[("svc-a", 60)][2] and got[("svc-b", 60)][2]
+
+
+def test_streaming_pattern_match_equals_batch(spark, tmp_path):
+    """Stream≡batch duality for signature matching: a planted shape
+    SPANNING a micro-batch boundary must still fire (its window's
+    history lives in the state store), and the full match set equals
+    the batch operator's thresholded output."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    import pixie_spark.streaming as S
+    from pixie_spark.streaming.stateful import streaming_pattern_match
+
+    spike = [0.0, 2.0, 6.0, 2.0, 0.0]
+    rng = np.random.default_rng(3)
+    base = list(rng.normal(loc=5.0, scale=0.2, size=60))
+    # plant the exact shape at t=28 — crossing the t=30 batch boundary
+    for i, v in enumerate(spike):
+        base[28 + i] = 5.0 + v
+    rows = [("svc", t, float(v)) for t, v in enumerate(base)]
+    schema = T.StructType(
+        [
+            T.StructField("entity", T.StringType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "pat_src")
+    for lo, hi in ((0, 30), (30, 60)):
+        part = [r for r in rows if lo <= r[1] < hi]
+        spark.createDataFrame(part, schema).coalesce(1).write.mode(
+            "append" if lo else "overwrite"
+        ).parquet(src)
+
+    batch = streaming_pattern_match(
+        spark.createDataFrame(rows, schema), spike, max_dist=0.5
+    )
+    expected = {(r["entity"], r["ts"]): round(r["dist"], 9) for r in batch.collect()}
+    assert ("svc", 28) in expected  # the planted shape is a batch match
+
+    stream = S.stream_table(spark, src, schema, max_files_per_trigger=1)
+    out = streaming_pattern_match(stream, spike, max_dist=0.5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pat_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["entity"], r["ts"]): round(r["dist"], 9)
+        for r in spark.sql("SELECT * FROM pat_stream_out").collect()
+    }
+    assert got == expected
