@@ -390,3 +390,106 @@ def chunk_documents(
             F.size(F.col("c.w")).alias("n_words"),
         )
     )
+
+
+def distinct_ngram_stats(
+    df: DataFrame,
+    n_values: tuple[int, ...] = (1, 2, 3),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    slice_col: str | None = None,
+) -> DataFrame:
+    """Corpus diversity report: distinct-n = |unique word n-grams| /
+    |total n-grams| per n (Li et al. 2016's diversity metric, the
+    corpus-level repetitiveness gauge a mixture card publishes — a
+    collapsing/boilerplate-heavy slice scores low), optionally per
+    ``slice_col`` (lang/domain/source).
+
+    Scale shape: ONE window-lead pass with max(n)-1 leads computes the
+    8-byte gram ids for EVERY n simultaneously (the dedup family's
+    construction — no gram string materialized; a per-n pass would
+    re-shuffle the words len(n_values) times — cold-harness 24 s → 14 s
+    at sf0.01, warm 4.5 s; at that sf the cost is fixed stage overhead,
+    the shape is what matters at 100 TB), unpivoted in-row into
+    (n, sid) and aggregated once.
+    Distinct counting uses the HLL sketch (~0.5% error, the same
+    mergeable-partial shape as the rollup cascade) — an exact distinct
+    over 100 TB of gram ids would shuffle all of them.
+
+    Output: (slice?, n, total_ngrams, distinct_ngrams, distinct_ratio).
+    """
+    from pyspark.sql import Window
+
+    slice_cols = [slice_col] if slice_col else []
+    max_n = max(n_values)
+    win = Window.partitionBy("doc").orderBy("pos")
+    # word rows with the slice column CARRIED THROUGH the explode — a
+    # post-hoc (doc, slice) join would re-shuffle every gram row
+    w = (
+        df.select(F.col(id_col).alias("doc"), *slice_cols, F.col(text_col).alias("text"))
+        .select("doc", *slice_cols, F.posexplode(F.split("text", r"\s+")).alias("pos", "word"))
+        .where(F.col("word") != "")
+    )
+    leads = [F.col("word").alias("w0")] + [
+        F.lead("word", j).over(win).alias(f"w{j}") for j in range(1, max_n)
+    ]
+    led = w.select("doc", *slice_cols, *leads)
+    # one struct per n whose last word exists; explode drops the rest
+    grams = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    F.col(f"w{n - 1}").isNotNull(),
+                    F.struct(
+                        F.lit(n).alias("n"),
+                        F.xxhash64(*[f"w{j}" for j in range(n)]).alias("sid"),
+                    ),
+                )
+                for n in n_values
+            ]
+        )
+    )
+    rows = led.select("doc", *slice_cols, F.explode(grams).alias("g")).select(
+        "doc", *slice_cols, F.col("g.n").alias("n"), F.col("g.sid").alias("sid")
+    )
+    out = rows.groupBy(*slice_cols, "n").agg(
+        F.count(F.lit(1)).alias("total_ngrams"),
+        F.approx_count_distinct("sid", 0.005).alias("distinct_ngrams"),
+    )
+    return out.withColumn(
+        "distinct_ratio", F.col("distinct_ngrams") / F.col("total_ngrams")
+    )
+
+
+def bpe_fertility(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    slice_col: str | None = None,
+) -> DataFrame:
+    """Tokenizer fertility report: tokens-per-word per slice under a
+    trained BPE merge table — the number that says how expensive each
+    language/domain is to train on under this tokenizer (high fertility
+    = the tokenizer fragments that slice; the standard multilingual-
+    tokenizer health check).
+
+    One Arrow-batched encode pass (bpe_encode) + native size/count
+    arithmetic + one bounded aggregate. Output:
+    (slice?, n_docs, total_words, total_tokens, fertility).
+    """
+    slice_cols = [slice_col] if slice_col else []
+    enc = bpe_encode(df, merges, text_col)
+    proj = enc.select(
+        *slice_cols,
+        word_count(F.col(text_col)).alias("__w"),
+        F.size("bpe_tokens").alias("__t"),
+    )
+    out = proj.groupBy(*slice_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__w").alias("total_words"),
+        F.sum("__t").alias("total_tokens"),
+    )
+    return out.withColumn(
+        "fertility",
+        F.when(F.col("total_words") > 0, F.col("total_tokens") / F.col("total_words")),
+    )

@@ -2610,6 +2610,29 @@ def q_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("suite", "lang")
 
 
+@query(
+    "corpus_diversity",
+    None,  # rows-only (window full); totals/ratios replicate a Python
+    # reference in tests/test_corpus_metrics.py.
+    doc="Corpus diversity report (operators/text.distinct_ngram_stats): "
+    "distinct-n per (lang, n) via 8-byte gram ids + HLL "
+    "approx_count_distinct — the mixture-card repetitiveness gauge; "
+    "shuffle bounded by sketch partials, not gram counts.",
+)
+def q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.operators.text import distinct_ngram_stats
+
+    doc = load_table(spark, sf_dir, "documents")
+    out = distinct_ngram_stats(doc, (1, 2, 3), slice_col="lang")
+    return out.select(
+        "lang",
+        "n",
+        "total_ngrams",
+        "distinct_ngrams",
+        dround("distinct_ratio", 6).alias("distinct_ratio"),
+    ).orderBy("lang", "n")
+
+
 # =============================================================================
 # Gate-window ordering
 # =============================================================================
