@@ -137,3 +137,77 @@ def rolling_anomalies(
             F.coalesce(F.abs(F.col("z")) >= z_threshold, F.lit(False)) | F.coalesce(flat_jump, F.lit(False)),
         )
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    step: int,
+    entity_col: str = "entity",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    max_fill_steps: int | None = None,
+) -> DataFrame:
+    """Resample each entity's series onto a regular time grid with
+    forward fill — the alignment step before rates, rollups, and
+    charting (irregular scrape times → comparable per-step series; the
+    reference's UI does this client-side per chart, here it is an
+    operator so downstream aggs see a dense grid).
+
+    Grid: every multiple of ``step`` in [floor(min_ts), floor(max_ts)]
+    per entity (floor-aligned so grids from different entities line
+    up). Each grid point takes the LAST observation at-or-before it
+    (as-of semantics); leading points before the first observation are
+    null. ``max_fill_steps`` bounds staleness: a value older than
+    max_fill_steps·step is not carried (nulls instead — a dead series
+    must not report its last value forever).
+
+    Plan: per-entity (min,max) agg → in-row sequence() explode builds
+    the grid (bounded by range/step per entity, never a cross join) →
+    union grid points with observations → one window pass per entity
+    ordered by time where last(value, ignorenulls) fills forward —
+    one shuffle on the entity key total. Output:
+    (entity, ts, value, filled: bool).
+    """
+    bounds = df.groupBy(entity_col).agg(
+        F.floor(F.min(ts_col) / step).alias("__lo"),
+        F.floor(F.max(ts_col) / step).alias("__hi"),
+    )
+    grid = bounds.select(
+        entity_col,
+        F.explode(F.sequence(F.col("__lo") * step, F.col("__hi") * step, F.lit(step))).alias(
+            ts_col
+        ),
+    ).withColumn("__is_grid", F.lit(True))
+    obs = df.select(
+        entity_col,
+        F.col(ts_col).cast("long").alias(ts_col),
+        F.col(value_col).cast("double").alias("__v"),
+        F.lit(False).alias("__is_grid"),
+    )
+    # observations sort BEFORE the grid point at the same ts (grid rows
+    # carry null __v and must pick the tie up via the window's order)
+    both = grid.withColumn("__v", F.lit(None).cast("double")).unionByName(obs)
+    win = (
+        Window.partitionBy(entity_col)
+        .orderBy(F.col(ts_col), F.col("__is_grid").cast("int"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = F.last("__v", ignorenulls=True).over(win)
+    src_ts = F.last(F.when(F.col("__v").isNotNull(), F.col(ts_col)), ignorenulls=True).over(win)
+    out = (
+        both.withColumn("__fv", filled)
+        .withColumn("__src", src_ts)
+        .where(F.col("__is_grid"))
+    )
+    if max_fill_steps is not None:
+        horizon = max_fill_steps * step
+        out = out.withColumn(
+            "__fv",
+            F.when(F.col(ts_col) - F.col("__src") <= horizon, F.col("__fv")),
+        )
+    return out.select(
+        entity_col,
+        ts_col,
+        F.col("__fv").alias(value_col),
+        (F.col("__fv").isNotNull() & (F.col("__src") != F.col(ts_col))).alias("filled"),
+    )

@@ -2633,6 +2633,34 @@ def q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "n")
 
 
+@query(
+    "ts_resample_ffill",
+    None,  # rows-only (window full); grid/fill/staleness semantics
+    # replicate a serial Python reference in tests/test_timeseries.py.
+    doc="Regular-grid resampling with forward fill (operators/"
+    "timeseries.resample_ffill): floor-aligned per-entity grid from an "
+    "in-row sequence explode, as-of fill via one last(ignorenulls) "
+    "window pass, staleness horizon — one shuffle on the entity key.",
+)
+def q_ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.operators.timeseries import resample_ffill
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("entity"), "ts", "value"
+    )
+    step = 60 * 10**9  # one-minute grid over the long-ns time axis
+    out = resample_ffill(ev, step, max_fill_steps=5)
+    return (
+        out.groupBy("entity")
+        .agg(
+            F.count(F.lit(1)).alias("grid_points"),
+            F.sum(F.col("filled").cast("long")).alias("n_filled"),
+            F.sum(F.col("value").isNull().cast("long")).alias("n_gaps"),
+        )
+        .orderBy("entity")
+    )
+
+
 # =============================================================================
 # Gate-window ordering
 # =============================================================================

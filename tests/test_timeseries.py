@@ -117,3 +117,69 @@ def test_flat_baseline_jump_flagged_without_z(spark):
     assert not out[14]["is_anomaly"]
     for t in range(8):  # warm-up
         assert not out[t]["is_anomaly"]
+
+
+def _py_resample(rows, step, max_fill_steps=None):
+    """Serial reference: per entity, floor-aligned grid, as-of forward
+    fill with optional staleness horizon."""
+    out = {}
+    by_e = {}
+    for e, t, v in rows:
+        by_e.setdefault(e, []).append((t, v))
+    for e, obs in by_e.items():
+        obs.sort()
+        lo = (obs[0][0] // step) * step
+        hi = (obs[-1][0] // step) * step
+        for g in range(lo, hi + 1, step):
+            prior = [(t, v) for t, v in obs if t <= g]
+            if not prior:
+                out[(e, g)] = (None, False)
+                continue
+            t, v = prior[-1]
+            if max_fill_steps is not None and g - t > max_fill_steps * step:
+                out[(e, g)] = (None, False)
+            else:
+                out[(e, g)] = (v, t != g)
+    return out
+
+
+def test_resample_ffill_matches_python(spark):
+    from pixie_spark.operators.timeseries import resample_ffill
+
+    rows = [
+        ("a", 103, 1.0), ("a", 215, 2.0), ("a", 230, 3.0), ("a", 480, 4.0),
+        ("b", 95, 10.0), ("b", 400, 20.0),
+    ]
+    df = _series_df(spark, {})  # empty helper not usable; build directly
+    df = spark.createDataFrame(rows, "entity string, ts long, value double")
+    got = {
+        (r["entity"], r["ts"]): (r["value"], r["filled"])
+        for r in resample_ffill(df, step=100).collect()
+    }
+    assert got == _py_resample(rows, 100)
+
+
+def test_resample_ffill_staleness_horizon(spark):
+    from pixie_spark.operators.timeseries import resample_ffill
+
+    rows = [("a", 0, 1.0), ("a", 1000, 2.0)]
+    df = spark.createDataFrame(rows, "entity string, ts long, value double")
+    got = {
+        r["ts"]: r["value"]
+        for r in resample_ffill(df, step=100, max_fill_steps=3).collect()
+    }
+    assert got[0] == 1.0 and got[100] == 1.0 and got[300] == 1.0
+    assert got[400] is None and got[900] is None  # stale: > 3 steps old
+    assert got[1000] == 2.0
+    assert got == {
+        t: v for (_, t), (v, _) in _py_resample(rows, 100, max_fill_steps=3).items()
+    }
+
+
+def test_resample_ffill_one_shuffle(spark):
+    from pixie_spark.operators.timeseries import resample_ffill
+
+    df = spark.createDataFrame([("a", 1, 1.0)], "entity string, ts long, value double")
+    plan = resample_ffill(df, 10)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "EvalPython" not in plan
