@@ -30,7 +30,12 @@ def get_spark(app_name: str = "pixie_spark", cpus: int | None = None) -> SparkSe
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Single-JVM local mode: driver heap IS the executor heap. 8g
+        # OOM'd once the test suite passed ~600 tests in one session
+        # (localCheckpoint blocks + streaming state accumulate until the
+        # ContextCleaner catches up); the box has 128 GiB — size for the
+        # long-session case.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
