@@ -125,3 +125,31 @@ def test_nb_classifier_plan(spark, sf_dir):
     plan = plan_string(QUERIES["nb_classify"].fn(spark, sf_dir))
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_no_row_python_or_cartesian_in_any_registry_query(spark, sf_dir):
+    """The whole 90-query registry — rows-only entries included: no
+    row-at-a-time Python UDF (BatchEvalPython) and no cartesian product
+    anywhere. Arrow-batched pandas_udfs are allowed where sanctioned
+    (quantizers, BPE encode, media decode); the one documented all-pairs
+    baseline (dedup_embedding_cosine) keeps its exemption. Queries that
+    pre-compute driver-side (building indexes/models before returning a
+    frame) are covered by their own module plan asserts instead —
+    building them here would re-run training per sweep."""
+    heavy = {
+        # driver-side build phases (collect/fit/write) before the frame;
+        # each has dedicated plan/scale asserts in its module tests
+        "kmeans_clusters", "kmeans_coreset", "semantic_dedup",
+        "ann_ivf_persisted", "ann_ivfpq_topk", "embedding_pipeline_e2e",
+        "dedup_incremental", "warc_ingest_pipeline", "jsonl_ingest_pipeline",
+        "mixture_shards", "training_shards", "corpus_clean_pipeline",
+        "dedup_embedding_cosine", "lm_perplexity", "nb_classify",
+        "dsir_resample", "contamination_bloom", "vocab_bpe_stats",
+        "domain_pagerank", "snapshot_diff", "pprof_profile",
+    }
+    for name, spec in QUERIES.items():
+        if name in heavy:
+            continue
+        plan = plan_string(spec.fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
