@@ -51,12 +51,19 @@ def rollup_base(
     group_cols: list[str],
     width_ns: int,
     distinct_col: str | None = None,
+    quantiles: bool = False,
 ) -> DataFrame:
     """Finest level: one scan of raw rows → per-(group, bucket) mergeable
     partials. Columns: group_cols + bucket_ts + (n, sum_v, min_v, max_v)
     [+ hll_v, a DataSketches HLL state for distinct-count rollup when
     ``distinct_col`` is given — countdistinct is NOT sum-mergeable, the
-    sketch is what makes it cascade]."""
+    sketch is what makes it cascade] [+ kll_v, a DataSketches KLL
+    quantile state when ``quantiles`` — the engine-native realization of
+    the reference's serialized t-digest UDA (math_sketches.h:92-129,
+    Serialize/Deserialize across the PEM→Kelvin boundary): p50/p99
+    cascade across materialization boundaries with the sketch's
+    ~1.65% rank-error guarantee, where exact percentiles cannot merge
+    at all]."""
     aggs = [
         F.count(value_col).alias("n"),
         F.sum(value_col).alias("sum_v"),
@@ -65,6 +72,10 @@ def rollup_base(
     ]
     if distinct_col is not None:
         aggs.append(F.hll_sketch_agg(distinct_col).alias("hll_v"))
+    if quantiles:
+        aggs.append(
+            F.kll_sketch_agg_double(F.col(value_col).cast("double")).alias("kll_v")
+        )
     return df.groupBy(
         *group_cols, _bucket(time_col, width_ns).cast("long").alias("bucket_ts")
     ).agg(*aggs)
@@ -83,6 +94,8 @@ def rollup_merge(level: DataFrame, group_cols: list[str], width_ns: int) -> Data
     ]
     if "hll_v" in level.columns:
         aggs.append(F.hll_union_agg("hll_v").alias("hll_v"))
+    if "kll_v" in level.columns:
+        aggs.append(F.kll_merge_agg_double("kll_v").alias("kll_v"))
     return level.groupBy(
         *group_cols, _bucket("bucket_ts", width_ns).cast("long").alias("bucket_ts")
     ).agg(*aggs)
@@ -97,6 +110,16 @@ def finalize(level: DataFrame) -> DataFrame:
         out = out.withColumn(
             "approx_distinct", F.hll_sketch_estimate("hll_v")
         ).drop("hll_v")
+    if "kll_v" in level.columns:
+        q = F.kll_sketch_get_quantile_double(
+            "kll_v", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))
+        )
+        out = (
+            out.withColumn("p50", q.getItem(0))
+            .withColumn("p95", q.getItem(1))
+            .withColumn("p99", q.getItem(2))
+            .drop("kll_v")
+        )
     return out
 
 
@@ -108,6 +131,7 @@ def rollup_cascade(
     widths_ns: list[int],
     checkpoint: bool = True,
     distinct_col: str | None = None,
+    quantiles: bool = False,
 ) -> dict[int, DataFrame]:
     """{width_ns: partial-state level} for an ascending width cascade.
 
@@ -126,7 +150,13 @@ def rollup_cascade(
             )
     levels: dict[int, DataFrame] = {}
     cur = rollup_base(
-        df, time_col, value_col, group_cols, widths_ns[0], distinct_col=distinct_col
+        df,
+        time_col,
+        value_col,
+        group_cols,
+        widths_ns[0],
+        distinct_col=distinct_col,
+        quantiles=quantiles,
     )
     if checkpoint:
         # each level feeds BOTH its consumers and the next level; without
@@ -147,9 +177,10 @@ def cascade_long(levels: dict[int, DataFrame], group_cols: list[str]) -> DataFra
     out = None
     for w, level in levels.items():
         fin = finalize(level)
-        cols = ["bucket_ts", "n", "sum_v", "min_v", "max_v", "avg_v"] + (
-            ["approx_distinct"] if "approx_distinct" in fin.columns else []
-        )
+        cols = ["bucket_ts", "n", "sum_v", "min_v", "max_v", "avg_v"]
+        for extra in ("approx_distinct", "p50", "p95", "p99"):
+            if extra in fin.columns:
+                cols.append(extra)
         tagged = fin.select(
             F.lit(w // 1_000_000_000).alias("level_width_s"), *group_cols, *cols
         )

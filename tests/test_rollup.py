@@ -179,3 +179,73 @@ def test_streaming_base_level_merges_to_batch_cascade(spark, sf_dir, tmp_path):
         for r in batch_levels[coarse].collect()
     }
     assert got == expect
+
+
+def test_kll_quantile_state_cascades(spark):
+    """Quantile rollup via KLL sketch state — the engine-native form of
+    the reference's serialized t-digest UDA (math_sketches.h: Serialize/
+    Deserialize across the PEM→Kelvin boundary): cascaded p50/p99 track
+    the exact percentiles within the sketch's rank-error bound."""
+    import numpy as np
+
+    from pixie_spark.operators.rollup import finalize, rollup_cascade
+
+    rng = np.random.default_rng(17)
+    SEC = 10**9
+    rows = [
+        ("svc", int(t * SEC), float(v))
+        for t, v in enumerate(rng.lognormal(mean=3.0, sigma=1.0, size=4000))
+    ]
+    df = spark.createDataFrame(rows, "entity string, ts long, value double")
+    levels = rollup_cascade(
+        df, "ts", "value", ["entity"], [60 * SEC, 600 * SEC, 3600 * SEC], quantiles=True
+    )
+    coarse = finalize(levels[3600 * SEC]).collect()
+    vals = np.array([v for _, _, v in rows])
+    by_bucket = {}
+    for _, t, v in rows:
+        by_bucket.setdefault((t // (3600 * SEC)) * 3600 * SEC, []).append(v)
+    for r in coarse:
+        exact = np.array(sorted(by_bucket[r["bucket_ts"]]))
+        n = len(exact)
+        for q, col in ((0.5, "p50"), (0.99, "p99")):
+            # KLL default k: normalized rank error ~1.65%; allow 3% rank slack
+            lo = exact[max(0, int((q - 0.03) * n) - 1)]
+            hi = exact[min(n - 1, int((q + 0.03) * n))]
+            assert lo <= r[col] <= hi, (r["bucket_ts"], col, r[col], lo, hi)
+
+
+def test_kll_state_survives_parquet_materialization(spark, tmp_path):
+    """The whole point of mergeable state: write a finer level's binary
+    sketch column to parquet, read it back, merge to a coarser level —
+    identical behavior to the never-materialized cascade (the
+    reference's serialized-UDA-between-nodes contract, here between
+    STORAGE GENERATIONS)."""
+    from pixie_spark.operators.rollup import finalize, rollup_base, rollup_merge
+
+    SEC = 10**9
+    rows = [("e", int(t * SEC), float((t * 37) % 101)) for t in range(2000)]
+    df = spark.createDataFrame(rows, "entity string, ts long, value double")
+    base = rollup_base(df, "ts", "value", ["entity"], 60 * SEC, quantiles=True)
+
+    p = str(tmp_path / "level_1m")
+    base.write.mode("overwrite").parquet(p)
+    reread = spark.read.parquet(p)
+    via_disk = finalize(rollup_merge(reread, ["entity"], 600 * SEC)).collect()
+    direct = finalize(rollup_merge(base, ["entity"], 600 * SEC)).collect()
+    # count/sum partials merge EXACTLY through the storage roundtrip;
+    # quantiles come from the sketch, whose compaction is RANDOMIZED —
+    # two evaluations may differ within the rank-error bound, so the
+    # quantile contract is tolerance, not equality
+    exact_key = lambda rows_: {r["bucket_ts"]: (r["n"], r["sum_v"]) for r in rows_}
+    assert exact_key(via_disk) == exact_key(direct)
+    by_bucket = {}
+    for _, t, v in rows:
+        by_bucket.setdefault((t // (600 * SEC)) * 600 * SEC, []).append(v)
+    for r in via_disk:
+        exact = sorted(by_bucket[r["bucket_ts"]])
+        n = len(exact)
+        for q, col in ((0.5, "p50"), (0.99, "p99")):
+            lo = exact[max(0, int((q - 0.03) * n) - 1)]
+            hi = exact[min(n - 1, int((q + 0.03) * n))]
+            assert lo <= r[col] <= hi, (r["bucket_ts"], col)
