@@ -110,3 +110,40 @@ def cms_error_bound(total_count: int, width: int = WIDTH) -> float:
     import math
 
     return math.e / width * total_count
+
+
+def hll_overlap_report(
+    a: DataFrame,
+    b: DataFrame,
+    col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Distinct-set overlap between two corpora WITHOUT a join: |A|,
+    |B|, |A∪B| from HLL sketch states (the union is a sketch merge, so
+    the B side never co-shuffles with A), then |A∩B| and Jaccard by
+    inclusion-exclusion — the corpus-version QA number ("how much of
+    the new crawl is the old crawl?") at sketch cost. The exact twin is
+    operators/diff.snapshot_diff, which answers per-ROW questions but
+    pays a full-outer join; this answers the aggregate question with
+    two scans and three fixed-size states.
+
+    Inclusion-exclusion compounds the per-sketch error (a few % of
+    |A∪B| on the intersection at lg_k=12), so it is a REPORT, not a
+    gate — standard practice for audience-overlap estimation. Output
+    one row: (n_a, n_b, n_union, n_intersection, jaccard).
+    """
+    sa = a.agg(F.hll_sketch_agg(col, F.lit(lg_k)).alias("s"))
+    sb = b.agg(F.hll_sketch_agg(col, F.lit(lg_k)).alias("s"))
+    both = sa.unionByName(sb).agg(F.hll_union_agg("s").alias("u"))
+    est_a = sa.select(F.hll_sketch_estimate("s").alias("n_a"))
+    est_b = sb.select(F.hll_sketch_estimate("s").alias("n_b"))
+    est_u = both.select(F.hll_sketch_estimate("u").alias("n_union"))
+    out = est_a.crossJoin(est_b).crossJoin(est_u)  # three 1-row frames
+    inter = F.greatest(F.col("n_a") + F.col("n_b") - F.col("n_union"), F.lit(0))
+    return out.select(
+        "n_a",
+        "n_b",
+        "n_union",
+        inter.alias("n_intersection"),
+        F.when(F.col("n_union") > 0, inter / F.col("n_union")).alias("jaccard"),
+    )

@@ -2661,6 +2661,32 @@ def q_ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_overlap_sketch",
+    None,  # rows-only; estimates track planted exact sets in
+    # tests/test_sketch.py (sketch report, tolerance-bounded).
+    doc="Sketch-based corpus-version overlap (operators/sketch."
+    "hll_overlap_report): |A|, |B|, |A∪B| from mergeable HLL states + "
+    "inclusion-exclusion intersection/Jaccard — the aggregate twin of "
+    "snapshot_diff without its full-outer join; the two corpora never "
+    "co-shuffle.",
+)
+def q_corpus_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.operators.sketch import hll_overlap_report
+
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = doc.where(F.col("doc_id") % 10 != 9)  # the snapshot_diff slices
+    new = doc.where(F.col("doc_id") % 10 != 0)
+    rep = hll_overlap_report(old, new, "text")
+    return rep.select(
+        F.round("n_a").cast("long").alias("n_old"),
+        F.round("n_b").cast("long").alias("n_new"),
+        F.round("n_union").cast("long").alias("n_union"),
+        F.round("n_intersection").cast("long").alias("n_shared"),
+        dround("jaccard", 4).alias("jaccard"),
+    )
+
+
 # =============================================================================
 # Gate-window ordering
 # =============================================================================

@@ -122,3 +122,34 @@ def test_streaming_microbatch_cms_equals_batch(spark, tmp_path):
     inc = {(r["j"], r["bucket"]): r["cnt"] for r in cms_merge(*merged).collect()}
     whole = cms_build(_terms(spark, COUNTS), "term")
     assert inc == {(r["j"], r["bucket"]): r["cnt"] for r in whole.collect()}
+
+
+def test_hll_overlap_report_tracks_exact_sets(spark):
+    """Inclusion-exclusion overlap on planted sets: estimates within a
+    few percent of the exact |A|, |B|, |A∩B|, and a disjoint pair
+    reports ~zero intersection."""
+    a = spark.range(0, 3000).select(F.concat(F.lit("u"), "id").alias("u"))
+    b = spark.range(2000, 6000).select(F.concat(F.lit("u"), "id").alias("u"))
+    from pixie_spark.operators.sketch import hll_overlap_report
+
+    rep = hll_overlap_report(a, b, "u").collect()[0]
+    assert rep["n_a"] == pytest.approx(3000, rel=0.05)
+    assert rep["n_b"] == pytest.approx(4000, rel=0.05)
+    assert rep["n_union"] == pytest.approx(6000, rel=0.05)
+    assert rep["n_intersection"] == pytest.approx(1000, rel=0.25)
+    assert rep["jaccard"] == pytest.approx(1000 / 6000, rel=0.3)
+
+    disjoint = spark.range(100000, 103000).select(F.concat(F.lit("u"), "id").alias("u"))
+    rep2 = hll_overlap_report(a, disjoint, "u").collect()[0]
+    assert rep2["n_intersection"] <= 0.05 * rep2["n_union"]
+
+
+def test_hll_overlap_no_join_of_the_two_sides(spark):
+    """The point: the two corpora never join — the plan has no join of
+    wide data, only 1-row sketch frames combining."""
+    from pixie_spark.operators.sketch import hll_overlap_report
+
+    a = spark.range(100).select(F.concat(F.lit("u"), "id").alias("u"))
+    b = spark.range(100).select(F.concat(F.lit("v"), "id").alias("u"))
+    plan = hll_overlap_report(a, b, "u")._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
