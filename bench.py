@@ -66,6 +66,28 @@ BENCH_OVERRIDES = {
 }
 
 
+# Round-4 operator families timed for VISIBILITY only — kept OUT of the
+# headline total so `value` stays comparable against earlier rounds'
+# 21-query floor. Reported under "extra_queries" in the same JSON line.
+EXTRA = [
+    "dedup_substring",
+    "gopher_quality",
+    "lm_perplexity",
+    "semantic_dedup",
+    "dedup_clusters",
+    "training_shards",
+    "term_freq_cms",
+    "ts_pattern_search",
+    "ts_anomalies",
+    "ts_resample_ffill",
+    "corpus_diversity",
+    "doc_chunking",
+    "epoch_expansion",
+    "decontaminate_spans",
+    "pii_exposure_report",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -75,13 +97,14 @@ def main() -> None:
     QUERIES["distinct_rows"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    extra_timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name, sink in [(n, timings) for n in HEADLINE] + [(n, extra_timings) for n in EXTRA]:
         fn = BENCH_OVERRIDES.get(name, QUERIES[name].fn)
         t0 = time.time()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
+            sink[name] = round(time.time() - t0, 3)
         except Exception as e:  # skip-and-continue: one broken query must
             # not zero out the whole bench signal (round-2 lesson).
             errors[name] = f"{type(e).__name__}: {e}"[:300]
@@ -99,6 +122,8 @@ def main() -> None:
         "queries_overridden": sorted(set(BENCH_OVERRIDES) & set(HEADLINE)),
         "queries_expected": len(HEADLINE),
         "queries_completed": len(timings),
+        # new-family timings, EXCLUDED from `value` (comparability)
+        "extra_queries": extra_timings,
         "sf": float(sf),
     }
     if errors:
