@@ -99,7 +99,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     extra_timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, sink in [(n, timings) for n in HEADLINE] + [(n, extra_timings) for n in EXTRA]:
+    extra_errors: dict[str, str] = {}
+    for name, sink, err_sink in [(n, timings, errors) for n in HEADLINE] + [
+        (n, extra_timings, extra_errors) for n in EXTRA
+    ]:
         fn = BENCH_OVERRIDES.get(name, QUERIES[name].fn)
         t0 = time.time()
         try:
@@ -107,8 +110,8 @@ def main() -> None:
             sink[name] = round(time.time() - t0, 3)
         except Exception as e:  # skip-and-continue: one broken query must
             # not zero out the whole bench signal (round-2 lesson).
-            errors[name] = f"{type(e).__name__}: {e}"[:300]
-            print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
+            err_sink[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"BENCH ERROR {name}: {err_sink[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -129,6 +132,11 @@ def main() -> None:
     if errors:
         out["errors"] = errors
         out["partial"] = True
+    if extra_errors:
+        # Visibility-only failures: reported, but they must NOT mark the
+        # headline run partial or flip the exit code — the headline total
+        # they were excluded from (for comparability) is still complete.
+        out["extra_errors"] = extra_errors
     print(json.dumps(out))
     if errors:
         # Partial totals must not read as a full run: nonzero rc signals

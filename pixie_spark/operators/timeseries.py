@@ -42,26 +42,27 @@ def _znorm_pattern(pattern: list[float]) -> list[float]:
     return [(v - mu) / sd for v in pattern]
 
 
-def pattern_search(
+def pattern_scores(
     df: DataFrame,
     pattern: list[float],
     entity_col: str = "entity",
     ts_col: str = "ts",
     value_col: str = "value",
-    k: int = 10,
 ) -> DataFrame:
-    """Top-k z-normalized subsequence matches of ``pattern`` across every
-    entity's series. Output: (entity_col, ts_col of the window start,
-    dist, rank) — dist = Σ (zw_i - zq_i)², lower is a better match.
+    """Score EVERY length-m window of every entity's series against the
+    z-normalized pattern: (entity_col, ts_col of the window start,
+    dist). The distributed scoring core shared by pattern_search (which
+    adds a global top-k) and the streaming batch fallback (which adds a
+    dist-threshold filter — no top-k, so nothing is ever collected to
+    the driver for an unbounded frame).
 
     Plan: the length-m windows come from m-1 ``lead``s over the
     per-entity time order (ONE shuffle on the entity key, identical to
     the shingle construction); the window mean/std and the distance are
     a fixed-size native arithmetic expression assembled as one SQL
-    string (m terms — the kmeans_fit py4j lesson); the global top-k is
-    orderBy+limit → TakeOrderedAndProject. Flat windows (zero variance)
-    cannot match a non-flat pattern and are scored +inf via a guarded
-    division.
+    string (m terms — the kmeans_fit py4j lesson). Flat windows (zero
+    variance) cannot match a non-flat pattern and are scored +inf via a
+    guarded division.
     """
     m = len(pattern)
     if m < 2:
@@ -81,7 +82,7 @@ def pattern_search(
         f"((v{i} - __mu) / __sd - ({zq[i]!r})) * ((v{i} - __mu) / __sd - ({zq[i]!r}))"
         for i in range(m)
     )
-    scored = (
+    return (
         rows.selectExpr(entity_col, ts_col, *[f"v{i}" for i in range(m)], f"{mean} AS __mu")
         .selectExpr(entity_col, ts_col, *[f"v{i}" for i in range(m)], "__mu", f"sqrt({var}) AS __sd")
         .selectExpr(
@@ -90,6 +91,25 @@ def pattern_search(
             f"CASE WHEN __sd = 0.0 THEN double('inf') ELSE {dist} END AS dist",
         )
     )
+
+
+def pattern_search(
+    df: DataFrame,
+    pattern: list[float],
+    entity_col: str = "entity",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k z-normalized subsequence matches of ``pattern`` across every
+    entity's series. Output: (entity_col, ts_col of the window start,
+    dist, rank) — dist = Σ (zw_i - zq_i)², lower is a better match.
+
+    pattern_scores does the distributed scoring; the global top-k is
+    orderBy+limit → TakeOrderedAndProject (k rows to the driver, never
+    the full window set).
+    """
+    scored = pattern_scores(df, pattern, entity_col, ts_col, value_col)
     topk = scored.orderBy(F.asc("dist"), entity_col, ts_col).limit(k)
     w = Window.orderBy(F.asc("dist"), entity_col, ts_col)
     # rank over k collected rows only — the limit already reduced to k
@@ -168,9 +188,23 @@ def resample_ffill(
     one shuffle on the entity key total. Output:
     (entity, ts, value, filled: bool).
     """
-    bounds = df.groupBy(entity_col).agg(
-        F.floor(F.min(ts_col) / step).alias("__lo"),
-        F.floor(F.max(ts_col) / step).alias("__hi"),
+    # Exact integer floor division: `/` on two longs is DOUBLE division
+    # in Spark, and ns-epoch values exceed 2^53 — the quotient rounds
+    # and floor() lands one step off near boundaries (same rule as
+    # sequence_packing's 2^53 note). Decimal division is no rescue
+    # either: Spark caps the result scale at 6 under allowPrecisionLoss
+    # and ROUNDS there too. So compute the grid index per row with the
+    # integral `div` operator (exact at any magnitude), correcting the
+    # truncate-toward-zero of `div` to floor semantics for negative ts
+    # (Spark's % carries the dividend's sign, so a negative remainder
+    # means the quotient truncated up past the floor).
+    t = f"CAST({ts_col} AS BIGINT)"
+    bin_ = F.expr(
+        f"({t} - (({t} % {step} + {step}) % {step})) div {step}"
+    )
+    bounds = df.withColumn("__bin", bin_.cast("long")).groupBy(entity_col).agg(
+        F.min("__bin").alias("__lo"),
+        F.max("__bin").alias("__hi"),
     )
     grid = bounds.select(
         entity_col,

@@ -82,21 +82,31 @@ def jsonl_documents(
     (quality → dedup → … — the same bridge contract as
     warc.warc_documents).
 
-    doc_id = xxhash64(url) when a url field exists (stable under text
-    edits — the identity a crawl re-fetch keeps), else xxhash64(text).
-    Rows with null/empty text are dropped (they carry nothing any
-    downstream stage can use, and empty-text rows crash nothing but
-    skew the quality-rate denominators)."""
+    doc_id = xxhash64(url) when a url field exists AND the row's url is
+    non-null/non-empty (stable under text edits — the identity a crawl
+    re-fetch keeps); rows whose url is null or '' fall back to
+    xxhash64(text) PER ROW. Without the fallback every no-url row would
+    hash the same null to one constant id and downstream doc_id-keyed
+    operators (dedup, span rebuild) would silently merge distinct
+    documents. Rows with null/empty text are dropped (they carry
+    nothing any downstream stage can use, and empty-text rows crash
+    nothing but skew the quality-rate denominators)."""
     fields = {text_field: "string"}
     if url_field:
         fields[url_field] = "string"
     fields.update(extra_fields or {})
     df = read_jsonl(spark, path, fields)
-    id_src = F.col(url_field) if url_field else F.col(text_field)
+    if url_field:
+        id_src = F.when(
+            F.col(url_field).isNotNull() & (F.col(url_field) != ""),
+            F.xxhash64(url_field),
+        ).otherwise(F.xxhash64(text_field))
+    else:
+        id_src = F.xxhash64(text_field)
     out = df.where(
         F.col(text_field).isNotNull() & (F.col(text_field) != "")
     ).select(
-        F.xxhash64(id_src).alias("doc_id"),
+        id_src.alias("doc_id"),
         *( [F.col(url_field).alias("url")] if url_field else [F.lit(None).cast("string").alias("url")] ),
         F.col(text_field).alias("text"),
         *[F.col(k) for k in (extra_fields or {})],

@@ -240,9 +240,12 @@ def streaming_pattern_match(
     if not df.isStreaming:
         from pyspark.sql import functions as F
 
-        from pixie_spark.operators.timeseries import pattern_search
+        from pixie_spark.operators.timeseries import pattern_scores
 
-        scored = pattern_search(df, pattern, entity_col, ts_col, value_col, k=1_000_000_000)
+        # Threshold filter over the distributed scores — no global
+        # top-k/orderBy, so nothing TakeOrdered-collects the whole
+        # scored window set onto the driver for a large batch frame.
+        scored = pattern_scores(df, pattern, entity_col, ts_col, value_col)
         return scored.where(F.col("dist") <= max_dist).select(entity_col, ts_col, "dist")
 
     out_schema = pattern_match_schema(df.schema[entity_col], df.schema[ts_col])

@@ -78,3 +78,31 @@ def test_bridge_feeds_downstream_dedup(spark, jsonl_dir):
     docs = jsonl_documents(spark, jsonl_dir)
     groups = exact_dedup(docs, "doc_id", ["text"])
     assert groups.count() == 3  # all distinct texts
+
+
+def test_null_url_rows_get_distinct_text_keyed_ids(spark, tmp_path):
+    # Rows with a DECLARED url field but a null/empty url value must not
+    # all hash the same null to one constant doc_id (they would be
+    # silently merged by every doc_id-keyed downstream operator) — each
+    # falls back to xxhash64 of its own text.
+    d = tmp_path / "nourl"
+    d.mkdir()
+    rows = [
+        {"url": None, "text": "alpha body one"},
+        {"text": "beta body two"},                  # key absent entirely
+        {"url": "", "text": "gamma body three"},    # empty string url
+        {"url": "https://x.example/1", "text": "delta body four"},
+    ]
+    (d / "p.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+    docs = jsonl_documents(spark, str(d)).collect()
+    ids = {r["text"]: r["doc_id"] for r in docs}
+    assert len(set(ids.values())) == 4  # all distinct
+    # url-less ids are recomputable from the text; url-bearing from url
+    hashed = {
+        r["s"]: r["h"]
+        for r in spark.createDataFrame(
+            [("alpha body one",), ("https://x.example/1",)], "s string"
+        ).select("s", F.xxhash64("s").alias("h")).collect()
+    }
+    assert ids["alpha body one"] == hashed["alpha body one"]
+    assert ids["delta body four"] == hashed["https://x.example/1"]

@@ -189,3 +189,18 @@ def test_streaming_pattern_match_equals_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM pat_stream_out").collect()
     }
     assert got == expected
+
+
+def test_pattern_match_batch_fallback_no_driver_topk(spark):
+    # The batch fallback must filter dist <= max_dist distributedly —
+    # no global orderBy+limit (TakeOrdered), which would collect the
+    # entire scored window set onto the driver for a large frame.
+    from pixie_spark.streaming.stateful import streaming_pattern_match
+
+    df = spark.createDataFrame(
+        [("e", i, float(i % 5)) for i in range(50)],
+        "entity string, ts long, value double",
+    )
+    out = streaming_pattern_match(df, [1.0, 2.0, 3.0], max_dist=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" not in plan

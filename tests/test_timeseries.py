@@ -183,3 +183,24 @@ def test_resample_ffill_one_shuffle(spark):
     plan = resample_ffill(df, 10)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
     assert "EvalPython" not in plan
+
+
+def test_resample_ffill_ns_epoch_exact_boundaries(spark):
+    # int64 ns-epoch timestamps exceed 2^53: double division rounds the
+    # quotient and floor() lands one grid step off near boundaries.
+    # min ts = boundary-1ns must still include the grid point BELOW it.
+    from pixie_spark.operators.timeseries import resample_ffill
+
+    step = 1_000_000_000  # 1s in ns
+    base = 1_700_000_000_123_456_789  # > 2^53, not grid-aligned
+    lo_grid = (base // step) * step
+    rows = [("e", base, 1.0), ("e", base + 3 * step, 2.0)]
+    df = spark.createDataFrame(rows, "entity string, ts long, value double")
+    got = sorted(r["ts"] for r in resample_ffill(df, step=step).collect())
+    expect = [lo_grid + i * step for i in range(0, 4)]
+    assert got == expect, f"grid off: {got[:2]}… vs {expect[:2]}…"
+    # and the adversarial boundary-1ns min: the floor must go DOWN
+    rows2 = [("e", lo_grid + step - 1, 1.0), ("e", lo_grid + 2 * step, 2.0)]
+    df2 = spark.createDataFrame(rows2, "entity string, ts long, value double")
+    got2 = sorted(r["ts"] for r in resample_ffill(df2, step=step).collect())
+    assert got2[0] == lo_grid  # first grid point not dropped
