@@ -55,14 +55,33 @@ class QuerySpec:
     # indistinguishable from a silently-broken query); set for queries
     # whose CONTRACT is zero rows (EmptySource).
     allow_empty: bool = False
+    # DuckDB SQL verified LOCALLY (tools/check_oracle.py + CI) for
+    # deterministic queries the driver's 50-row gate window has no room
+    # for. NEVER exposed via __spark_entry__.oracle_sql(), so
+    # gate_ordered()'s ≤50 invariant is untouched. May use the
+    # spark_xxhash64* DuckDB UDFs check_oracle registers
+    # (tools/spark_hash.py — bit-for-bit Spark xxhash64 replicas).
+    local_oracle: Optional[str] = None
 
 
 QUERIES: dict[str, QuerySpec] = {}
 
 
-def query(name: str, oracle: Optional[str], doc: str = "", allow_empty: bool = False):
+def query(
+    name: str,
+    oracle: Optional[str],
+    doc: str = "",
+    allow_empty: bool = False,
+    local_oracle: Optional[str] = None,
+):
     def deco(fn):
-        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc, allow_empty=allow_empty)
+        QUERIES[name] = QuerySpec(
+            fn=fn,
+            oracle=oracle,
+            doc=doc,
+            allow_empty=allow_empty,
+            local_oracle=local_oracle,
+        )
         return fn
 
     return deco
@@ -827,10 +846,42 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_substring",
     # Rows-only IN THE DRIVER GATE solely because the 50-entry gate
-    # window is full of hash-matched rows; the SAME DuckDB oracle
-    # comparison runs locally in tests/test_dedup_extra.py
-    # (test_duplicate_spans_matches_duckdb_oracle) with value equality.
+    # window is full of hash-matched rows; hash-checked locally via
+    # local_oracle below (the same independent DuckDB implementation as
+    # tests/test_dedup_extra.py::test_duplicate_spans_matches_duckdb_oracle).
     None,
+    local_oracle="""
+    WITH w AS (
+        SELECT doc_id AS doc,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+        FROM documents
+    ),
+    full_wins AS (
+        SELECT doc, unnest(range(1, greatest(len(ws) - 7, 0) + 1)) - 1 AS pos,
+               unnest(list_transform(
+                   range(1, greatest(len(ws) - 7, 0) + 1),
+                   i -> array_to_string(ws[i:i+7], ' '))) AS wstr
+        FROM w
+    ),
+    dup AS (
+        SELECT wstr FROM full_wins GROUP BY wstr HAVING count(DISTINCT doc) >= 2
+    ),
+    hits AS (SELECT doc, pos FROM full_wins JOIN dup USING (wstr)),
+    lagd AS (
+        SELECT doc, pos, lag(pos) OVER (PARTITION BY doc ORDER BY pos) AS prev
+        FROM hits
+    ),
+    isl AS (
+        SELECT doc, pos,
+               SUM(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc ORDER BY pos) AS island
+        FROM lagd
+    )
+    SELECT doc, CAST(MIN(pos) AS INT) AS span_start,
+           CAST(MAX(pos) + 8 AS INT) AS span_end,
+           COUNT(*) AS n_windows
+    FROM isl GROUP BY doc, island ORDER BY doc, span_start
+    """,
     doc="Substring-level exact dedup (Lee et al. 2022 ExactSubstr, "
     "re-expressed via k-gram window hashes instead of a suffix array): "
     "maximal spans of >=k consecutive words whose every k-window also "
@@ -2047,10 +2098,24 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "web_url_pipeline",
-    # Rows-only in the driver gate (window full); normalization is
-    # exact-matched against an independent Python urllib reference in
-    # tests/test_web.py.
+    # Rows-only IN THE DRIVER GATE (window full); hash-checked locally
+    # via local_oracle below (independent normalization: the synthetic
+    # URLs canonicalize to https://{source}.com/p/{id%40}?id={id%7} —
+    # www. stripped, utm_source dropped), plus a Python urllib
+    # reference in tests/test_web.py.
     None,
+    local_oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               source || '.com' AS domain,
+               'https://' || source || '.com/p/' || CAST(doc_id % 40 AS VARCHAR)
+                   || '?id=' || CAST(doc_id % 7 AS VARCHAR) AS url_norm
+        FROM documents
+    ),
+    kept AS (SELECT * FROM u WHERE domain NOT IN ('src0.com', 'src13.com')),
+    dedup AS (SELECT domain, url_norm FROM kept GROUP BY domain, url_norm)
+    SELECT domain, count(*) AS n_urls FROM dedup GROUP BY domain ORDER BY domain
+    """,
     doc="Web-crawl URL front end (C4/RefinedWeb recipe stage 0): "
     "normalize (tracking-param strip, canonical host/port/path) → "
     "registrable-domain blocklist (broadcast anti-join) → URL-exact "
@@ -2176,9 +2241,30 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "snapshot_diff",
-    # Rows-only (window full); verdicts are exact-matched against a
-    # plain-Python dict reference in tests/test_diff.py.
+    # Rows-only IN THE DRIVER GATE (window full); hash-checked locally
+    # via local_oracle below, plus a plain-Python dict reference in
+    # tests/test_diff.py.
     None,
+    local_oracle="""
+    WITH base AS (SELECT doc_id, text, lang FROM documents),
+    old AS (SELECT * FROM base WHERE doc_id % 10 <> 9),
+    new AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text,
+               lang
+        FROM base WHERE doc_id % 10 <> 0
+    ),
+    j AS (
+        SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.text IS DISTINCT FROM n.text
+                         OR o.lang IS DISTINCT FROM n.lang THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT status, count(*) AS n FROM j
+    WHERE status <> 'unchanged' GROUP BY status ORDER BY status
+    """,
     doc="Snapshot diff between two corpus versions (the QA step after "
     "every recipe change / idempotent replay): both sides reduce "
     "map-side to (key, 8-byte row hash) BEFORE the single full-outer "
@@ -2235,8 +2321,21 @@ def q_kmeans_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "training_shards",
-    None,  # layout operator — rows-only; membership/size/permutation
-    # contracts are value-checked in tests/test_shards.py.
+    None,  # layout operator — rows-only IN THE DRIVER GATE; hash-checked
+    # locally via local_oracle below (spark_xxhash64_int replicates the
+    # permutation order), plus membership/size/permutation contracts in
+    # tests/test_shards.py.
+    local_oracle="""
+    WITH ranked AS (
+        SELECT doc_id,
+               (row_number() OVER (ORDER BY spark_xxhash64_int(doc_id, 42))
+                - 1) // 100 AS shard
+        FROM documents
+    )
+    SELECT shard, count(*) AS n_rows,
+           max(doc_id) - min(doc_id) AS id_spread
+    FROM ranked GROUP BY shard ORDER BY shard
+    """,
     doc="Deterministic training-shard layout (sources/shards.py): seeded-"
     "hash global permutation + two-phase distributed ranking (range "
     "exchange + broadcast offset map — never Exchange SinglePartition) "
@@ -2290,8 +2389,42 @@ def q_term_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "decontaminate_spans",
-    None,  # rows-only (window full); position-level equality vs a
-    # brute-force Python k-gram cover in tests/test_dedup_extra.py.
+    None,  # rows-only IN THE DRIVER GATE (window full); hash-checked
+    # locally via local_oracle below (gram-string cover — collision-free
+    # twin of the engine's hashed-wid path), plus a brute-force Python
+    # k-gram cover in tests/test_dedup_extra.py.
+    local_oracle="""
+    WITH w AS (
+        SELECT doc_id AS doc,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+        FROM documents
+    ),
+    cwin AS (
+        SELECT doc, unnest(range(1, greatest(len(ws) - 9, 0) + 1)) - 1 AS pos,
+               unnest(list_transform(
+                   range(1, greatest(len(ws) - 9, 0) + 1),
+                   i -> array_to_string(ws[i:i+9], ' '))) AS g
+        FROM w
+    ),
+    pg AS (
+        SELECT DISTINCT g FROM cwin WHERE doc % 50 = 0
+    ),
+    cover AS (
+        SELECT DISTINCT doc, pos + unnest(range(0, 10)) AS p
+        FROM cwin JOIN pg USING (g)
+    ),
+    removed AS (SELECT doc, count(*) AS n_removed FROM cover GROUP BY doc),
+    per_doc AS (
+        SELECT w.doc, coalesce(r.n_removed, 0) AS n_removed
+        FROM w LEFT JOIN removed r ON w.doc = r.doc
+        WHERE len(w.ws) > 0
+    )
+    SELECT count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_touched,
+           CAST(sum(n_removed) AS BIGINT) AS total_removed
+    FROM per_doc
+    """,
     doc="Span-level benchmark decontamination (operators/dedup.py): "
     "remove every word position covered by a k-gram shared with the "
     "probe set instead of dropping whole documents. Probe wids "
@@ -2370,8 +2503,32 @@ def q_mixture_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "epoch_expansion",
-    None,  # rows-only (window full); exact per-row replica of the
-    # fractional pick is value-checked in tests/test_temperature_mix.py.
+    None,  # rows-only IN THE DRIVER GATE (window full); hash-checked
+    # locally via local_oracle below (spark_xxhash64_int replicates the
+    # seeded fractional pick bit-for-bit), plus a per-row replica in
+    # tests/test_temperature_mix.py.
+    local_oracle="""
+    WITH l AS (SELECT min(lang) AS lo, max(lang) AS hi FROM documents),
+    d AS (
+        SELECT doc_id, lang,
+               CASE WHEN lang = (SELECT lo FROM l) THEN 0
+                    WHEN lang = (SELECT hi FROM l) THEN 2 ELSE 1 END AS full_e,
+               CASE WHEN lang = (SELECT lo FROM l) THEN 0.5
+                    WHEN lang = (SELECT hi FROM l) THEN 0.5 ELSE 0.0 END AS frac_e
+        FROM documents
+    ),
+    c AS (
+        SELECT lang,
+               full_e + CASE WHEN
+                   (((spark_xxhash64_int(doc_id, 42) % 4294967296)
+                     + 4294967296) % 4294967296) / 4294967296.0 < frac_e
+                   THEN 1 ELSE 0 END AS copies
+        FROM d
+    ),
+    e AS (SELECT lang, unnest(range(0, copies)) AS epoch FROM c WHERE copies > 0)
+    SELECT lang, count(*) AS n_rows, max(epoch) AS max_epoch
+    FROM e GROUP BY lang ORDER BY lang
+    """,
     doc="Fractional dataset repeats for data-constrained training "
     "(Muennighoff et al. 2023; operators/sampling.epoch_expand): "
     "floor(e) full copies per row + a seeded-hash frac(e) share once "
@@ -2394,8 +2551,30 @@ def q_epoch_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_chunking",
-    None,  # rows-only (window full); chunk boundaries are value-checked
-    # against a Python reference in tests/test_operators.py.
+    None,  # rows-only IN THE DRIVER GATE (window full); hash-checked
+    # locally via local_oracle below, plus a Python boundary reference
+    # in tests/test_operators.py.
+    # chunk i covers words [i*56, i*56+64); chunk count 1+ceil(max(0,n-64)/56)
+    local_oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n,
+               1 + CAST(ceil(greatest(n - 64, 0) / 56.0) AS INT) AS n_chunks
+        FROM w
+    ),
+    e AS (
+        SELECT doc_id, n, unnest(range(0, n_chunks)) AS chunk_id FROM c
+    )
+    SELECT count(*) AS n_chunks,
+           count(DISTINCT doc_id) AS n_docs,
+           max(chunk_id) AS max_chunk_id,
+           floor(avg(least(64, n - chunk_id * 56)) * 1e4 + 0.5) / 1e4 AS avg_chunk_words
+    FROM e
+    """,
     doc="Fixed-window document chunking with overlap (operators/"
     "text.chunk_documents): the pre-embedding step of retrieval "
     "pipelines — one codegen'd map stage (split once, sequence + "
@@ -2443,8 +2622,54 @@ def q_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ts_pattern_search",
-    None,  # rows-only (window full); distances are value-checked against
-    # a numpy reference in tests/test_timeseries.py.
+    None,  # rows-only IN THE DRIVER GATE (window full); hash-checked
+    # locally via local_oracle below (same lead/z-norm/distance fold in
+    # DuckDB SQL — bit-identical doubles because the literals and the
+    # left-fold order match), plus a numpy reference in
+    # tests/test_timeseries.py. zq literals = znorm([0,1,3,1,0]).
+    local_oracle="""
+    WITH ev AS (
+        SELECT event_type AS entity, epoch_ns(ts) AS ts, value FROM events
+    ),
+    led AS (
+        SELECT entity, ts,
+               CAST(value AS DOUBLE) AS v0,
+               lead(CAST(value AS DOUBLE), 1) OVER w AS v1,
+               lead(CAST(value AS DOUBLE), 2) OVER w AS v2,
+               lead(CAST(value AS DOUBLE), 3) OVER w AS v3,
+               lead(CAST(value AS DOUBLE), 4) OVER w AS v4
+        FROM ev WINDOW w AS (PARTITION BY entity ORDER BY ts)
+    ),
+    mu AS (
+        SELECT entity, ts, v0, v1, v2, v3, v4,
+               ((v0 + v1 + v2 + v3 + v4) / 5) AS m
+        FROM led WHERE v4 IS NOT NULL
+    ),
+    sd AS (
+        SELECT entity, ts, v0, v1, v2, v3, v4, m,
+               sqrt(((v0-m)*(v0-m) + (v1-m)*(v1-m) + (v2-m)*(v2-m)
+                     + (v3-m)*(v3-m) + (v4-m)*(v4-m)) / 5) AS s
+        FROM mu
+    ),
+    scored AS (
+        SELECT entity, ts,
+               CASE WHEN s = 0.0 THEN CAST('infinity' AS DOUBLE) ELSE
+                   ((v0-m)/s - (-0.9128709291752769)) * ((v0-m)/s - (-0.9128709291752769))
+                 + ((v1-m)/s - (0.0)) * ((v1-m)/s - (0.0))
+                 + ((v2-m)/s - (1.8257418583505538)) * ((v2-m)/s - (1.8257418583505538))
+                 + ((v3-m)/s - (0.0)) * ((v3-m)/s - (0.0))
+                 + ((v4-m)/s - (-0.9128709291752769)) * ((v4-m)/s - (-0.9128709291752769))
+               END AS dist
+        FROM sd
+    ),
+    topk AS (
+        SELECT entity, ts, dist,
+               row_number() OVER (ORDER BY dist ASC, entity, ts) AS rank
+        FROM scored
+    )
+    SELECT entity, ts, floor(dist * 1e6 + 0.5) / 1e6 AS dist, CAST(rank AS INT) AS rank
+    FROM topk WHERE rank <= 15 ORDER BY rank
+    """,
     doc="Z-normalized subsequence pattern search (operators/timeseries."
     "pattern_search): incident-signature matching over per-entity metric "
     "series — m-1 window-leads (one shuffle on the entity key), in-row "
@@ -2585,8 +2810,33 @@ def q_pii_exposure_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "contamination_matrix",
-    None,  # rows-only (window full); cells replicate a brute-force
-    # Python n-gram overlap in tests/test_dedup_extra.py.
+    None,  # rows-only IN THE DRIVER GATE (window full); hash-checked
+    # locally via local_oracle below (gram-string overlap), plus a
+    # brute-force Python reference in tests/test_dedup_extra.py.
+    local_oracle="""
+    WITH w AS (
+        SELECT doc_id AS doc, lang,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc, lang,
+               unnest(list_transform(
+                   range(1, greatest(len(ws) - 4, 0) + 1),
+                   i -> array_to_string(ws[i:i+4], ' '))) AS g
+        FROM w
+    ),
+    suites AS (
+        SELECT DISTINCT 'suite_alpha' AS suite, g FROM grams WHERE doc % 100 = 7
+        UNION ALL
+        SELECT DISTINCT 'suite_beta' AS suite, g FROM grams WHERE doc % 100 = 13
+    ),
+    hits AS (SELECT suite, lang, doc FROM grams JOIN suites USING (g))
+    SELECT suite, lang,
+           count(DISTINCT doc) AS n_contaminated_docs,
+           count(*) AS n_shared_ngrams
+    FROM hits GROUP BY suite, lang ORDER BY suite, lang
+    """,
     doc="Per-suite × per-slice contamination audit (operators/dedup."
     "contamination_matrix): every eval suite's n-gram overlap with "
     "every corpus slice in one pass — probe shingles broadcast, corpus "
@@ -2635,8 +2885,48 @@ def q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ts_resample_ffill",
-    None,  # rows-only (window full); grid/fill/staleness semantics
-    # replicate a serial Python reference in tests/test_timeseries.py.
+    None,  # rows-only IN THE DRIVER GATE (window full); hash-checked
+    # locally via local_oracle below (same grid-union-window plan in
+    # DuckDB SQL), plus a serial Python reference in
+    # tests/test_timeseries.py.
+    local_oracle="""
+    WITH ev AS (
+        SELECT event_type AS entity, epoch_ns(ts) AS ts, value FROM events
+    ),
+    b AS (
+        SELECT entity, min(ts) // 60000000000 AS lo, max(ts) // 60000000000 AS hi
+        FROM ev GROUP BY entity
+    ),
+    grid AS (
+        SELECT entity, unnest(range(lo, hi + 1)) * 60000000000 AS ts,
+               TRUE AS is_grid, NULL::DOUBLE AS v
+        FROM b
+    ),
+    obs AS (SELECT entity, ts, FALSE AS is_grid, value AS v FROM ev),
+    u AS (SELECT * FROM grid UNION ALL SELECT * FROM obs),
+    wnd AS (
+        SELECT entity, ts, is_grid,
+               LAST_VALUE(v IGNORE NULLS) OVER w AS fv,
+               LAST_VALUE(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+                   OVER w AS src
+        FROM u
+        WINDOW w AS (
+            PARTITION BY entity ORDER BY ts, CAST(is_grid AS INT)
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        )
+    ),
+    g AS (
+        SELECT entity, ts, src,
+               CASE WHEN ts - src <= 5 * 60000000000 THEN fv END AS value
+        FROM wnd WHERE is_grid
+    )
+    SELECT entity, count(*) AS grid_points,
+           CAST(coalesce(sum(CASE WHEN value IS NOT NULL AND src <> ts
+                             THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_filled,
+           CAST(coalesce(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS n_gaps
+    FROM g GROUP BY entity ORDER BY entity
+    """,
     doc="Regular-grid resampling with forward fill (operators/"
     "timeseries.resample_ffill): floor-aligned per-entity grid from an "
     "in-row sequence explode, as-of fill via one last(ignorenulls) "

@@ -79,25 +79,78 @@ def normalize(rows, colnames):
     return out
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+def compare_frames(sdf, odf) -> list[str]:
+    """The gate's comparison, shared with CI (tests/test_local_oracles):
+    row count → column names → pandas dtype *kind* (the driver hashes
+    raw values: int 23 != float 23.0 — round-1 math_ops/sessionize
+    failures) → order-insensitive normalized values. Returns problem
+    strings; empty list = match."""
+    if len(sdf) != len(odf):
+        return [f"row count spark={len(sdf)} duckdb={len(odf)}"]
+    if sorted(sdf.columns) != sorted(odf.columns):
+        return [f"columns spark={sorted(sdf.columns)} duckdb={sorted(odf.columns)}"]
+    bad = _dtype_mismatches(sdf, odf)
+    if bad:
+        return [f"dtype of '{c}' spark={sk} duckdb={okd}" for c, sk, okd in bad]
+    s_rows = normalize(sdf.to_dict("records"), list(sdf.columns))
+    o_rows = normalize(odf.to_dict("records"), list(odf.columns))
+    if s_rows != o_rows:
+        diffs = [i for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b]
+        out = [f"{len(diffs)} differing rows of {len(s_rows)}"]
+        for i in diffs[:3]:
+            out.append(f"  spark : {s_rows[i]}")
+            out.append(f"  duckdb: {o_rows[i]}")
+        return out
+    return []
 
-    spark = get_spark("check_oracle")
+
+def oracle_connection(sf_dir: str):
+    """DuckDB connection with the testdata views and the spark-hash UDF
+    replicas registered — everything a local_oracle may reference."""
+    from tools.spark_hash import xxhash64_long, xxhash64_long_int
+
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    con.create_function(
+        "spark_xxhash64", lambda v: xxhash64_long(v), ["BIGINT"], "BIGINT"
+    )
+    con.create_function(
+        "spark_xxhash64_int",
+        lambda v, i: xxhash64_long_int(v, i),
+        ["BIGINT", "INTEGER"],
+        "BIGINT",
+    )
+    return con
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("check_oracle")
+    # Spark-hash UDF replicas are for LOCAL oracles only (the driver's
+    # DuckDB has no UDFs — driver-facing oracle_sql() must never
+    # reference them).
+    con = oracle_connection(sf_dir)
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    from pixie_spark.queries import QUERIES as _specs
+
+    local_oracles = {
+        n: s.local_oracle
+        for n, s in _specs.items()
+        if s.local_oracle is not None and n not in oracles
+    }
     if only:
         unknown = only - set(qs)
         if unknown:
             print(f"ERROR: unknown query names: {sorted(unknown)}")
             return 1
-    failed, passed, rows_only = [], [], []
+    failed, passed, local_passed, rows_only = [], [], [], []
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -108,9 +161,8 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             failed.append(name)
             continue
-        if name not in oracles:
-            from pixie_spark.queries import QUERIES as _specs
-
+        is_local = name not in oracles and name in local_oracles
+        if name not in oracles and not is_local:
             allow_empty = _specs[name].allow_empty if name in _specs else False
             if len(sdf) == 0 and not allow_empty:
                 print(f"FAIL {name}: rows-only query returned 0 rows")
@@ -119,43 +171,27 @@ def main() -> int:
                 print(f"rows-only {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
                 rows_only.append(name)
             continue
+        sql = local_oracles[name] if is_local else oracles[name]
         try:
-            odf = con.execute(oracles[name]).fetchdf()
+            odf = con.execute(sql).fetchdf()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failed.append(name)
             continue
-        ok = True
-        if len(sdf) != len(odf):
-            print(f"FAIL {name}: row count spark={len(sdf)} duckdb={len(odf)}")
-            ok = False
-        elif sorted(sdf.columns) != sorted(odf.columns):
-            print(f"FAIL {name}: columns spark={sorted(sdf.columns)} duckdb={sorted(odf.columns)}")
-            ok = False
-        elif _dtype_mismatches(sdf, odf):
-            # Dtype-strict: the driver hashes raw values, where int 23 !=
-            # float 23.0 even though Python == says otherwise (round-1
-            # math_ops/sessionize failures). Compare pandas dtype kinds.
-            for c, sk, okd in _dtype_mismatches(sdf, odf):
-                print(f"FAIL {name}: dtype of '{c}' spark={sk} duckdb={okd}")
-            ok = False
-        else:
-            s_rows = normalize(sdf.to_dict("records"), list(sdf.columns))
-            o_rows = normalize(odf.to_dict("records"), list(odf.columns))
-            if s_rows != o_rows:
-                diffs = [i for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b]
-                print(f"FAIL {name}: {len(diffs)} differing rows of {len(s_rows)}")
-                for i in diffs[:3]:
-                    print(f"  spark : {s_rows[i]}")
-                    print(f"  duckdb: {o_rows[i]}")
-                ok = False
-        if ok:
-            print(f"PASS {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
-            passed.append(name)
+        problems = compare_frames(sdf, odf)
+        for p in problems:
+            print(f"FAIL {name}: {p}")
+        if not problems:
+            tag = "PASS-LOCAL" if is_local else "PASS"
+            print(f"{tag} {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            (local_passed if is_local else passed).append(name)
         else:
             failed.append(name)
 
-    print(f"\n{len(passed)} passed, {len(rows_only)} rows-only, {len(failed)} failed")
+    print(
+        f"\n{len(passed)} passed, {len(local_passed)} local-oracle passed, "
+        f"{len(rows_only)} rows-only, {len(failed)} failed"
+    )
     return 1 if failed else 0
 
 

@@ -1,0 +1,76 @@
+"""Pure-Python replica of Spark SQL's ``xxhash64`` for verification.
+
+Spark's XxHash64 expression folds each argument into a running hash:
+``h = seed (42); for each child: h = XXH64_small(child_bytes, h)`` —
+for LongType the 8-byte specialization, for IntegerType the 4-byte one
+(XXH64 spec, https://github.com/Cyan4973/xxHash/blob/dev/doc/xxhash_spec.md;
+public algorithm, re-implemented from the spec).
+
+The ORACLE side of hash-dependent operators (epoch_expand's fractional
+pick, assign_shards' permutation order) needs the same numbers DuckDB-
+side; these functions are registered as DuckDB Python UDFs by
+tools/check_oracle.py. Verification-only — the engine itself always
+uses the JVM-native F.xxhash64.
+
+Pinned bit-for-bit against Spark in tests/test_local_oracles.py.
+"""
+
+from __future__ import annotations
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M
+
+
+def _fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _P2) & _M
+    h ^= h >> 29
+    h = (h * _P3) & _M
+    h ^= h >> 32
+    return h
+
+
+def _to_signed(h: int) -> int:
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def hash_long(value: int, seed: int) -> int:
+    """XXH64 of one 8-byte little-endian long (Spark hashLong)."""
+    v = value & _M
+    s = seed & _M
+    h = (s + _P5 + 8) & _M
+    k1 = _rotl((v * _P2) & _M, 31)
+    k1 = (k1 * _P1) & _M
+    h ^= k1
+    h = (_rotl(h, 27) * _P1 + _P4) & _M
+    return _fmix(h)
+
+
+def hash_int(value: int, seed: int) -> int:
+    """XXH64 of one 4-byte little-endian int (Spark hashInt)."""
+    v = value & 0xFFFFFFFF
+    s = seed & _M
+    h = (s + _P5 + 4) & _M
+    h ^= (v * _P1) & _M
+    h = (_rotl(h, 23) * _P2 + _P3) & _M
+    return _fmix(h)
+
+
+def xxhash64_long(value: int, seed: int = 42) -> int:
+    """Signed-int64 replica of Spark ``F.xxhash64(long_col)``."""
+    return _to_signed(hash_long(value, seed))
+
+
+def xxhash64_long_int(value: int, int_arg: int, seed: int = 42) -> int:
+    """Signed-int64 replica of ``F.xxhash64(long_col, F.lit(int_arg))``
+    (a Python int literal ≤ 2^31-1 is IntegerType in Spark, so the
+    second fold is the 4-byte specialization)."""
+    return _to_signed(hash_int(int_arg, hash_long(value, seed)))
