@@ -34,6 +34,12 @@ from pixie_spark.api.dataframe import (
     PxGroupedFrame,
     is_meta_sentinel,
 )
+from pixie_spark.api.errors import (
+    CompilerError,
+    PxKeyError,
+    PxTypeError,
+    column_not_found,
+)
 from pixie_spark.api.timemod import (
     days,
     format_duration,
@@ -189,7 +195,10 @@ def DataFrame(  # noqa: N802 — PxL name
     declarative form of the reference's time-range scan cursor
     (memory_source_node.cc:58-88)."""
     if table not in _ctx["tables"]:
-        raise KeyError(f"table {table!r} not registered; have {sorted(_ctx['tables'])}")
+        # memory_source_ir.cc:116 wording; PxKeyError stays a KeyError
+        raise PxKeyError(
+            f"Table '{table}' not found. Available: {sorted(_ctx['tables'])}"
+        )
     sdf = _ctx["tables"][table]
     ref_now = now()
     if start_time is not None:
@@ -197,6 +206,9 @@ def DataFrame(  # noqa: N802 — PxL name
     if end_time is not None:
         sdf = sdf.where(F.col("time_") < F.lit(resolve_time(end_time, ref_now)))
     if select:
+        missing = [c for c in select if c not in sdf.columns]
+        if missing:
+            raise column_not_found(missing[0], sdf.columns)
         sdf = sdf.select(*select)
     return PxDataFrame(sdf)
 
@@ -261,13 +273,24 @@ def run_script(
             injected[name] = mod
         g = {"px": px_module, "F": F, **injected}
         c0 = time.perf_counter_ns()
-        compiled = compile_pxl(code)
+        try:
+            compiled = compile_pxl(code)
+        except SyntaxError as e:
+            # compiler_test.cc:2430-2443 — syntax errors surface as
+            # located CompilerErrors, not a raw CPython traceback
+            raise CompilerError(
+                f"SyntaxError: {e.msg}", line=e.lineno, col=e.offset
+            ) from e
         compile_ns = time.perf_counter_ns() - c0
         exec(compiled, g)  # noqa: S102
         for fn_name, kwargs in calls or []:
             out = g[fn_name](**kwargs)
             if out is not None:
                 display(out, fn_name)
+        if not _ctx["results"] and not calls:
+            # compiler_test.cc:2547 — a script with no sink compiles to
+            # nothing runnable in the reference
+            raise CompilerError("No runnable code found")
     except Exception as e:  # noqa: BLE001 — logged, then re-raised
         err = f"{type(e).__name__}: {e}"
         raise
@@ -358,6 +381,10 @@ def display(df: PxDataFrame, name: str = "output") -> SparkDataFrame:
     is started into an in-memory sink (GRPCSink→query-broker result
     table equivalent) and the queryable table is registered as the
     result; the handle is kept in ``streams()`` for stop/await."""
+    if isinstance(df, PxGroupedFrame):
+        # remove_group_by_rule_test.cc:68 — a dangling groupby is a
+        # compile error in the reference, not a displayable frame
+        raise PxTypeError("'groupby()' should be followed by an 'agg()'")
     sdf = df.to_spark() if isinstance(df, PxDataFrame) else df
     # re-display under a name bound to an active stream: stop and unbind
     # the old query first, whether the new frame is batch or streaming

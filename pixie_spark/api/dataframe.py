@@ -24,6 +24,12 @@ from pyspark.sql import Column
 from pyspark.sql import DataFrame as SparkDataFrame
 from pyspark.sql import functions as F
 
+from pixie_spark.api.errors import (
+    PxAttributeError,
+    PxTypeError,
+    PxValueError,
+    column_not_found,
+)
 from pixie_spark.functions import lookup
 from pixie_spark.functions.math_ops import bin as _bin
 
@@ -168,7 +174,13 @@ class PxDataFrame:
             raise AttributeError(name)
         if name in self._sdf.columns:
             return self._sdf[name]
-        raise AttributeError(f"no column {name!r}; have {self._sdf.columns}")
+        # compiler_test.cc:2630 ("dataframe has no method 'bar'") +
+        # analyzer_test.cc:313 column wording; PxAttributeError keeps the
+        # getattr protocol's AttributeError contract
+        raise PxAttributeError(
+            f"dataframe has no method or column '{name}'. "
+            f"Columns: {self._sdf.columns}"
+        )
 
     def __setattr__(self, name: str, value: Any) -> None:
         if name in _INTERNAL:
@@ -188,20 +200,49 @@ class PxDataFrame:
 
     def __getitem__(self, key):
         if isinstance(key, str):
+            if key not in self._sdf.columns:
+                raise column_not_found(key, self._sdf.columns)
             return self._sdf[key]
         if isinstance(key, (list, tuple)):
             # per-column exact-name lookup: select('latency(p50)') would
             # PARSE the string as an expression; df[name] resolves the
             # literal column name (corpus scripts use names with parens;
             # tuple form is the corpus's df['a', 'b', ...] keep)
+            missing = [c for c in key if c not in self._sdf.columns]
+            if missing:
+                raise column_not_found(missing[0], self._sdf.columns)
             return self._wrap(self._sdf.select(*[self._sdf[c] for c in key]))
         if is_meta_sentinel(key):
             tmp = "__meta_pred"
             sdf = _realize_meta(self._sdf, key, tmp)
             return self._wrap(sdf.where(F.col(tmp)).drop(tmp))
         if isinstance(key, Column):
-            return self._wrap(self._sdf.where(key))  # filter (dataframe.h:206)
-        raise TypeError(f"unsupported indexer {type(key)}")
+            # filter (dataframe.h:206); compiler_test.cc:672 requires the
+            # predicate to be boolean — a non-boolean Column fails Spark
+            # analysis with a py4j wall, so check the resolved dtype
+            # (driver-side schema resolution only, no job)
+            from pyspark.errors import AnalysisException
+
+            try:
+                dtype = self._sdf.select(key.alias("__pred")).schema[0].dataType
+            except AnalysisException as e:
+                # typically a column from another frame / unresolved name;
+                # surface Spark's first line with PxL framing
+                raise PxTypeError(
+                    "Filter expression does not resolve against this "
+                    f"dataframe: {str(e).splitlines()[0]}"
+                ) from None
+            if dtype.typeName() != "boolean":
+                raise PxTypeError(
+                    "Expected Boolean for Filter expression, "
+                    f"got '{dtype.simpleString()}'"
+                )
+            return self._wrap(self._sdf.where(key))
+        # objects/dataframe.cc:301 wording
+        raise PxTypeError(
+            "subscript argument must have a list of strings or expression. "
+            f"'{type(key).__name__}' not allowed"
+        )
 
     # --- operators ----------------------------------------------------------
 
@@ -211,8 +252,13 @@ class PxDataFrame:
         (http_post_requests/data.pxl:43)."""
         cols = columns if cols is None else cols
         if cols is None:
-            raise TypeError("drop() needs a column list")
+            raise PxTypeError("drop() needs a column list")
         cols = [cols] if isinstance(cols, str) else cols
+        # Spark's drop silently ignores unknown names; the reference
+        # errors (analyzer_test.cc:779) — match the reference
+        missing = [c for c in cols if c not in self._sdf.columns]
+        if missing:
+            raise column_not_found(missing[0], self._sdf.columns)
         return self._wrap(self._sdf.drop(*cols))
 
     def head(self, n: int = 5) -> "PxDataFrame":
@@ -223,6 +269,9 @@ class PxDataFrame:
         """dataframe.h:330 — deferred grouping, merged into the next agg
         (merge_group_by_into_group_acceptor_rule.h)."""
         by = [by] if isinstance(by, str) else list(by)
+        for c in by:
+            if c not in self._sdf.columns:
+                raise column_not_found(c, self._sdf.columns)
         return PxGroupedFrame(self, by)
 
     def agg(self, **aggs) -> "PxDataFrame":
@@ -241,11 +290,27 @@ class PxDataFrame:
         (equijoin_node.cc); suffix-renames overlapping columns.
         right_on defaults to left_on (pandas semantics)."""
         if left_on is None:
-            raise ValueError("merge requires left_on (and right_on, or same-named keys)")
+            raise PxValueError("merge requires left_on (and right_on, or same-named keys)")
+        if how not in ("inner", "left", "right", "outer", "full", "left_semi", "left_anti"):
+            raise PxValueError(
+                f"'{how}' not a supported merge how; must be one of "
+                "['inner', 'left', 'right', 'outer', 'full', 'left_semi', 'left_anti']"
+            )
+        if not (isinstance(suffixes, (list, tuple)) and len(suffixes) == 2):
+            # objects/dataframe.cc:170 wording
+            raise PxValueError(
+                f"'suffixes' must be a list with 2 elements. Received {len(suffixes)}"
+            )
         if right_on is None:
             right_on = left_on
         left_on = [left_on] if isinstance(left_on, str) else list(left_on)
         right_on = [right_on] if isinstance(right_on, str) else list(right_on)
+        for c in left_on:
+            if c not in self._sdf.columns:
+                raise column_not_found(c, self._sdf.columns)
+        for c in right_on:
+            if c not in right._sdf.columns:
+                raise column_not_found(c, right._sdf.columns)
         lsdf, rsdf = self._sdf, right._sdf
         # every shared name — including identical join keys — gets the
         # side suffix, matching the reference's merge (both key columns
@@ -331,10 +396,40 @@ class PxGroupedFrame:
                 pprof_specs[out_name] = spec[:-1]
                 del aggs[out_name]
         cols = []
+        parent_cols = self._parent._sdf.columns
         for out_name, spec in aggs.items():
             if isinstance(spec, tuple):
+                if len(spec) != 2:
+                    # objects/dataframe.cc:189 wording
+                    raise PxTypeError(
+                        "All elements of the agg tuple must be column "
+                        "names, except the last which should be a function"
+                        f" (kwarg '{out_name}' has {len(spec)} elements)"
+                    )
                 col_name, fn = spec
-                fn = lookup(fn) if isinstance(fn, str) else fn
+                if not isinstance(col_name, str):
+                    raise PxTypeError(
+                        "All elements of the agg tuple must be column "
+                        "names, except the last which should be a function"
+                        f" (kwarg '{out_name}': first element is "
+                        f"{type(col_name).__name__})"
+                    )
+                if col_name not in parent_cols:
+                    raise column_not_found(col_name, parent_cols)
+                if isinstance(fn, str):
+                    try:
+                        fn = lookup(fn)
+                    except KeyError:
+                        # registry_info.cc:121 wording
+                        raise PxValueError(
+                            f"Could not find function '{fn}'."
+                        ) from None
+                elif not callable(fn):
+                    # objects/dataframe.cc:198 wording
+                    raise PxTypeError(
+                        "Expected second tuple argument to be type Func, "
+                        f"received {type(fn).__name__}"
+                    )
                 col = F.col(col_name)
                 # PxL numeric aggregates accept booleans (mean(failure) =
                 # error rate, sum(failure) = error count — corpus idiom);
@@ -346,7 +441,11 @@ class PxGroupedFrame:
             elif isinstance(spec, Column):
                 cols.append(spec.alias(out_name))
             else:
-                raise TypeError(f"agg spec for {out_name!r} must be (col, fn) or Column")
+                # objects/dataframe.cc:227 wording
+                raise PxTypeError(
+                    f"Expected tuple for {out_name} but received "
+                    f"{type(spec).__name__}"
+                )
         by = list(self._by)
         rolling = self._parent._rolling_ns
         if rolling and rolling[0] not in by:

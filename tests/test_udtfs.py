@@ -134,6 +134,9 @@ def test_cron_script_history(spark, ctx):
     ok, bad = hist[:2], hist[2]
     assert ok[0]["script_id"] == ok[1]["script_id"] != bad["script_id"]
     assert all(r["error_message"] == "" for r in ok)
-    assert bad["error_message"].startswith("KeyError")
+    # round-5 compile-error surface: a PxL-phrased CompilerError (still a
+    # KeyError subclass, asserted by the raises above) naming the table
+    assert bad["error_message"].startswith("PxKeyError")
+    assert "Table 'no_such_table' not found" in bad["error_message"]
     assert all(r["execution_time_ns"] > 0 and r["compilation_time_ns"] > 0 for r in hist)
     assert all(r["timestamp"] > 0 for r in hist)
