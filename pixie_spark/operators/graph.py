@@ -16,10 +16,14 @@ Spark shape per iteration: one equijoin of the rank frame against the
 edge frame on src (both sides hash-partitioned on the same key — the
 edge side's partitioning is REUSED across all iterations once
 materialized, so after iteration 1 only the small rank frame moves) and
-one groupBy(dst) partial+final aggregate. The dangling mass is a scalar
-(one-row aggregate joined back as a literal via crossJoin of a 1-row
-frame — broadcast, free). Convergence is checked every ``check_every``
-iterations with a bounded 1-row L1-delta aggregate.
+one groupBy(dst) partial+final aggregate. The dangling mass is a 1-row
+aggregate FRAME folded into the rank-update plan via broadcast
+crossJoin — it never touches the driver, so each iteration runs exactly
+ONE driver action (the localCheckpoint that materializes the new
+ranks). The per-node L1 delta is computed as a column of that same
+materialization; convergence checks every ``check_every`` iterations
+read it back with a cheap cached-scan aggregate (asserted in
+tests/test_graph.py by counting Spark jobs per iteration).
 """
 
 from __future__ import annotations
@@ -71,8 +75,11 @@ def pagerank(
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
     for it in range(max_iter):
-        dangling = (
-            ranks.join(has_out, "node", "left_anti").agg(F.sum("rank")).first()[0] or 0.0
+        # dangling mass as a 1-ROW FRAME, broadcast-crossJoined into the
+        # update plan — no .first() round-trip; the scalar is computed
+        # inside the same job that materializes the new ranks
+        dangling = ranks.join(has_out, "node", "left_anti").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling")
         )
         inflow = (
             contrib.join(ranks, "node")
@@ -80,29 +87,32 @@ def pagerank(
             .agg(F.sum(F.col("rank") * F.col("w")).alias("inflow"))
             .withColumnRenamed("dst", "node")
         )
-        new_ranks = (
-            nodes.join(inflow, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n))
-                ).alias("rank"),
-            )
-            .localCheckpoint()
+        rank_expr = F.lit((1.0 - damping) / n) + F.lit(damping) * (
+            F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("__dangling") / F.lit(float(n))
         )
-        if (it + 1) % check_every == 0 or it == max_iter - 1:
-            delta = (
-                new_ranks.join(ranks.withColumnRenamed("rank", "prev"), "node")
-                .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))))
-                .first()[0]
-            )
-            ranks = new_ranks
+        check = (it + 1) % check_every == 0 or it == max_iter - 1
+        updated = nodes.join(inflow, "node", "left")
+        if check:
+            # L1 delta rides the same materialization (one extra co-
+            # partitioned join on check rounds only); the aggregate below
+            # re-scans cached checkpoint blocks, no recompute
+            updated = updated.join(ranks.withColumnRenamed("rank", "__prev"), "node")
+            cols = [
+                rank_expr.alias("rank"),
+                F.abs(rank_expr - F.col("__prev")).alias("__delta"),
+            ]
+        else:
+            cols = [rank_expr.alias("rank")]
+        new_ranks = (
+            updated.crossJoin(F.broadcast(dangling))
+            .select("node", *cols)
+            .localCheckpoint()  # the iteration's ONE driver action
+        )
+        ranks = new_ranks.drop("__delta") if check else new_ranks
+        if check:
+            delta = new_ranks.agg(F.sum("__delta")).first()[0]
             if delta is not None and delta < tol:
                 break
-        else:
-            ranks = new_ranks
     return ranks
 
 
@@ -119,7 +129,13 @@ def domain_authority(
     minimum rank — no free boost for never-linked hosts). The rank
     table is |domains|-sized → broadcast; the corpus never shuffles."""
     ranks = pagerank(edges, damping=damping, max_iter=max_iter)
-    floor_rank = ranks.agg(F.min("rank")).first()[0]
-    return docs.join(
-        F.broadcast(ranks.withColumnRenamed("node", domain_col)), domain_col, "left"
-    ).withColumn("authority", F.coalesce("rank", F.lit(floor_rank))).drop("rank")
+    # the floor is a 1-row broadcast frame too — no extra driver action
+    floor_rank = ranks.agg(F.min("rank").alias("__floor"))
+    return (
+        docs.join(
+            F.broadcast(ranks.withColumnRenamed("node", domain_col)), domain_col, "left"
+        )
+        .crossJoin(F.broadcast(floor_rank))
+        .withColumn("authority", F.coalesce("rank", F.col("__floor")))
+        .drop("rank", "__floor")
+    )

@@ -87,3 +87,51 @@ def test_domain_authority_join(spark):
 def test_empty_graph(spark):
     empty = spark.createDataFrame([], "src string, dst string")
     assert pagerank(empty).count() == 0
+
+
+def test_no_per_iteration_driver_actions(spark, monkeypatch):
+    """The round-4 review flagged a dangling-mass .first() every
+    iteration. The dangling scalar and the convergence delta are now
+    folded into the rank-update plan (1-row broadcast crossJoin), so
+    driver ACTIONS issued by pagerank are: bounded setup (node count)
+    plus exactly ONE materialization per iteration and one cheap
+    cached-scan aggregate per CHECK round — never per iteration.
+    (Raw Spark job counts are not asserted: AQE materializes every
+    shuffle stage as its own job, which says nothing about driver
+    round-trips.)"""
+    # patch the CONCRETE class (Spark 4 instances are
+    # pyspark.sql.classic.dataframe.DataFrame; the pyspark.sql.DataFrame
+    # base's methods are overridden there and would never fire)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    calls = {"first": 0, "collect": 0, "checkpoint": 0}
+    orig_first, orig_collect = DataFrame.first, DataFrame.collect
+    orig_ckpt = DataFrame.localCheckpoint
+
+    def counting_first(self):
+        calls["first"] += 1
+        return orig_first(self)
+
+    def counting_collect(self):
+        calls["collect"] += 1
+        return orig_collect(self)
+
+    def counting_ckpt(self, *a, **k):
+        calls["checkpoint"] += 1
+        return orig_ckpt(self, *a, **k)
+
+    monkeypatch.setattr(DataFrame, "first", counting_first)
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    monkeypatch.setattr(DataFrame, "localCheckpoint", counting_ckpt)
+
+    max_iter, check_every = 9, 3
+    pagerank(_edge_df(spark), max_iter=max_iter, check_every=check_every, tol=0.0)
+    n_checks = max_iter // check_every  # 3 check rounds (incl. the last)
+    # first(): ONLY the delta read-back on check rounds
+    assert calls["first"] == n_checks
+    # collect(): only first()'s internal head(1)→collect — no other
+    # collect anywhere (count() goes through the JVM, not collect)
+    assert calls["collect"] == n_checks
+    # one materialization per iteration + 4 setup checkpoints
+    # (nodes, contrib, has_out, rank init)
+    assert calls["checkpoint"] == max_iter + 4
