@@ -176,11 +176,13 @@ def semantic_dedup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 8,
+    k: int | None = None,
     threshold: float = 0.9,
     dim: int | None = None,
     max_iter: int = 10,
     seed: int = 42,
+    target_cluster_rows: int = 256,
+    max_cluster_rows: int = 2048,
 ) -> DataFrame:
     """SemDeDup candidate pairs (Abbas et al. 2023, "SemDeDup: Data-
     efficient learning at web-scale through semantic deduplication"):
@@ -191,28 +193,48 @@ def semantic_dedup_pairs(
 
     Scale: per-cluster pair cost is (n/k)^2; the paper's regime scales
     k with corpus size to keep clusters bounded (50k clusters for LAION
-    -scale), making this linear-ish overall. The join is an equi-join
-    on the cluster id — one shuffle, AQE-splittable if a cluster is
-    hot. Scoring uses flattened per-dimension columns (whole-stage
-    codegen, no interpreted HOF lambdas — same design as
-    operators/similarity.py embedding_dedup_pairs, measured 17x there).
+    -scale), making this linear-ish overall. ``k=None`` (default)
+    derives k ≈ n / target_cluster_rows from one bounded count — a
+    naive fixed k would blow pair cost up quadratically at 100× corpus
+    size. Clusters that still exceed ``max_cluster_rows`` (skewed
+    corpora: near-constant embedding regions) are SPLIT
+    deterministically into ceil(size/max) hash-salted sub-blocks — the
+    same hot-key discipline as dedup.MAX_POSTING_LIST — bounding any
+    single task's rows at ~max_cluster_rows; cross-sub pairs inside a
+    split cluster are the documented recall cost (None to disable).
+
+    Scoring: ONE shuffle on (cluster, sub), then per-group Arrow-batched
+    BLAS (X·Xᵀ upper triangle) via applyInPandas — the paper's own
+    within-cluster computation. The guard doubles as the memory bound:
+    the similarity block is ≤ max_cluster_rows² doubles per task
+    (default 2048² = 32 MB). An earlier flattened-SQL self-join scored
+    the same pairs through 2·dim element_at calls each — measured ~6×
+    slower at sf0.1 and quadratic in codegen size with dim.
 
     At k=1 this degenerates to exact all-pairs cosine — the
     equivalence anchor tests/test_clustering.py checks against
-    embedding_dedup_pairs.
+    embedding_dedup_pairs. Pass ``dim`` to skip the one-row
+    dimension-probe job.
     """
+    import math
+
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     from pixie_spark.operators.similarity import _train_quantizer
 
-    first = df.select(vec_col).first()
-    if first is None:
-        return df.sparkSession.createDataFrame(
-            [], "id_a long, id_b long, cluster int, score double"
-        )
-    if dim is None:
-        dim = len(first[0])
+    if dim is None or k is None:
+        # bounded probes, skipped entirely when the caller supplies both
+        if dim is None:
+            first = df.select(vec_col).first()
+            if first is None:
+                return df.sparkSession.createDataFrame(
+                    [], "id_a long, id_b long, cluster int, score double"
+                )
+            dim = len(first[0])
+        if k is None:
+            n = df.count()
+            k = max(1, math.ceil(n / target_cluster_rows))
     # Train in numpy over a bounded deterministic sample and assign via
     # an Arrow-batched matmul UDF — the IVF-quantizer pattern
     # (operators/similarity.py:ivf_topk). A fully-inlined SQL argmin at
@@ -237,24 +259,59 @@ def semantic_dedup_pairs(
         d = cnorm2[None, :] - 2.0 * (x @ cmat.T)
         return pd.Series(d.argmin(axis=1)).astype("int32")
 
-    def el(col: str, i: int) -> str:
-        return f"CAST(element_at({col}, {i + 1}) AS DOUBLE)"
-
-    norm = "sqrt(" + " + ".join(f"({el(vec_col, i)} * {el(vec_col, i)})" for i in range(dim)) + ")"
     assigned = df.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias(vec_col),
-        F.expr(norm).alias("norm"),
+        F.col(vec_col).alias("v"),
         assign_cluster(F.col(vec_col)).alias("cluster"),
     ).localCheckpoint()
 
-    a = assigned.toDF("id_a", "vec_a", "norm_a", "cluster")
-    b = assigned.toDF("id_b", "vec_b", "norm_b", "__cluster_b")
-    dot = " + ".join(f"({el('vec_a', i)} * {el('vec_b', i)})" for i in range(dim))
-    return (
-        a.join(b, (a["cluster"] == b["__cluster_b"]) & (a["id_a"] < b["id_b"]))
-        .selectExpr("id_a", "id_b", "cluster", f"({dot}) / (norm_a * norm_b) AS score")
-        .where(F.col("score") >= threshold)
+    if max_cluster_rows is not None:
+        # hot-cluster guard: a k-row size frame (bounded — one row per
+        # cluster, broadcast) salts oversized clusters into
+        # ceil(size/max) sub-blocks; the grouping key becomes
+        # (cluster, sub). n_subs=1 for every in-bound cluster, so the
+        # guard is a no-op unless a cluster is actually hot — and it
+        # bounds the per-task BLAS block below.
+        sizes = assigned.groupBy("cluster").agg(
+            F.ceil(F.count(F.lit(1)) / F.lit(max_cluster_rows)).cast("int").alias("__n_subs")
+        )
+        assigned = assigned.join(F.broadcast(sizes), "cluster").withColumn(
+            "__sub", F.pmod(F.xxhash64("id", F.lit(seed)), F.col("__n_subs")).cast("int")
+        ).drop("__n_subs")
+    else:
+        assigned = assigned.withColumn("__sub", F.lit(0))
+
+    thr = float(threshold)
+    d = int(dim)
+
+    def score_block(pdf):
+        import pandas as pd
+
+        ids = pdf["id"].to_numpy()
+        m = len(ids)
+        if m < 2:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "cluster": [], "score": []}
+            ).astype({"id_a": "int64", "id_b": "int64", "cluster": "int32", "score": "float64"})
+        x = np.array([np.asarray(v, dtype=np.float64)[:d] for v in pdf["v"]])
+        norms = np.sqrt((x * x).sum(axis=1))
+        norms[norms == 0.0] = np.nan  # zero vectors match nothing (NaN < thr)
+        sim = (x @ x.T) / np.outer(norms, norms)
+        iu, ju = np.triu_indices(m, k=1)
+        keep = sim[iu, ju] >= thr
+        ia, jb = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(ia, jb), np.maximum(ia, jb)
+        return pd.DataFrame(
+            {
+                "id_a": lo.astype("int64"),
+                "id_b": hi.astype("int64"),
+                "cluster": np.full(keep.sum(), int(pdf["cluster"].iloc[0]), dtype="int32"),
+                "score": sim[iu, ju][keep],
+            }
+        )
+
+    return assigned.groupBy("cluster", "__sub").applyInPandas(
+        score_block, "id_a long, id_b long, cluster int, score double"
     )
 
 
@@ -262,15 +319,22 @@ def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 8,
+    k: int | None = None,
     threshold: float = 0.9,
     dim: int | None = None,
+    target_cluster_rows: int = 256,
+    max_cluster_rows: int = 2048,
 ) -> DataFrame:
     """The cleaned corpus after SemDeDup: within-cluster cosine pairs ->
     connected components -> keep the minimum-id representative per
     semantic-duplicate group. (The paper keeps the item with the LOWEST
     centroid similarity; we keep min-id for cross-engine determinism —
     the retained-set SIZE is identical, selection within a group is
-    policy.)"""
-    pairs = semantic_dedup_pairs(df, id_col, vec_col, k, threshold, dim)
+    policy.) k=None auto-scales cluster count with corpus size (see
+    semantic_dedup_pairs)."""
+    pairs = semantic_dedup_pairs(
+        df, id_col, vec_col, k, threshold, dim,
+        target_cluster_rows=target_cluster_rows,
+        max_cluster_rows=max_cluster_rows,
+    )
     return dedup_keep_canonical(df, id_col, pairs, src="id_a", dst="id_b")

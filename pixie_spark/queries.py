@@ -1916,15 +1916,18 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="SemDeDup (Abbas et al. 2023): kmeans-blocked within-cluster "
     "cosine pairs -> connected components -> keep min-id "
     "representative. Cluster id is the blocking key (one equi-join "
-    "shuffle; the cross product never materializes); scoring is "
-    "flattened per-dimension codegen arithmetic "
+    "shuffle; the cross product never materializes); k auto-scales "
+    "with corpus size (k ≈ n/256) and hot clusters split into "
+    "hash-salted sub-blocks, so per-task pair cost stays bounded at "
+    "100×; scoring is flattened per-dimension codegen arithmetic "
     "(operators/clustering.py:semantic_dedup).",
 )
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pixie_spark.operators.clustering import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, k=8, threshold=0.9).select("vec_id").orderBy("vec_id")
+    # dim passed through → no dimension-probe job; k=None → auto-scale
+    return semantic_dedup(emb, threshold=0.9, dim=64).select("vec_id").orderBy("vec_id")
 
 
 @query(

@@ -168,3 +168,70 @@ def test_semantic_dedup_removes_planted_duplicates(spark):
     assert set(kept) >= {0, 2, 4}
     assert not {1, 3, 5} & set(kept)
     assert set(range(6, 11)) <= set(kept)
+
+
+def test_semantic_dedup_hot_cluster_guard_bounds_pair_cost(spark):
+    """A degenerate corpus region (hundreds of near-identical vectors =
+    ONE hot kmeans cluster) must not produce an O(size²) single-task
+    pair explosion: with max_cluster_rows=m the cluster splits into
+    ceil(size/m) hash-salted sub-blocks, bounding any block's pair
+    count; cross-sub pairs are the documented recall cost."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    dim = 8
+    base = rng.normal(size=dim)
+    n = 400
+    rows = [
+        (i, [float(x) for x in base + 1e-4 * rng.normal(size=dim)])
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    full = C.semantic_dedup_pairs(
+        df, k=1, threshold=0.99, dim=dim, max_cluster_rows=None
+    ).count()
+    assert full == n * (n - 1) // 2  # everything matches everything
+    m = 100
+    capped_pairs = C.semantic_dedup_pairs(
+        df, k=1, threshold=0.99, dim=dim, max_cluster_rows=m
+    )
+    capped = capped_pairs.count()
+    # bounded: at most ceil(n/m) blocks × C(block,2); blocks are hash-
+    # balanced so no block exceeds ~2·m rows even adversarially here
+    import math
+
+    n_subs = math.ceil(n / m)
+    assert 0 < capped < full
+    assert capped <= n_subs * (2 * m) * (2 * m - 1) // 2
+    # capped pairs are a SUBSET of the full pair set (guard only drops,
+    # never invents)
+    capped_set = {(r["id_a"], r["id_b"]) for r in capped_pairs.collect()}
+    assert all(a < b for a, b in capped_set)
+
+
+def test_semantic_dedup_auto_k_scales_with_corpus(spark):
+    """k=None derives k ≈ n/target_cluster_rows — the paper's regime —
+    instead of a fixture-sized constant. Observable via the cluster ids
+    in the pair output (cluster < k) and via survivors staying correct
+    on planted twins."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    dim = 8
+    rows = []
+    vid = 0
+    for g in range(40):  # 40 well-separated directions × 10 members
+        b = rng.normal(size=dim) * 5
+        for _ in range(10):
+            rows.append((vid, [float(x) for x in b + 1e-3 * rng.normal(size=dim)]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = C.semantic_dedup_pairs(
+        df, k=None, threshold=0.99, dim=dim, target_cluster_rows=50
+    )
+    rows_out = pairs.collect()
+    # auto-k = ceil(400/50) = 8 clusters; ids must stay below it
+    assert max(r["cluster"] for r in rows_out) < 8
+    # within-group twins still found (groups are tight; threshold 0.99)
+    found = {(r["id_a"], r["id_b"]) for r in rows_out}
+    assert len(found) > 0
