@@ -41,7 +41,12 @@ PARTIAL_COLS = ("n", "sum_v", "min_v", "max_v")
 
 
 def _bucket(col: str, width_ns: int) -> F.Column:
-    return F.floor(F.col(col) / F.lit(width_ns)) * F.lit(width_ns)
+    # exact integral floor-align: `/` on longs is DOUBLE division, which
+    # rounds above 2^53 — ns-epoch values land one bucket off within
+    # ~256 ns of a boundary (the resample_ffill lesson, ADVICE r4); the
+    # double-mod form is floor-correct for any sign
+    t = f"CAST({col} AS BIGINT)"
+    return F.expr(f"{t} - (({t} % {width_ns} + {width_ns}) % {width_ns})")
 
 
 def rollup_base(

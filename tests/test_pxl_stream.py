@@ -249,3 +249,111 @@ def test_one_pipeline_stream_rolling_otel(spark, ctx, tmp_path):
             except Exception:  # noqa: BLE001
                 pass
         px.register_table("http_events", base)
+
+
+# --- round-5 widened coverage (verdict ask #5): 5 more corpus scripts in
+# --- the stream≡batch golden tier, spanning every event table family and
+# --- the ctx-metadata-join path.
+
+
+def test_slow_http_requests_streamed_equals_golden(spark, ctx, tmp_path):
+    """Percentile-threshold filter (namespace p99) over a streamed
+    http_events feed: the single above-p99 request from the batch golden
+    must be found, with identical values."""
+    run = _stream_run(
+        spark, ctx, _read("slow_http_requests/slow_http_requests.pxl"),
+        streamed=["http_events"], work_dir=str(tmp_path / "slow"),
+        calls=[("namespace_slow_requests", {"start_time": "-1h", "namespace": "prod"})],
+    )
+    assert run.refresh_count >= 3
+    rows = _dicts(run.results["namespace_slow_requests"], "time_")
+    assert [(r["time_"], r["latency"], r["req_path"], r["resp_status"]) for r in rows] == [
+        (1704068586213717248, 222434444, "/logout", 200)
+    ]
+
+
+def test_dns_query_summary_streamed_equals_golden(spark, ctx, tmp_path):
+    """Per-(pod, qname) resolution stats over streamed dns_events — a
+    ctx-metadata-join script (pod resolution via broadcast lookup):
+    exact global totals and one pinned cell."""
+    run = _stream_run(
+        spark, ctx, _read("dns_query_summary/dns_query_summary.pxl"),
+        streamed=["dns_events"], work_dir=str(tmp_path / "dnsq"),
+        calls=[("dns_queries", {"start_time": "-1h", "namespace": "", "pod_filter": "",
+                                "query_filter": "", "dns_server_filter": ""})],
+    )
+    assert run.refresh_count >= 3
+    rows = _dicts(run.results["dns_queries"], "pod", "qname")
+    assert len(rows) == 79
+    assert sum(r["num_requests"] for r in rows) == 300
+    assert sum(r["num_resolved"] for r in rows) == 205
+    assert sum(r["num_nxdomain"] for r in rows) == 95
+    one = [r for r in rows if r["pod"] == "prod/api-0001" and r["qname"] == "svc-1"]
+    assert len(one) == 1
+    assert (one[0]["num_requests"], one[0]["num_resolved"], one[0]["num_nxdomain"]) == (2, 0, 2)
+    assert one[0]["unresolved_rate"] == approx(1.0, rel=1e-9)
+    assert one[0]["qgroup"] == "svc-1 @10.32.0.10"
+
+
+def test_service_edge_stats_streamed_equals_golden(spark, ctx, tmp_path):
+    """frontend→api edge time series over streamed http_events — ctx
+    joins resolve BOTH endpoints: exact row count, total throughput,
+    p99 peak, all equal to the batch golden."""
+    run = _stream_run(
+        spark, ctx, _read("service_edge_stats/service_edge_stats.pxl"),
+        streamed=["http_events"], work_dir=str(tmp_path / "edge"),
+        calls=[("svc_edge_let",
+                {"start_time": "-1h", "requesting_svc": "prod/frontend",
+                 "responding_svc": "prod/api"})],
+    )
+    assert run.refresh_count >= 3
+    rows = run.results["svc_edge_let"]
+    assert len(rows) == 198
+    assert sum(r["request_throughput"] for r in rows) == approx(
+        2.1999999999999985e-08, rel=1e-9
+    )
+    assert max(r["latency_p99"] for r in rows) == 62504018
+
+
+def test_jvm_stats_streamed_equals_golden(spark, ctx, tmp_path):
+    """JVM heap time series over a streamed jvm_stats feed: 10 pods × 30
+    bins and the exact summed used-heap bytes of the batch golden."""
+    run = _stream_run(
+        spark, ctx, _read("jvm_stats/jvm_stats.pxl"),
+        streamed=["jvm_stats"], work_dir=str(tmp_path / "jvm"),
+        calls=[("jvm_stats", {"start_time": "-1h", "node_name": "", "pod": ""})],
+    )
+    assert run.refresh_count >= 3
+    rows = run.results["jvm_stats"]
+    assert len(rows) == 300
+    assert len({r["pod"] for r in rows}) == 10
+    assert sum(r["used_heap_size"] for r in rows) == 70536658944
+
+
+def test_net_flow_graph_streamed_equals_golden(spark, ctx, tmp_path):
+    """conn_stats flow graph (rate-of-counter math over streamed
+    cumulative counters + ctx endpoint resolution): every edge and
+    byte-throughput value equals the batch golden."""
+    run = _stream_run(
+        spark, ctx, _read("net_flow_graph/net_flow_graph.pxl"),
+        streamed=["conn_stats"], work_dir=str(tmp_path / "nfg"),
+        calls=[("net_flow_graph", {"start_time": "-1h", "ns": "prod",
+                                   "from_entity_filter": "", "to_entity_filter": "",
+                                   "throughput_filter": 0.0})],
+    )
+    assert run.refresh_count >= 3
+    rows = _dicts(run.results["net_flow_graph"], "from_entity", "to_entity")
+    expected = [
+        ("prod/api-0001", "203.0.113.9", 2.2538813559322034e-07, 4.900084745762711e-07),
+        ("prod/api-0004", "staging/db-0005", 2.7306610169491524e-07, 4.992322033898306e-07),
+        ("prod/api-0007", "staging/db-0008", 2.5881186440677964e-07, 4.479915254237288e-07),
+        ("prod/frontend-0000", "prod/api-0001", 2.4035762711864405e-07, 4.4179661016949154e-07),
+        ("prod/frontend-0003", "prod/api-0004", 2.7512881355932205e-07, 5.099118644067797e-07),
+        ("prod/frontend-0006", "prod/api-0007", 2.5977627118644067e-07, 4.939694915254238e-07),
+        ("prod/frontend-0009", "prod/frontend-0000", 2.420322033898305e-07, 5.601711864406779e-07),
+    ]
+    assert len(rows) == len(expected)
+    for r, (src, dst, sent, recv) in zip(rows, expected):
+        assert (r["from_entity"], r["to_entity"]) == (src, dst)
+        assert r["bytes_sent"] == approx(sent, rel=1e-9)
+        assert r["bytes_recv"] == approx(recv, rel=1e-9)

@@ -249,3 +249,94 @@ def test_kll_state_survives_parquet_materialization(spark, tmp_path):
             lo = exact[max(0, int((q - 0.03) * n) - 1)]
             hi = exact[min(n - 1, int((q + 0.03) * n))]
             assert lo <= r[col] <= hi, (r["bucket_ts"], col)
+
+
+def test_streaming_base_partials_feed_batch_cascade(spark, tmp_path):
+    """The cascade's streaming story (round-5 verdict ask #5): the BASE
+    1m level is produced by an incremental Structured Streaming
+    aggregation over a file stream, and the coarser 10m/1h levels are
+    the ordinary BATCH merges over that streamed base — every finalized
+    level must EQUAL the all-batch cascade from raw. count/sum/min/max
+    are exact-mergeable; the HLL distinct state is order-insensitive,
+    so the streamed sketch estimate matches the batch one exactly.
+    Raw timestamps are µs-aligned: window() buckets at timestamp (µs)
+    precision while the batch path buckets ns longs, so sub-µs parts
+    at a bucket edge would be an artificial mismatch."""
+    import pyspark.sql.functions as F
+
+    from pixie_spark.operators.rollup import finalize, rollup_base, rollup_merge
+
+    m = 60 * 10**9
+    base_ns = 1_704_067_200_000_000_000  # far above 2^53: exercises the
+    # exact integral bucket floor
+    rows = []
+    for i in range(600):
+        etype = f"e{i % 3}"
+        ts = base_ns + (i * 7919) % (90 * 60) * 10**9 + (i % 1000) * 1000
+        rows.append((etype, ts, float(i % 47), i % 29))
+    raw = spark.createDataFrame(rows, "etype string, ts long, value double, user_id int")
+
+    widths = [m, 10 * m, 60 * m]
+    batch_levels = {
+        w: None for w in widths
+    }
+    batch_levels[m] = rollup_base(raw, "ts", "value", ["etype"], m, distinct_col="user_id")
+    batch_levels[10 * m] = rollup_merge(batch_levels[m], ["etype"], 10 * m)
+    batch_levels[60 * m] = rollup_merge(batch_levels[10 * m], ["etype"], 60 * m)
+
+    # --- streaming base: raw laid out as 4 arrival chunks, incremental
+    # windowed aggregation building the SAME partial columns
+    src = tmp_path / "raw"
+    for i in range(4):
+        raw.where((F.col("user_id") % 4) == i).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    ts = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    streamed_base = (
+        stream.withColumn("__ts", ts)
+        .groupBy("etype", F.window("__ts", "1 minute").alias("__w"))
+        .agg(
+            F.count("value").alias("n"),
+            F.sum("value").alias("sum_v"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+            F.hll_sketch_agg("user_id").alias("hll_v"),
+        )
+        .withColumn("bucket_ts", (F.unix_micros(F.col("__w.start")) * 1000).cast("long"))
+        .drop("__w")
+    )
+    q = (
+        streamed_base.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("rollup_stream_base")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sbase = spark.table("rollup_stream_base").select(
+        "etype", "bucket_ts", "n", "sum_v", "min_v", "max_v", "hll_v"
+    )
+
+    stream_levels = {m: sbase}
+    stream_levels[10 * m] = rollup_merge(sbase, ["etype"], 10 * m)
+    stream_levels[60 * m] = rollup_merge(stream_levels[10 * m], ["etype"], 60 * m)
+
+    for w in widths:
+        want = {
+            (r["etype"], r["bucket_ts"]): (
+                r["n"], r["sum_v"], r["min_v"], r["max_v"], r["approx_distinct"]
+            )
+            for r in finalize(batch_levels[w]).collect()
+        }
+        got = {
+            (r["etype"], r["bucket_ts"]): (
+                r["n"], r["sum_v"], r["min_v"], r["max_v"], r["approx_distinct"]
+            )
+            for r in finalize(stream_levels[w]).collect()
+        }
+        assert got == want, f"level {w // m}m diverged"
