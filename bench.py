@@ -95,6 +95,17 @@ def main() -> None:
 
     # JVM/codegen warmup so the first measured query isn't charged for it
     QUERIES["distinct_rows"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # r5: also warm the multi-aggregate codegen/JIT path on the TINY
+    # fixture — agg_groupby opened every round ~1s slower than its
+    # steady state purely from first-compile of the 9-aggregate
+    # whole-stage-codegen unit (measured: 2.0s cold vs 0.35s warm at
+    # sf0.1; see SCALE.md round-5 notes). Warming on sf0.001 compiles
+    # the same generated classes without touching the measured data.
+    if os.path.isdir("/root/testdata/sf0.001"):
+        for wq in ("agg_groupby", "quantiles"):
+            QUERIES[wq].fn(spark, "/root/testdata/sf0.001").write.format(
+                "noop"
+            ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     extra_timings: dict[str, float] = {}

@@ -292,16 +292,22 @@ def have_sentencepiece() -> bool:
 _MODEL_CACHE: dict = {}
 
 
-def _load_sp(tokenizer_path: str):
+def _load_sp(tokenizer_path: str, engine: str = "auto"):
     """Tokenizer by extension: ``*.json`` → the pure-numpy
     TinyVocabTokenizer (same ``encode()`` surface — lets the inference
-    UDFs run in lib-less CI), anything else → real sentencepiece."""
-    key = ("sp", tokenizer_path)
+    UDFs run in lib-less CI), anything else → real sentencepiece, or
+    the pure-Python MicroSentencePiece when ``engine='micro'`` (opted
+    in by the caller — same .model artifact, unigram Viterbi)."""
+    key = ("sp", tokenizer_path, engine)
     if key not in _MODEL_CACHE:
         if tokenizer_path.endswith(".json"):
             from pixie_spark.functions.np_encoder import TinyVocabTokenizer
 
             _MODEL_CACHE[key] = TinyVocabTokenizer(tokenizer_path)
+        elif engine == "micro":
+            from pixie_spark.functions.sp_model import MicroSentencePiece
+
+            _MODEL_CACHE[key] = MicroSentencePiece(model_file=tokenizer_path)
         else:
             import sentencepiece as spm
 
@@ -415,19 +421,32 @@ def text_embedding(col: Column, model_path: str | None = None, tokenizer_path: s
     )
 
 
-def encode_sentence_piece(col: Column, model_path: str | None = None) -> Column:
+def encode_sentence_piece(
+    col: Column, model_path: str | None = None, engine: str = "auto"
+) -> Column:
     """_encode_sentence_piece (ml_ops.cc): text → token ids.
 
     With ``model_path`` + the sentencepiece lib, real tokenization via an
     Arrow-batched pandas_udf (per-worker processor cache); a ``.json``
     vocab runs the built-in TinyVocabTokenizer through the SAME udf.
-    Otherwise a deterministic fake: word-hash ids mod 32000."""
+    ``engine="micro"`` opts into the pure-Python unigram-Viterbi engine
+    (functions/sp_model.py) reading the SAME ``.model`` artifact —
+    opt-in only: the default stays a LOUD ImportError without the lib so
+    a prod config typo can never silently switch tokenizers.
+    Without ``model_path``, a deterministic fake: word-hash ids mod 32000."""
     if model_path is not None:
-        if not model_path.endswith(".json") and not have_sentencepiece():
+        if engine not in ("auto", "micro"):
+            raise ValueError(f"engine must be 'auto' or 'micro', got {engine!r}")
+        if (
+            engine == "auto"
+            and not model_path.endswith(".json")
+            and not have_sentencepiece()
+        ):
             raise ImportError(
                 "encode_sentence_piece(model_path=...) needs sentencepiece; "
-                "call without model_path for the deterministic stub, or "
-                "pass a .json vocab for the built-in tokenizer"
+                "call without model_path for the deterministic stub, pass a "
+                ".json vocab for the built-in tokenizer, or opt into "
+                "engine='micro' for the pure-Python unigram engine"
             )
         from pyspark.sql.functions import pandas_udf
 
@@ -435,7 +454,7 @@ def encode_sentence_piece(col: Column, model_path: str | None = None) -> Column:
         def encode(texts):
             import pandas as pd
 
-            sp = _load_sp(model_path)
+            sp = _load_sp(model_path, engine=engine)
             return pd.Series([sp.encode(t or "") for t in texts])
 
         return encode(col)

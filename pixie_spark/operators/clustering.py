@@ -87,6 +87,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``;
     ``component`` is the minimum node id of the connected component.
@@ -95,7 +96,9 @@ def connected_components(
     (checksum-equal two rounds running), then reads components off the
     converged star graph. ``max_iter`` bounds the loop far above the
     O(log^2 n) expectation — hitting it raises rather than returning a
-    partial closure silently.
+    partial closure silently. Pass ``stats`` (a dict) to receive
+    {"rounds": n} — the observable the scale-up table tracks (rounds
+    must stay flat-to-log as the graph grows).
     """
     edges = (
         pairs.select(F.col(src).alias("child"), F.col(dst).alias("parent"))
@@ -108,9 +111,11 @@ def connected_components(
             F.col("child").alias("node"), F.col("parent").alias("component")
         )
     prev = _checksum(edges)
-    for _ in range(max_iter):
+    for it in range(max_iter):
         edges = _small_star(_large_star(edges)).localCheckpoint()
         cur = _checksum(edges)
+        if stats is not None:
+            stats["rounds"] = it + 1
         if cur == prev:
             break
         prev = cur
