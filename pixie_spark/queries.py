@@ -1803,10 +1803,53 @@ def q_pprof_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_clusters",
-    # Rows-only in the driver gate (window full); value-checked against
-    # a union-find reference in tests/test_clustering.py across chains,
-    # cliques, stars and random graphs.
+    # Rows-only IN THE DRIVER GATE (window full); hash-checked locally
+    # via local_oracle below — exact-Jaccard pairs (the full-recall
+    # banding config is hash-proven equal to them by the
+    # dedup_minhash_lsh gate row) closed with a recursive min-label
+    # propagation — plus a union-find reference in
+    # tests/test_clustering.py across chains, cliques, stars and
+    # random graphs.
     None,
+    local_oracle="""
+    WITH RECURSIVE w AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(ws) - 4, 0) + 1),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                             || ' ' || ws[i+3] || ' ' || ws[i+4]))) AS shingle
+        FROM w
+    ),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a AS a, doc_b AS b
+        FROM inter
+        JOIN sz x ON inter.doc_a = x.doc_id
+        JOIN sz y ON inter.doc_b = y.doc_id
+        WHERE n_common::DOUBLE / (x.sz + y.sz - n_common) >= 0.5
+    ),
+    sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    reach(node, lbl) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT s.b AS node, r.lbl
+        FROM reach r JOIN sym s ON s.a = r.node
+        WHERE r.lbl < s.b
+    ),
+    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+    SELECT component, count(*) AS n_docs FROM comp
+    GROUP BY component ORDER BY component
+    """,
     doc="Full production dedup pipeline: minhash-LSH verified pairs -> "
     "connected components (alternating large-star/small-star, Kiveris "
     "et al. 2014) -> duplicate-cluster roll-up. No adjacency list is "
@@ -1995,9 +2038,69 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "nb_classify",
-    # Rows-only (gate window full); exact log-score equality vs a pure
-    # Python Counter reference is pinned in tests/test_classifier.py.
+    # Rows-only IN THE DRIVER GATE (window full); hash-checked locally
+    # via local_oracle below — an independent DuckDB NB over STRING
+    # feature keys (the collision-free twin of the engine's hashed
+    # fids) — plus exact log-score equality vs a Python Counter
+    # reference in tests/test_classifier.py.
     None,
+    local_oracle="""
+    WITH d AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+    w AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(t, '\\s+'), x -> x <> '') AS ws
+        FROM d
+    ),
+    feats AS (
+        SELECT doc_id, lang, unnest(ws) AS fid FROM w
+        UNION ALL
+        SELECT doc_id, lang,
+               unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                                     i -> ws[i] || chr(1) || ws[i+1])) AS fid
+        FROM w
+    ),
+    cnt AS (SELECT lang AS lbl, fid, count(*) AS c FROM feats GROUP BY lbl, fid),
+    keepf AS (SELECT fid FROM cnt GROUP BY fid HAVING sum(c) >= 2),
+    pruned AS (SELECT cnt.* FROM cnt JOIN keepf USING (fid)),
+    tot AS (SELECT lbl, sum(c) AS t FROM pruned GROUP BY lbl),
+    vocab AS (SELECT count(DISTINCT fid) AS v FROM pruned),
+    labels AS (SELECT lang AS lbl, count(*) AS nd FROM documents GROUP BY lang),
+    consts AS (
+        SELECT l.lbl,
+               ln(l.nd / (SELECT CAST(sum(nd) AS DOUBLE) FROM labels)) AS prior,
+               ln(1.0 / (coalesce(t.t, 0) + (SELECT v FROM vocab) + 1)) AS oov,
+               CAST(coalesce(t.t, 0) + (SELECT v FROM vocab) + 1 AS DOUBLE) AS denom
+        FROM labels l LEFT JOIN tot t ON l.lbl = t.lbl
+    ),
+    nf AS (SELECT doc_id, count(*) AS n_feats FROM feats GROUP BY doc_id),
+    matched AS (
+        SELECT f.doc_id, p.lbl,
+               sum(ln((p.c + 1) / co.denom) - co.oov) AS delta
+        FROM feats f JOIN pruned p USING (fid) JOIN consts co ON co.lbl = p.lbl
+        GROUP BY f.doc_id, p.lbl
+    ),
+    scored AS (
+        SELECT n.doc_id, co.lbl,
+               co.prior + n.n_feats * co.oov + coalesce(m.delta, 0.0) AS score
+        FROM nf n CROSS JOIN consts co
+        LEFT JOIN matched m ON m.doc_id = n.doc_id AND m.lbl = co.lbl
+    ),
+    pick AS (
+        SELECT doc_id, lbl AS label,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, lbl ASC) AS rn
+        FROM scored
+    ),
+    empties AS (
+        SELECT d2.doc_id,
+               (SELECT lbl FROM consts ORDER BY prior DESC, lbl ASC LIMIT 1) AS label
+        FROM documents d2 LEFT JOIN nf ON d2.doc_id = nf.doc_id
+        WHERE nf.doc_id IS NULL
+    )
+    SELECT doc_id, label FROM pick WHERE rn = 1
+    UNION ALL SELECT doc_id, label FROM empties
+    ORDER BY doc_id
+    """,
     doc="fastText-shaped corpus classifier (Joulin et al. 2017) as "
     "closed-form hashed-n-gram Naive Bayes: train = ONE map-side-combined "
     "counting pass over (label, 8-byte fid), score = one AQE-broadcastable "
@@ -2018,10 +2121,55 @@ def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "lm_perplexity",
-    # Rows-only in the driver gate (the 50-entry window is full of
-    # hash-matched rows); scores are exact-matched against a pure-Python
-    # Counter+log reference in tests/test_lm.py.
+    # Rows-only IN THE DRIVER GATE (the 50-entry window is full of
+    # hash-matched rows); hash-checked locally via local_oracle below
+    # (string-keyed grams — the collision-free twin of the hashed-id
+    # model), plus a pure-Python Counter+log reference in
+    # tests/test_lm.py.
     None,
+    local_oracle="""
+    WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+    w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(t, '\\s+'), x -> x <> '') AS ws
+        FROM d
+    ),
+    tok AS (
+        SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos,
+               unnest(ws) AS word,
+               unnest(list_transform(range(1, len(ws) + 1),
+                      i -> CASE WHEN i > 1 THEN ws[i-1] || chr(1) || ws[i] END)) AS prev_bi
+        FROM w
+    ),
+    uni AS (SELECT word, count(*) AS c1 FROM tok GROUP BY word),
+    nv AS (SELECT CAST(sum(c1) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM uni),
+    bi AS (
+        SELECT t2.prev_bi AS big, count(*) AS c2,
+               string_split(t2.prev_bi, chr(1))[1] AS ctx
+        FROM tok t2 WHERE t2.prev_bi IS NOT NULL
+        GROUP BY t2.prev_bi HAVING count(*) >= 2
+    ),
+    bigr AS (
+        SELECT b.big, ln(b.c2 / CAST(u.c1 AS DOUBLE)) AS log_cond
+        FROM bi b JOIN uni u ON u.word = b.ctx
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               CASE WHEN t.prev_bi IS NULL
+                    THEN ln((u.c1 + 1) / ((SELECT n FROM nv) + (SELECT v FROM nv) + 1))
+                    ELSE coalesce(
+                        bg.log_cond,
+                        ln(0.4) + ln((u.c1 + 1) /
+                                     ((SELECT n FROM nv) + (SELECT v FROM nv) + 1)))
+               END AS lp
+        FROM tok t
+        JOIN uni u ON u.word = t.word
+        LEFT JOIN bigr bg ON bg.big = t.prev_bi
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           floor(exp(-avg(lp)) * 1e6 + 0.5) / 1e6 AS perplexity
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
     doc="CCNet-style LM quality scoring (Wenzek et al. 2020): bigram "
     "stupid-backoff LM (Brants et al. 2007) trained on the corpus, every "
     "document scored with its perplexity. All counting/joining on 8-byte "

@@ -42,9 +42,14 @@ def test_expected_local_oracle_coverage():
         "contamination_matrix",
         "training_shards",
         "ts_pattern_search",
+        # second batch: string-keyed twins of the hashed-feature models
+        # and the recursive-CTE closure
+        "nb_classify",
+        "lm_perplexity",
+        "dedup_clusters",
     }
     assert expected.issubset(set(LOCAL_ORACLE_NAMES))
-    assert len(LOCAL_ORACLE_NAMES) >= 8
+    assert len(LOCAL_ORACLE_NAMES) >= 13
 
 
 def test_local_oracles_never_reach_the_driver():
