@@ -1975,10 +1975,157 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "gopher_quality",
-    # Rows-only in the driver gate (the 50-entry window is full of
-    # hash-matched rows); every stat is value-checked against a
-    # brute-force Python reference in tests/test_quality.py.
+    # Rows-only IN THE DRIVER GATE (the 50-entry window is full of
+    # hash-matched rows); hash-checked locally via local_oracle below —
+    # an independent DuckDB replica of EVERY stat, threshold, and the
+    # ordered failed_rules list — plus a brute-force Python reference
+    # in tests/test_quality.py.
     None,
+    local_oracle="""
+    WITH d AS (
+        SELECT doc_id AS doc, text, CAST(length(text) AS BIGINT) AS tc FROM documents
+    ),
+    base AS (
+        SELECT doc, text, tc,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws,
+               list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines,
+               list_filter(string_split_regex(text, '\\n\\s*\\n'), x -> trim(x) <> '') AS paras
+        FROM d
+    ),
+    stats AS (
+        SELECT doc, tc, ws,
+            CAST(len(ws) AS INT) AS n_words,
+            CASE WHEN len(ws) > 0
+                 THEN coalesce(list_sum(list_transform(ws, x -> length(x))), 0) / len(ws)
+                 ELSE 0.0 END AS mean_word_len,
+            CASE WHEN len(ws) > 0
+                 THEN (len(regexp_extract_all(text, '#'))
+                       + len(regexp_extract_all(text, '\\.\\.\\.|…'))) / len(ws)
+                 ELSE 0.0 END AS symbol_word_ratio,
+            CASE WHEN len(lines) > 0
+                 THEN len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•●▪]'))) / len(lines)
+                 ELSE 0.0 END AS bullet_line_frac,
+            CASE WHEN len(lines) > 0
+                 THEN len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$'))) / len(lines)
+                 ELSE 0.0 END AS ellipsis_line_frac,
+            CASE WHEN len(ws) > 0
+                 THEN len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) / len(ws)
+                 ELSE 0.0 END AS alpha_word_frac,
+            CAST(
+                (CASE WHEN regexp_matches(lower(text), '\\bthe\\b') THEN 1 ELSE 0 END)
+              + (CASE WHEN regexp_matches(lower(text), '\\bbe\\b') THEN 1 ELSE 0 END)
+              + (CASE WHEN regexp_matches(lower(text), '\\bto\\b') THEN 1 ELSE 0 END)
+              + (CASE WHEN regexp_matches(lower(text), '\\bof\\b') THEN 1 ELSE 0 END)
+              + (CASE WHEN regexp_matches(lower(text), '\\band\\b') THEN 1 ELSE 0 END)
+              + (CASE WHEN regexp_matches(lower(text), '\\bthat\\b') THEN 1 ELSE 0 END)
+              + (CASE WHEN regexp_matches(lower(text), '\\bhave\\b') THEN 1 ELSE 0 END)
+              + (CASE WHEN regexp_matches(lower(text), '\\bwith\\b') THEN 1 ELSE 0 END)
+              AS INT) AS stop_word_hits,
+            CASE WHEN len(lines) > 0
+                 THEN (len(lines) - len(list_distinct(lines))) / len(lines)
+                 ELSE 0.0 END AS line_dup_frac,
+            CASE WHEN coalesce(list_sum(list_transform(lines, s -> length(s))), 0) > 0
+                 THEN (list_sum(list_transform(lines, s -> length(s)))
+                       - list_sum(list_transform(list_distinct(lines), s -> length(s))))
+                      / list_sum(list_transform(lines, s -> length(s)))
+                 ELSE 0.0 END AS line_dup_char_frac,
+            CASE WHEN len(paras) > 0
+                 THEN (len(paras) - len(list_distinct(paras))) / len(paras)
+                 ELSE 0.0 END AS para_dup_frac,
+            CASE WHEN coalesce(list_sum(list_transform(paras, s -> length(s))), 0) > 0
+                 THEN (list_sum(list_transform(paras, s -> length(s)))
+                       - list_sum(list_transform(list_distinct(paras), s -> length(s))))
+                      / list_sum(list_transform(paras, s -> length(s)))
+                 ELSE 0.0 END AS para_dup_char_frac
+        FROM base
+    ),
+    gr AS (
+        SELECT doc, 2 AS n, unnest(list_transform(range(1, greatest(len(ws)-1,0)+1),
+               i -> array_to_string(ws[i:i+1], ' '))) AS g FROM base
+        UNION ALL SELECT doc, 3, unnest(list_transform(range(1, greatest(len(ws)-2,0)+1),
+               i -> array_to_string(ws[i:i+2], ' '))) FROM base
+        UNION ALL SELECT doc, 4, unnest(list_transform(range(1, greatest(len(ws)-3,0)+1),
+               i -> array_to_string(ws[i:i+3], ' '))) FROM base
+        UNION ALL SELECT doc, 5, unnest(list_transform(range(1, greatest(len(ws)-4,0)+1),
+               i -> array_to_string(ws[i:i+4], ' '))) FROM base
+        UNION ALL SELECT doc, 6, unnest(list_transform(range(1, greatest(len(ws)-5,0)+1),
+               i -> array_to_string(ws[i:i+5], ' '))) FROM base
+        UNION ALL SELECT doc, 7, unnest(list_transform(range(1, greatest(len(ws)-6,0)+1),
+               i -> array_to_string(ws[i:i+6], ' '))) FROM base
+        UNION ALL SELECT doc, 8, unnest(list_transform(range(1, greatest(len(ws)-7,0)+1),
+               i -> array_to_string(ws[i:i+7], ' '))) FROM base
+        UNION ALL SELECT doc, 9, unnest(list_transform(range(1, greatest(len(ws)-8,0)+1),
+               i -> array_to_string(ws[i:i+8], ' '))) FROM base
+        UNION ALL SELECT doc, 10, unnest(list_transform(range(1, greatest(len(ws)-9,0)+1),
+               i -> array_to_string(ws[i:i+9], ' '))) FROM base
+    ),
+    cnts AS (SELECT doc, n, g, count(*) AS c FROM gr GROUP BY doc, n, g),
+    tops AS (
+        SELECT doc, n, c * length(g) AS prod,
+               row_number() OVER (PARTITION BY doc, n
+                                  ORDER BY c DESC, length(g) DESC) AS rn
+        FROM cnts WHERE c > 1 AND n IN (2, 3, 4)
+    ),
+    dups AS (
+        SELECT doc, n, sum(c * length(g)) AS prod
+        FROM cnts WHERE c > 1 AND n >= 5 GROUP BY doc, n
+    ),
+    ng AS (
+        SELECT s.doc,
+            least(1.0, coalesce((SELECT t2.prod FROM tops t2
+                WHERE t2.doc = s.doc AND t2.n = 2 AND t2.rn = 1) / s.tc, 0.0)) AS top_2gram_char_frac,
+            least(1.0, coalesce((SELECT t3.prod FROM tops t3
+                WHERE t3.doc = s.doc AND t3.n = 3 AND t3.rn = 1) / s.tc, 0.0)) AS top_3gram_char_frac,
+            least(1.0, coalesce((SELECT t4.prod FROM tops t4
+                WHERE t4.doc = s.doc AND t4.n = 4 AND t4.rn = 1) / s.tc, 0.0)) AS top_4gram_char_frac,
+            least(1.0, coalesce((SELECT d5.prod FROM dups d5
+                WHERE d5.doc = s.doc AND d5.n = 5) / s.tc, 0.0)) AS dup_5gram_char_frac,
+            least(1.0, coalesce((SELECT d6.prod FROM dups d6
+                WHERE d6.doc = s.doc AND d6.n = 6) / s.tc, 0.0)) AS dup_6gram_char_frac,
+            least(1.0, coalesce((SELECT d7.prod FROM dups d7
+                WHERE d7.doc = s.doc AND d7.n = 7) / s.tc, 0.0)) AS dup_7gram_char_frac,
+            least(1.0, coalesce((SELECT d8.prod FROM dups d8
+                WHERE d8.doc = s.doc AND d8.n = 8) / s.tc, 0.0)) AS dup_8gram_char_frac,
+            least(1.0, coalesce((SELECT d9.prod FROM dups d9
+                WHERE d9.doc = s.doc AND d9.n = 9) / s.tc, 0.0)) AS dup_9gram_char_frac,
+            least(1.0, coalesce((SELECT d10.prod FROM dups d10
+                WHERE d10.doc = s.doc AND d10.n = 10) / s.tc, 0.0)) AS dup_10gram_char_frac
+        FROM stats s
+    ),
+    full_t AS (
+        SELECT s.doc, s.n_words, s.mean_word_len, s.symbol_word_ratio,
+               s.bullet_line_frac, s.ellipsis_line_frac, s.alpha_word_frac,
+               s.stop_word_hits, s.line_dup_frac, s.line_dup_char_frac,
+               s.para_dup_frac, s.para_dup_char_frac, g.* EXCLUDE (doc)
+        FROM stats s JOIN ng g ON s.doc = g.doc
+    ),
+    ruled AS (
+        SELECT *, list_filter([
+            CASE WHEN NOT (n_words >= 50 AND n_words <= 100000) THEN 'word_count' END,
+            CASE WHEN NOT (mean_word_len >= 3.0 AND mean_word_len <= 10.0) THEN 'mean_word_length' END,
+            CASE WHEN NOT (symbol_word_ratio <= 0.1) THEN 'symbol_word_ratio' END,
+            CASE WHEN NOT (bullet_line_frac <= 0.9) THEN 'bullet_lines' END,
+            CASE WHEN NOT (ellipsis_line_frac <= 0.3) THEN 'ellipsis_lines' END,
+            CASE WHEN NOT (alpha_word_frac >= 0.8) THEN 'alpha_words' END,
+            CASE WHEN NOT (stop_word_hits >= 2) THEN 'stop_words' END,
+            CASE WHEN NOT (line_dup_frac <= 0.30) THEN 'dup_line_frac' END,
+            CASE WHEN NOT (para_dup_frac <= 0.30) THEN 'dup_para_frac' END,
+            CASE WHEN NOT (line_dup_char_frac <= 0.20) THEN 'dup_line_char_frac' END,
+            CASE WHEN NOT (para_dup_char_frac <= 0.20) THEN 'dup_para_char_frac' END,
+            CASE WHEN NOT (top_2gram_char_frac <= 0.20) THEN 'top_2gram' END,
+            CASE WHEN NOT (top_3gram_char_frac <= 0.18) THEN 'top_3gram' END,
+            CASE WHEN NOT (top_4gram_char_frac <= 0.16) THEN 'top_4gram' END,
+            CASE WHEN NOT (dup_5gram_char_frac <= 0.15) THEN 'dup_5gram' END,
+            CASE WHEN NOT (dup_6gram_char_frac <= 0.14) THEN 'dup_6gram' END,
+            CASE WHEN NOT (dup_7gram_char_frac <= 0.13) THEN 'dup_7gram' END,
+            CASE WHEN NOT (dup_8gram_char_frac <= 0.12) THEN 'dup_8gram' END,
+            CASE WHEN NOT (dup_9gram_char_frac <= 0.11) THEN 'dup_9gram' END,
+            CASE WHEN NOT (dup_10gram_char_frac <= 0.10) THEN 'dup_10gram' END
+        ], x -> x IS NOT NULL) AS failed_rules
+        FROM full_t
+    )
+    SELECT *, len(failed_rules) = 0 AS keep FROM ruled ORDER BY doc
+    """,
     doc="Gopher-style quality gate (Rae et al. 2021 Appendix A): "
     "duplicate line/paragraph fractions, top/dup n-gram char "
     "fractions, shape heuristics, composite keep decision with "

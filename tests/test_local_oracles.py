@@ -47,9 +47,10 @@ def test_expected_local_oracle_coverage():
         "nb_classify",
         "lm_perplexity",
         "dedup_clusters",
+        "gopher_quality",
     }
     assert expected.issubset(set(LOCAL_ORACLE_NAMES))
-    assert len(LOCAL_ORACLE_NAMES) >= 13
+    assert len(LOCAL_ORACLE_NAMES) >= 14
 
 
 def test_local_oracles_never_reach_the_driver():

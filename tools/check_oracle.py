@@ -62,17 +62,27 @@ def _dtype_mismatches(sdf, odf):
     return bad
 
 
+def _norm_scalar(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else round(v, 9)
+    return v
+
+
 def normalize(rows, colnames):
     out = []
     for row in rows:
         vals = []
         for c in sorted(colnames):
             v = row[c]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = round(v, 9)
+            # array-valued columns: Spark's toPandas gives numpy arrays,
+            # DuckDB's fetchdf gives lists — canonicalize both to tuples
+            # so row equality/sorting never hits numpy's ambiguous ==
+            if hasattr(v, "tolist") and not isinstance(v, (str, bytes)):
+                v = v.tolist()
+            if isinstance(v, (list, tuple)):
+                v = ("<list>", tuple(_norm_scalar(x) for x in v))
+            else:
+                v = _norm_scalar(v)
             vals.append((c, v))
         out.append(tuple(vals))
     out.sort(key=lambda t: tuple(_sort_key_scalar(x) for _, x in t))
