@@ -3012,10 +3012,57 @@ def q_ts_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle() -> str:
+    """DuckDB oracle for domain_pagerank: the SAME synthetic two-chord
+    graph, 10 damped power iterations UNROLLED as CTEs (r1..r10 — SQL
+    cannot loop-with-aggregation, so the loop is written out; verified
+    empirically that the tol=1e-6 check never fires early on this graph
+    and that no node is dangling, so each step is exactly
+    rank = (1-d)/N + d·Σ inflow). Rounding to 1e-9 sits ~7 orders above
+    the cross-engine float-sum-order noise."""
+    steps = []
+    prev = "r0"
+    for i in range(1, 11):
+        steps.append(
+            f"""r{i} AS (
+        SELECT n.node, (1.0 - 0.85) / (SELECT cnt FROM nn) + 0.85 * coalesce(s.inf, 0.0) AS rank
+        FROM nodes n LEFT JOIN (
+            SELECT cw.dst AS node, sum({prev}.rank * cw.w) AS inf
+            FROM cw JOIN {prev} ON {prev}.node = cw.node GROUP BY cw.dst
+        ) s ON s.node = n.node
+    )"""
+        )
+        prev = f"r{i}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH e AS (
+        SELECT DISTINCT CAST(doc_id AS VARCHAR) AS src,
+               CAST((doc_id * 31 + 7) % 500 AS VARCHAR) AS dst
+        FROM documents WHERE CAST(doc_id AS VARCHAR) <> CAST((doc_id * 31 + 7) % 500 AS VARCHAR)
+        UNION
+        SELECT DISTINCT CAST(doc_id AS VARCHAR) AS src,
+               CAST((doc_id * 17 + 3) % 100 AS VARCHAR) AS dst
+        FROM documents WHERE CAST(doc_id AS VARCHAR) <> CAST((doc_id * 17 + 3) % 100 AS VARCHAR)
+    ),
+    deg AS (SELECT src, count(*) AS o FROM e GROUP BY src),
+    cw AS (SELECT e.src AS node, e.dst, 1.0 / deg.o AS w FROM e JOIN deg USING (src)),
+    nodes AS (
+        SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)
+    ),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM nodes),
+    r0 AS (SELECT node, 1.0 / (SELECT cnt FROM nn) AS rank FROM nodes),
+    {chain}
+    SELECT node, floor(rank * 1e9 + 0.5) / 1e9 AS rank
+    FROM r10 ORDER BY r10.rank DESC, node LIMIT 10
+    """
+
+
 @query(
     "domain_pagerank",
-    None,  # rows-only (window full); ranks match a numpy power-iteration
-    # reference exactly in tests/test_graph.py.
+    None,  # rows-only IN THE DRIVER GATE (window full); hash-checked
+    # locally via local_oracle below (10 unrolled damped iterations),
+    # plus exact numpy power-iteration equality in tests/test_graph.py.
+    local_oracle=_pagerank_oracle(),
     doc="PageRank domain authority (operators/graph.py): damped power "
     "iteration with dangling-mass redistribution over an edge frame — "
     "per iteration one co-partitioned rank⋈edge join (edge side "
@@ -3084,8 +3131,39 @@ def q_jsonl_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pii_exposure_report",
-    None,  # rows-only (window full); per-kind counts replicate a Python
-    # re reference in tests/test_functions.py.
+    None,  # rows-only IN THE DRIVER GATE (window full); hash-checked
+    # locally via local_oracle below (all 7 patterns are RE2-compatible
+    # — no lookarounds — so Java-regex and DuckDB counts agree), plus a
+    # Python re reference in tests/test_functions.py.
+    local_oracle="""
+    WITH c AS (
+        SELECT lang,
+            len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+            len(regexp_extract_all(text,
+                '\\b(?:[0-9A-Fa-f]{2}:){5}[0-9A-Fa-f]{2}\\b')) AS n_mac,
+            len(regexp_extract_all(text,
+                '\\b(?:[0-9A-Fa-f]{1,4}:){2,7}[0-9A-Fa-f]{1,4}\\b')) AS n_ip6,
+            len(regexp_extract_all(text,
+                '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n_ip,
+            len(regexp_extract_all(text,
+                '\\b(?:\\d[ -]?){13,16}\\b')) AS n_cc,
+            len(regexp_extract_all(text,
+                '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS n_ssn,
+            len(regexp_extract_all(text,
+                '\\b[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\\b')) AS n_uuid
+        FROM documents
+    )
+    SELECT lang,
+        count(*) AS n_docs,
+        CAST(sum(CASE WHEN n_email + n_mac + n_ip6 + n_ip + n_cc + n_ssn + n_uuid > 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+        floor(sum(CASE WHEN n_email + n_mac + n_ip6 + n_ip + n_cc + n_ssn + n_uuid > 0
+                  THEN 1 ELSE 0 END) / count(*) * 1e6 + 0.5) / 1e6 AS pii_doc_rate,
+        CAST(sum(n_email) AS BIGINT) AS matches_email,
+        CAST(sum(n_ip) AS BIGINT) AS matches_ip
+    FROM c GROUP BY lang ORDER BY lang
+    """,
     doc="Corpus PII-exposure report (functions/pii_ops.pii_report — the "
     "release-gate numbers a dataset card publishes): per-language doc/"
     "match counts per PII kind + any-PII doc rate, all native "

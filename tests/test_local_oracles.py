@@ -48,9 +48,11 @@ def test_expected_local_oracle_coverage():
         "lm_perplexity",
         "dedup_clusters",
         "gopher_quality",
+        "pii_exposure_report",
+        "domain_pagerank",
     }
     assert expected.issubset(set(LOCAL_ORACLE_NAMES))
-    assert len(LOCAL_ORACLE_NAMES) >= 14
+    assert len(LOCAL_ORACLE_NAMES) >= 16
 
 
 def test_local_oracles_never_reach_the_driver():
