@@ -272,6 +272,7 @@ def run_script(
             exec(compile_pxl(src, f"<{name}>"), mod.__dict__)  # noqa: S102
             injected[name] = mod
         g = {"px": px_module, "F": F, **injected}
+        exports_before = _ctx.get("otel_batch", -1)
         c0 = time.perf_counter_ns()
         try:
             compiled = compile_pxl(code)
@@ -287,9 +288,14 @@ def run_script(
             out = g[fn_name](**kwargs)
             if out is not None:
                 display(out, fn_name)
-        if not _ctx["results"] and not calls:
+        if (
+            not _ctx["results"]
+            and not calls
+            and _ctx.get("otel_batch", -1) == exports_before
+        ):
             # compiler_test.cc:2547 — a script with no sink compiles to
-            # nothing runnable in the reference
+            # nothing runnable in the reference. px.display AND px.export
+            # both count as sinks (an export-only cron script is runnable).
             raise CompilerError("No runnable code found")
     except Exception as e:  # noqa: BLE001 — logged, then re-raised
         err = f"{type(e).__name__}: {e}"

@@ -1869,9 +1869,27 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "vocab_bpe_stats",
-    # Rows-only in the driver gate (window full); value equality vs
-    # Python references in tests/test_vocab.py.
+    # Rows-only IN THE DRIVER GATE (window full); hash-checked locally
+    # via local_oracle below (the registered query is the FIRST-merge
+    # pair statistic — fully deterministic; only bpe_train's merge LOOP
+    # is iterative), plus Python references in tests/test_vocab.py.
     None,
+    local_oracle="""
+    WITH w AS (
+        SELECT lower(unnest(list_filter(string_split_regex(text, '\\s+'),
+                                        x -> x <> ''))) AS term
+        FROM documents
+    ),
+    vocab AS (SELECT term, count(*) AS cnt FROM w GROUP BY term),
+    p AS (
+        SELECT substr(term, CAST(i AS INT), 1) AS l,
+               substr(term, CAST(i AS INT) + 1, 1) AS r, cnt
+        FROM (SELECT term, cnt, unnest(range(1, length(term))) AS i
+              FROM vocab WHERE length(term) > 1)
+    )
+    SELECT l AS "left", r AS "right", CAST(sum(cnt) AS BIGINT) AS count
+    FROM p GROUP BY 1, 2 ORDER BY count DESC, "left", "right" LIMIT 50
+    """,
     doc="Tokenizer-prep statistics: corpus vocabulary (term, count, "
     "doc_freq — map-side partials absorb Zipf head terms) and "
     "BPE-merge adjacent-char-pair frequencies computed from the "
@@ -1886,11 +1904,147 @@ def q_vocab_bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_stats(doc, top_k=50)
 
 
+def _clean_pipeline_oracle() -> str:
+    """DuckDB oracle for the WHOLE cleaning funnel: quality gate
+    (STRUCTURAL_RULES subset, min_words=5) → exact dedup (min-id per
+    identical text) → exact-Jaccard ≥0.5 near-dup pairs (the config the
+    dedup_minhash_lsh gate row proves equal to the engine's full-recall
+    banding) → recursive-CTE component closure → canonical filter →
+    duplicate-span removal with canonical owners. Every stage reuses an
+    oracle pattern already hash-proven on its standalone query; the
+    funnel holds them end-to-end against the composed DAG."""
+    gram_union = "\n        UNION ALL ".join(
+        f"SELECT doc, {n} AS n, unnest(list_transform(range(1, greatest(len(ws)-{n-1},0)+1), "
+        f"i -> array_to_string(ws[i:i+{n-1}], ' '))) AS g FROM b"
+        for n in range(2, 11)
+    )
+    top_frac = lambda n: (  # noqa: E731
+        f"least(1.0, coalesce((SELECT t.prod FROM tops t "
+        f"WHERE t.doc = st.doc AND t.n = {n} AND t.rn = 1) / st.tc, 0.0))"
+    )
+    dup_frac = lambda n: (  # noqa: E731
+        f"least(1.0, coalesce((SELECT dd.prod FROM dups dd "
+        f"WHERE dd.doc = st.doc AND dd.n = {n}) / st.tc, 0.0))"
+    )
+    ng_rules = " AND ".join(
+        [f"{top_frac(n)} <= {t}" for n, t in ((2, 0.20), (3, 0.18), (4, 0.16))]
+        + [f"{dup_frac(n)} <= {t}" for n, t in
+           ((5, 0.15), (6, 0.14), (7, 0.13), (8, 0.12), (9, 0.11), (10, 0.10))]
+    )
+    return f"""
+    WITH RECURSIVE d0 AS (SELECT doc_id AS doc, text FROM documents),
+    b AS (
+        SELECT doc, text, CAST(length(text) AS BIGINT) AS tc,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws,
+               list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines,
+               list_filter(string_split_regex(text, '\\n\\s*\\n'), x -> trim(x) <> '') AS paras
+        FROM d0
+    ),
+    st AS (
+        SELECT doc, tc, len(ws) AS n_words,
+            CASE WHEN len(ws) > 0
+                 THEN coalesce(list_sum(list_transform(ws, x -> length(x))), 0) / len(ws)
+                 ELSE 0.0 END AS mwl,
+            CASE WHEN len(lines) > 0
+                 THEN (len(lines) - len(list_distinct(lines))) / len(lines)
+                 ELSE 0.0 END AS ldf,
+            CASE WHEN coalesce(list_sum(list_transform(lines, s -> length(s))), 0) > 0
+                 THEN (list_sum(list_transform(lines, s -> length(s)))
+                       - list_sum(list_transform(list_distinct(lines), s -> length(s))))
+                      / list_sum(list_transform(lines, s -> length(s)))
+                 ELSE 0.0 END AS ldcf,
+            CASE WHEN len(paras) > 0
+                 THEN (len(paras) - len(list_distinct(paras))) / len(paras)
+                 ELSE 0.0 END AS pdf,
+            CASE WHEN coalesce(list_sum(list_transform(paras, s -> length(s))), 0) > 0
+                 THEN (list_sum(list_transform(paras, s -> length(s)))
+                       - list_sum(list_transform(list_distinct(paras), s -> length(s))))
+                      / list_sum(list_transform(paras, s -> length(s)))
+                 ELSE 0.0 END AS pdcf
+        FROM b
+    ),
+    gr AS ({gram_union}),
+    cnts AS (SELECT doc, n, g, count(*) AS c FROM gr GROUP BY doc, n, g),
+    tops AS (
+        SELECT doc, n, c * length(g) AS prod,
+               row_number() OVER (PARTITION BY doc, n ORDER BY c DESC, length(g) DESC) AS rn
+        FROM cnts WHERE c > 1 AND n IN (2, 3, 4)
+    ),
+    dups AS (
+        SELECT doc, n, sum(c * length(g)) AS prod
+        FROM cnts WHERE c > 1 AND n >= 5 GROUP BY doc, n
+    ),
+    aq AS (
+        SELECT st.doc FROM st
+        WHERE st.n_words >= 5 AND st.n_words <= 100000
+          AND st.mwl >= 3.0 AND st.mwl <= 10.0
+          AND st.ldf <= 0.30 AND st.pdf <= 0.30
+          AND st.ldcf <= 0.20 AND st.pdcf <= 0.20
+          AND {ng_rules}
+    ),
+    ae AS (
+        SELECT min(b.doc) AS doc FROM b JOIN aq USING (doc) GROUP BY b.text
+    ),
+    sh AS (
+        SELECT b.doc,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(ws) - 4, 0) + 1),
+                   i -> array_to_string(ws[i:i+4], ' ')))) AS shingle
+        FROM b JOIN ae USING (doc)
+    ),
+    sz AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+    np AS (
+        SELECT a.doc AS a, b2.doc AS b2 FROM sh a JOIN sh b2
+          ON a.shingle = b2.shingle AND a.doc < b2.doc
+        GROUP BY 1, 2
+        HAVING count(*)::DOUBLE /
+               ((SELECT sz FROM sz WHERE sz.doc = a.doc)
+                + (SELECT sz FROM sz WHERE sz.doc = b2.doc) - count(*)) >= 0.5
+    ),
+    sym AS (SELECT a, b2 AS b FROM np UNION SELECT b2 AS a, a AS b FROM np),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    reach(node, lbl) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node WHERE r.lbl < s.b
+    ),
+    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+    losers AS (SELECT node AS doc FROM comp WHERE node <> component),
+    an AS (SELECT ae.doc FROM ae LEFT JOIN losers USING (doc) WHERE losers.doc IS NULL),
+    anw AS (SELECT b.doc, b.ws FROM b JOIN an USING (doc)),
+    wins AS (
+        SELECT doc, unnest(range(1, greatest(len(ws) - 9, 0) + 1)) - 1 AS pos,
+               unnest(list_transform(range(1, greatest(len(ws) - 9, 0) + 1),
+                      i -> array_to_string(ws[i:i+9], ' '))) AS wstr
+        FROM anw
+    ),
+    owners AS (
+        SELECT wstr, min(doc) AS owner FROM wins
+        GROUP BY wstr HAVING count(DISTINCT doc) >= 2
+    ),
+    cover AS (
+        SELECT DISTINCT w2.doc, w2.pos + unnest(range(0, 10)) AS p
+        FROM wins w2 JOIN owners o ON o.wstr = w2.wstr AND w2.doc <> o.owner
+    )
+    SELECT (SELECT count(*) FROM d0) AS n_input,
+           (SELECT count(*) FROM aq) AS n_after_quality,
+           (SELECT count(*) FROM ae) AS n_after_exact,
+           (SELECT count(*) FROM np) AS n_near_pairs,
+           (SELECT count(*) FROM an) AS n_after_near,
+           (SELECT count(*) FROM anw WHERE len(ws) > 0) AS n_clean,
+           (SELECT CAST(coalesce(count(*), 0) AS BIGINT) FROM cover)
+               AS words_removed_by_span_dedup
+    """
+
+
 @query(
     "corpus_clean_pipeline",
-    # Rows-only in the driver gate (window full); each stage's removal
-    # behavior is pinned on planted offenders in tests/test_pipeline.py.
+    # Rows-only IN THE DRIVER GATE (window full); hash-checked locally
+    # via local_oracle below — the WHOLE funnel composed from the
+    # stage-oracle patterns already proven individually — plus planted
+    # per-stage offenders in tests/test_pipeline.py.
     None,
+    local_oracle=_clean_pipeline_oracle(),
     doc="End-to-end corpus cleaning DAG: Gopher quality gate -> exact "
     "dedup -> minhash near-dup clusters -> canonical filter -> "
     "substring-span removal, reported as a one-row funnel "
@@ -2987,8 +3141,39 @@ def q_ts_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ts_anomalies",
-    None,  # rows-only (window full); z-scores replicate a numpy
-    # reference exactly in tests/test_timeseries.py.
+    None,  # rows-only IN THE DRIVER GATE (window full); hash-checked
+    # locally via local_oracle below (same trailing window in DuckDB;
+    # the 1e-6 rounding sits far above any cross-engine stddev-
+    # algorithm noise), plus exact numpy z-score equality in
+    # tests/test_timeseries.py.
+    local_oracle="""
+    WITH ev AS (
+        SELECT event_type AS entity, epoch_ns(ts) AS ts,
+               CAST(value AS DOUBLE) AS v
+        FROM events
+    ),
+    wnd AS (
+        SELECT entity, ts, v,
+               avg(v) OVER w AS mu,
+               stddev_pop(v) OVER w AS sd,
+               count(v) OVER w AS n
+        FROM ev
+        WINDOW w AS (PARTITION BY entity ORDER BY ts
+                     ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
+    ),
+    z AS (
+        SELECT entity,
+               CASE WHEN n >= 20 AND sd > 0 THEN (v - mu) / sd END AS z,
+               (n >= 20 AND sd = 0 AND v <> mu) AS flat_jump
+        FROM wnd
+    )
+    SELECT entity, count(*) AS n_points,
+           CAST(sum(CASE WHEN coalesce(abs(z) >= 3.0, FALSE)
+                          OR coalesce(flat_jump, FALSE)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           floor(max(abs(z)) * 1e6 + 0.5) / 1e6 AS max_abs_z
+    FROM z GROUP BY entity ORDER BY entity
+    """,
     doc="Rolling z-score anomaly flags (operators/timeseries."
     "rolling_anomalies): per-entity trailing mean/std window excluding "
     "the current point, warm-up gated, flat-baseline jumps flagged. "

@@ -50,9 +50,12 @@ def test_expected_local_oracle_coverage():
         "gopher_quality",
         "pii_exposure_report",
         "domain_pagerank",
+        "ts_anomalies",
+        "vocab_bpe_stats",
+        "corpus_clean_pipeline",
     }
     assert expected.issubset(set(LOCAL_ORACLE_NAMES))
-    assert len(LOCAL_ORACLE_NAMES) >= 16
+    assert len(LOCAL_ORACLE_NAMES) >= 19
 
 
 def test_local_oracles_never_reach_the_driver():
