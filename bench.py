@@ -85,6 +85,10 @@ EXTRA = [
     "epoch_expansion",
     "decontaminate_spans",
     "pii_exposure_report",
+    # round-5 visibility additions (lm_perplexity already above)
+    "nb_classify",
+    "domain_pagerank",
+    "corpus_clean_pipeline",
 ]
 
 

@@ -21,14 +21,21 @@ from pyspark.sql import SparkSession
 def get_spark(app_name: str = "pixie_spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    # Adversarial-session overrides (the correctness re-check SCALE.md
+    # documents: non-UTC TZ, AQE off, oversized shuffle partitioning —
+    # results must not depend on any of these):
+    #   SPARK_GRAFT_TZ / SPARK_GRAFT_AQE / SPARK_GRAFT_SHUFFLE_PARTITIONS
+    tz = os.environ.get("SPARK_GRAFT_TZ", "UTC")
+    aqe = os.environ.get("SPARK_GRAFT_AQE", "true")
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus))
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.adaptive.enabled", aqe)
+        .config("spark.sql.adaptive.coalescePartitions.enabled", aqe)
+        .config("spark.sql.adaptive.skewJoin.enabled", aqe)
+        .config("spark.sql.session.timeZone", tz)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Single-JVM local mode: driver heap IS the executor heap. 8g
         # OOM'd once the test suite passed ~600 tests in one session
