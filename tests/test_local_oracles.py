@@ -75,13 +75,19 @@ def test_local_oracles_never_reach_the_driver():
 
 
 def test_spark_xxhash64_replica_pinned_against_jvm(spark):
-    vals = [0, 1, -1, 42, 7, 50, 123456789, -987654321, 2**62, -(2**62), 2**63 - 1]
+    import random
+
+    rng = random.Random(1234)  # seeded: deterministic sweep
+    vals = [0, 1, -1, 42, 7, 50, 123456789, -987654321, 2**62, -(2**62),
+            2**63 - 1, -(2**63)] + [
+        rng.randint(-(2**63), 2**63 - 1) for _ in range(500)
+    ]
     rows = spark.createDataFrame([(v,) for v in vals], "v long").select(
         "v", F.xxhash64("v").alias("h1"), F.xxhash64("v", F.lit(42)).alias("h2")
     ).collect()
     for r in rows:
-        assert r["h1"] == xxhash64_long(r["v"])
-        assert r["h2"] == xxhash64_long_int(r["v"], 42)
+        assert r["h1"] == xxhash64_long(r["v"]), r["v"]
+        assert r["h2"] == xxhash64_long_int(r["v"], 42), r["v"]
 
 
 @pytest.fixture(scope="module")
