@@ -283,3 +283,99 @@ def streaming_pattern_match(
     return df.groupBy(entity_col).applyInPandasWithState(
         update, out_schema, _PATTERN_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def resample_schema(entity_field: T.StructField) -> T.StructType:
+    return T.StructType(
+        [
+            entity_field,
+            T.StructField("ts", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("filled", T.BooleanType()),
+        ]
+    )
+
+
+_RESAMPLE_STATE = T.StructType(
+    [
+        T.StructField("next_grid", T.LongType()),
+        T.StructField("cur_val", T.DoubleType()),
+        T.StructField("cur_src", T.LongType()),
+    ]
+)
+
+
+def streaming_resample_ffill(
+    df: DataFrame,
+    step: int,
+    max_fill_steps: int | None = None,
+    entity_col: str = "entity",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of operators/timeseries.resample_ffill: as each
+    entity's series arrives, emit its floor-aligned grid points with
+    as-of forward fill — state per entity is 24 bytes (next grid ts,
+    last value, last source ts), bounded by the key count, never the
+    stream. A grid point is FINALIZED the moment a later observation
+    (or an equal-ts one) arrives, so over any time-ordered prefix the
+    emitted set equals the batch operator's output on the same prefix
+    (duality test in tests/test_stateful.py). Per-entity arrival must
+    be time-ordered — the same contract as the other twins here; out-
+    of-order feeds need an upstream watermark sort.
+
+    Batch frames route to the batch operator directly.
+    """
+    if not df.isStreaming:
+        from pixie_spark.operators.timeseries import resample_ffill
+
+        return resample_ffill(
+            df, step, entity_col=entity_col, ts_col=ts_col,
+            value_col=value_col, max_fill_steps=max_fill_steps,
+        )
+
+    out_schema = resample_schema(df.schema[entity_col])
+    horizon = None if max_fill_steps is None else int(max_fill_steps) * int(step)
+    stp = int(step)
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            next_grid, cur_val, cur_src = state.get
+            if pd.isna(cur_val):
+                cur_val = None
+            if cur_src is not None and pd.isna(cur_src):
+                cur_src = None
+        else:
+            next_grid, cur_val, cur_src = None, None, None
+        ents, tss, vals, fills = [], [], [], []
+
+        def emit(g: int) -> None:
+            ok = cur_src is not None and (horizon is None or g - cur_src <= horizon)
+            v = float(cur_val) if ok else None
+            ents.append(key[0])
+            tss.append(g)
+            vals.append(v)
+            fills.append(v is not None and cur_src != g)
+
+        for pdf in pdfs:
+            for _, row in pdf.sort_values(ts_col).iterrows():
+                t, v = int(row[ts_col]), float(row[value_col])
+                if next_grid is None:
+                    next_grid = (t // stp) * stp
+                while next_grid < t:
+                    emit(next_grid)
+                    next_grid += stp
+                cur_val, cur_src = v, t
+                while next_grid <= t:  # the grid point AT the obs ts
+                    emit(next_grid)
+                    next_grid += stp
+        state.update((next_grid, cur_val, cur_src))
+        yield pd.DataFrame(
+            {entity_col: ents, "ts": tss, "value": vals, "filled": fills}
+        )
+
+    return df.groupBy(entity_col).applyInPandasWithState(
+        update, out_schema, _RESAMPLE_STATE, "append", GroupStateTimeout.NoTimeout
+    )

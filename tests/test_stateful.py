@@ -204,3 +204,72 @@ def test_pattern_match_batch_fallback_no_driver_topk(spark):
     out = streaming_pattern_match(df, [1.0, 2.0, 3.0], max_dist=0.5)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrdered" not in plan
+
+
+def test_streaming_resample_ffill_equals_batch(spark, tmp_path):
+    """Stream≡batch duality for grid resampling: irregular per-entity
+    series arriving across micro-batch boundaries must emit exactly the
+    grid points the batch operator produces over the same data —
+    including leading nulls before an entity's first observation, fills
+    at grid==obs ties, and the staleness horizon. Only grid points at
+    or before each entity's LAST observation are comparable (the batch
+    operator sees the whole series at once; the stream finalizes a
+    point when a later obs arrives)."""
+    from pyspark.sql import types as T
+
+    import pixie_spark.streaming as S
+    from pixie_spark.streaming.stateful import streaming_resample_ffill
+
+    step = 100
+    rows = [
+        # entity a: starts mid-bucket, has a long gap exceeding the
+        # horizon, and an observation exactly ON a grid point
+        ("a", 135, 1.0), ("a", 240, 2.0), ("a", 300, 3.0), ("a", 810, 4.0),
+        # entity b: dense, no gaps
+        ("b", 95, 10.0), ("b", 180, 11.0), ("b", 210, 12.0), ("b", 415, 13.0),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("entity", T.StringType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "rsf_src")
+    for lo, hi in ((0, 250), (250, 500), (500, 900)):
+        part = [r for r in rows if lo <= r[1] < hi]
+        spark.createDataFrame(part, schema).coalesce(1).write.mode(
+            "append" if lo else "overwrite"
+        ).parquet(src)
+
+    batch = streaming_resample_ffill(
+        spark.createDataFrame(rows, schema), step, max_fill_steps=3
+    )
+    last_obs = {"a": 810, "b": 415}
+    expected = {
+        (r["entity"], r["ts"]): (r["value"], r["filled"])
+        for r in batch.collect()
+        if r["ts"] <= last_obs[r["entity"]]
+    }
+    # sanity on the batch side: horizon nulls the >3-step gap for a
+    assert expected[("a", 700)] == (None, False)
+    assert expected[("a", 400)] == (3.0, True)
+
+    stream = S.stream_table(spark, src, schema, max_files_per_trigger=1)
+    out = streaming_resample_ffill(stream, step, max_fill_steps=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rsf_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["entity"], r["ts"]): (r["value"], r["filled"])
+        for r in spark.sql("SELECT * FROM rsf_stream_out").collect()
+    }
+    assert got == expected
