@@ -273,3 +273,62 @@ def test_streaming_resample_ffill_equals_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM rsf_stream_out").collect()
     }
     assert got == expected
+
+
+def test_streaming_ingest_dedup_equals_full_rebuild(spark, tmp_path):
+    """The streaming ingestion loop (streaming/ingest.py) over three
+    arrival chunks must accumulate EXACTLY the pair set a from-scratch
+    MinHash rebuild over the whole prefix produces — near-dups planted
+    both within one chunk and ACROSS chunks (the case that needs the
+    persisted index), with identical est_jaccard values."""
+    from pyspark.sql import types as T
+
+    import pixie_spark.streaming as S
+    from pixie_spark.operators.dedup import minhash_lsh_pairs
+    from pixie_spark.streaming.ingest import streaming_ingest_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    mk = lambda i, extra: (i, f"{base} {extra} doc{i % 3}")  # noqa: E731
+    rows = [
+        mk(1, "one"), mk(2, "two"),          # chunk 1
+        mk(3, "one"), mk(4, "four"),         # chunk 2: 3 ~ 1 (cross-chunk)
+        mk(5, "two"), mk(6, "one"),          # chunk 3: 5 ~ 2, 6 ~ 1 & 3
+    ]
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    src = str(tmp_path / "ingest_src")
+    for idx, chunk in enumerate([rows[:2], rows[2:4], rows[4:]]):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append" if idx else "overwrite"
+        ).parquet(src)
+
+    stream = S.stream_table(spark, src, schema, max_files_per_trigger=1)
+    writer = streaming_ingest_dedup(
+        stream, str(tmp_path / "index"), str(tmp_path / "pairs"),
+        n=3, num_hashes=64, bands=64, threshold=0.5,
+    )
+    q = writer.option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).trigger(availableNow=True).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        frozenset((r["doc_a"], r["doc_b"])): round(r["est_jaccard"], 9)
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    full = {
+        frozenset((r["doc_a"], r["doc_b"])): round(r["est_jaccard"], 9)
+        for r in minhash_lsh_pairs(
+            spark.createDataFrame(rows, schema), "doc_id", "text",
+            n=3, num_hashes=64, bands=64, threshold=0.5,
+        ).collect()
+    }
+    assert got == full
+    assert any({1, 3} == set(k) for k in got)  # the cross-chunk pair fired
+    # and the persisted index grew to cover every ingested doc
+    sigs = spark.read.parquet(str(tmp_path / "index" / "signatures"))
+    assert sigs.count() == len(rows)
