@@ -138,8 +138,11 @@ def assign_shards(
     order = xxhash64(id, seed), shard = global_rank // shard_rows.
     Every shard holds exactly ``shard_rows`` rows except the last."""
     ranked = global_rank(df, F.xxhash64(F.col(id_col), F.lit(seed)))
+    # integral div, not `/`+cast: double division is exact only below
+    # 2^53 and rank is non-negative, so `div` IS floor here — the same
+    # discipline as the sink/rollup/resample bucket floors
     return ranked.withColumn(
-        SHARD_COL, (F.col("rank") / F.lit(shard_rows)).cast("long")
+        SHARD_COL, F.expr(f"rank div {int(shard_rows)}")
     ).drop("rank")
 
 

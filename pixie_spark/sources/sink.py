@@ -49,7 +49,16 @@ BUCKET_COL = "time_bucket"
 
 
 def with_bucket(df: DataFrame, time_col: str, bucket_ns: int) -> DataFrame:
-    return df.withColumn(BUCKET_COL, (F.col(time_col) / F.lit(bucket_ns)).cast("long"))
+    # exact integral division: `/` on longs is DOUBLE division, which
+    # rounds above 2^53 — a ns-epoch row within ~256 ns of an hour edge
+    # would land in the WRONG partition (then dynamic-overwrite replay
+    # would rewrite the wrong bucket). Same fix class as resample_ffill
+    # and the rollup bucket floor (round-4 ADVICE).
+    t = f"CAST({time_col} AS BIGINT)"
+    return df.withColumn(
+        BUCKET_COL,
+        F.expr(f"({t} - (({t} % {bucket_ns} + {bucket_ns}) % {bucket_ns})) div {bucket_ns}"),
+    )
 
 
 def write_time_partitioned(

@@ -112,3 +112,19 @@ def test_partition_stats_shape(spark, events, tmp_path):
     stats = partition_stats(spark, d).collect()
     assert len(stats) == len([n for n in os.listdir(d) if n.startswith(BUCKET_COL)])
     assert all(r.n_files >= 1 and r.bytes > 0 for r in stats)
+
+
+def test_bucket_assignment_exact_at_ns_epoch_boundaries(spark):
+    """int64 ns-epoch exceeds 2^53: double division rounds, which would
+    file a row within ~256 ns of an hour edge into the WRONG partition
+    (and dynamic-overwrite replay would then rewrite the wrong bucket).
+    The integral-div bucket must put boundary-1ns in the EARLIER bucket
+    and the exact boundary in the LATER one."""
+    from pixie_spark.sources.sink import HOUR_NS, with_bucket
+
+    edge = (1_700_000_000_123_456_789 // HOUR_NS + 1) * HOUR_NS
+    rows = [(edge - 1, "before"), (edge, "at"), (edge + 1, "after")]
+    df = spark.createDataFrame(rows, "ts long, tag string")
+    got = {r["tag"]: r["time_bucket"] for r in with_bucket(df, "ts", HOUR_NS).collect()}
+    assert got["before"] == edge // HOUR_NS - 1
+    assert got["at"] == got["after"] == edge // HOUR_NS
