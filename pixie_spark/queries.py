@@ -2060,10 +2060,44 @@ def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "contamination_bloom",
-    # Rows-only in the driver gate (window full); no-false-negative and
-    # FP-bound properties vs the exact checker are pinned in
-    # tests/test_bloom.py.
     None,
+    # Rows-only IN THE DRIVER GATE (window full); the filter is
+    # probabilistic vs TRUTH but fully DETERMINISTIC in computation, so
+    # it is hash-checked locally via local_oracle below — the exact bit
+    # positions rebuilt with the spark_xxhash64_words/_int replicas
+    # (a corpus shingle "hits" iff ALL 4 of its positions are in the
+    # probe-set position set) — plus no-false-negative / FP-bound
+    # properties in tests/test_bloom.py.
+    local_oracle="""
+    WITH w AS (
+        SELECT doc_id AS doc,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc,
+               unnest(list_transform(range(1, greatest(len(ws) - 4, 0) + 1),
+                      i -> spark_xxhash64_words(ws[i:i+4]))) AS sid
+        FROM w
+    ),
+    probe_pos AS (
+        SELECT DISTINCT
+               ((spark_xxhash64_int(sid, j) % 1048576) + 1048576) % 1048576 AS p
+        FROM (SELECT DISTINCT sid FROM sh WHERE doc < 20),
+             unnest([0, 1, 2, 3]) AS u(j)
+    ),
+    corpus_pos AS (
+        SELECT doc, sid, rn, j,
+               ((spark_xxhash64_int(sid, j) % 1048576) + 1048576) % 1048576 AS p
+        FROM (SELECT doc, sid, row_number() OVER () AS rn FROM sh),
+             unnest([0, 1, 2, 3]) AS u(j)
+    ),
+    hits AS (
+        SELECT doc, rn FROM corpus_pos c JOIN probe_pos b ON c.p = b.p
+        GROUP BY doc, rn HAVING count(DISTINCT j) = 4
+    )
+    SELECT doc, count(*) AS n_hits FROM hits GROUP BY doc ORDER BY doc
+    """,
     doc="Bloom-filter benchmark decontamination: probe shingles folded "
     "into a 2^20-bit filter (128 KB broadcast regardless of probe "
     "size), corpus membership test as native bit arithmetic inside "
@@ -2080,10 +2114,58 @@ def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dsir_resample",
-    # Rows-only in the driver gate (window full); the score math is
-    # value-checked against a Python recompute and the selection
-    # semantics are pinned in tests/test_dsir.py.
     None,
+    # Rows-only IN THE DRIVER GATE (window full); the seeded Gumbel
+    # selection is fully DETERMINISTIC, so it is hash-checked locally
+    # via local_oracle below (bucket distributions, log-ratios, scores,
+    # Gumbel keys and the top-k all rebuilt in DuckDB over the
+    # spark_xxhash64 replicas; scores rounded to 1e-6, far above
+    # cross-engine float-sum-order noise), plus a Python recompute in
+    # tests/test_dsir.py.
+    local_oracle="""
+    WITH w AS (
+        SELECT doc_id AS doc,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+        FROM documents
+    ),
+    g AS (
+        SELECT doc,
+               unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                      i -> ((spark_xxhash64_words(ws[i:i+1]) % 4096) + 4096) % 4096))
+                   AS bucket
+        FROM w
+    ),
+    tcnt AS (SELECT bucket, count(*) AS c FROM g WHERE doc < 50 GROUP BY bucket),
+    rcnt AS (SELECT bucket, count(*) AS c FROM g GROUP BY bucket),
+    ttot AS (SELECT 4096 + coalesce(sum(c), 0) AS t FROM tcnt),
+    rtot AS (SELECT 4096 + coalesce(sum(c), 0) AS t FROM rcnt),
+    lr AS (
+        SELECT b.b AS bucket,
+               ln((1.0 + coalesce(tc.c, 0)) / (SELECT t FROM ttot))
+             - ln((1.0 + coalesce(rc.c, 0)) / (SELECT t FROM rtot)) AS logratio
+        FROM (SELECT unnest(range(0, 4096)) AS b) b
+        LEFT JOIN tcnt tc ON tc.bucket = b.b
+        LEFT JOIN rcnt rc ON rc.bucket = b.b
+    ),
+    scores AS (
+        SELECT w.doc, coalesce(s.score, 0.0) AS score
+        FROM w LEFT JOIN (
+            SELECT g.doc, sum(lr.logratio) AS score
+            FROM g JOIN lr USING (bucket) GROUP BY g.doc
+        ) s ON s.doc = w.doc
+    ),
+    keyed AS (
+        SELECT doc, score,
+               score + (-ln(-ln(
+                   (((spark_xxhash64_int(doc, 42) % 4503599627370496)
+                     + 4503599627370496) % 4503599627370496 + 0.5)
+                   / 4503599627370496.0))) AS k
+        FROM scores
+    ),
+    kept AS (SELECT doc, score FROM keyed ORDER BY k DESC, doc LIMIT 200)
+    SELECT doc AS doc_id, floor(score * 1e6 + 0.5) / 1e6 AS score
+    FROM kept ORDER BY doc_id
+    """,
     doc="DSIR importance resampling (Xie et al. 2023): hashed-2-gram "
     "bucket log-likelihood ratios target-vs-raw, per-doc score via a "
     "broadcast (bucket, logratio) join + per-doc sum, deterministic "
@@ -2098,7 +2180,7 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = doc.where(F.col("doc_id") < 50)
     return (
         dsir_resample(doc, target, k=200, n_buckets=4096, seed=42)
-        .select("doc_id", "score")
+        .select("doc_id", dround("score", 6).alias("score"))
         .orderBy("doc_id")
     )
 
@@ -2811,8 +2893,42 @@ def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "term_freq_cms",
-    None,  # sketch — rows-only; one-sided error, linearity-merge, and
-    # weighted-build equality are value-checked in tests/test_sketch.py.
+    None,  # rows-only IN THE DRIVER GATE; the sketch is approximate vs
+    # TRUTH but fully DETERMINISTIC in computation, so it is
+    # hash-checked locally via local_oracle below — the full CMS cell
+    # array rebuilt in DuckDB with the spark_xxhash64_str_int replica
+    # (complete byte-wise XXH64, pinned bit-for-bit vs the JVM) — plus
+    # one-sided-error/linearity tests in tests/test_sketch.py.
+    local_oracle="""
+    WITH words AS (
+        SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS term
+        FROM documents
+    ),
+    cells AS (
+        SELECT j,
+               ((spark_xxhash64_str_int(term, j) % 8192) + 8192) % 8192 AS bucket,
+               count(*) AS cnt
+        FROM words, unnest([0, 1, 2, 3]) AS u(j)
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT term, count(*) AS exact FROM words GROUP BY term
+        ORDER BY exact DESC, term LIMIT 20
+    ),
+    probes AS (
+        SELECT term, exact, j,
+               ((spark_xxhash64_str_int(term, j) % 8192) + 8192) % 8192 AS bucket
+        FROM exact, unnest([0, 1, 2, 3]) AS u(j)
+    ),
+    est AS (
+        SELECT p.term, p.exact, min(coalesce(c.cnt, 0)) AS est
+        FROM probes p LEFT JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+        GROUP BY p.term, p.exact
+    )
+    SELECT term, exact, est, est - exact AS overcount
+    FROM est ORDER BY exact DESC, term
+    """,
     doc="Count-min sketch term frequencies (Cormode & Muthukrishnan "
     "2005; operators/sketch.py): fixed depth×width mergeable cells — "
     "shuffle bounded by sketch size, not vocabulary — probed for the "

@@ -53,9 +53,14 @@ def test_expected_local_oracle_coverage():
         "ts_anomalies",
         "vocab_bpe_stats",
         "corpus_clean_pipeline",
+        # third batch: full-XXH64 string replicas unlock the
+        # deterministic "sketch" computations
+        "term_freq_cms",
+        "contamination_bloom",
+        "dsir_resample",
     }
     assert expected.issubset(set(LOCAL_ORACLE_NAMES))
-    assert len(LOCAL_ORACLE_NAMES) >= 19
+    assert len(LOCAL_ORACLE_NAMES) >= 22
 
 
 def test_local_oracles_never_reach_the_driver():

@@ -117,7 +117,13 @@ def compare_frames(sdf, odf) -> list[str]:
 def oracle_connection(sf_dir: str):
     """DuckDB connection with the testdata views and the spark-hash UDF
     replicas registered — everything a local_oracle may reference."""
-    from tools.spark_hash import xxhash64_long, xxhash64_long_int
+    from tools.spark_hash import (
+        xxhash64_long,
+        xxhash64_long_int,
+        xxhash64_str,
+        xxhash64_str_int,
+        xxhash64_words,
+    )
 
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
@@ -131,6 +137,21 @@ def oracle_connection(sf_dir: str):
         "spark_xxhash64_int",
         lambda v, i: xxhash64_long_int(v, i),
         ["BIGINT", "INTEGER"],
+        "BIGINT",
+    )
+    con.create_function(
+        "spark_xxhash64_str", lambda v: xxhash64_str(v), ["VARCHAR"], "BIGINT"
+    )
+    con.create_function(
+        "spark_xxhash64_str_int",
+        lambda v, i: xxhash64_str_int(v, i),
+        ["VARCHAR", "INTEGER"],
+        "BIGINT",
+    )
+    con.create_function(
+        "spark_xxhash64_words",
+        lambda ws: xxhash64_words(ws),
+        ["VARCHAR[]"],
         "BIGINT",
     )
     return con

@@ -74,3 +74,65 @@ def xxhash64_long_int(value: int, int_arg: int, seed: int = 42) -> int:
     (a Python int literal ≤ 2^31-1 is IntegerType in Spark, so the
     second fold is the 4-byte specialization)."""
     return _to_signed(hash_int(int_arg, hash_long(value, seed)))
+
+
+def _round(acc: int, lane: int) -> int:
+    return (_rotl((acc + lane * _P2) & _M, 31) * _P1) & _M
+
+
+def hash_bytes(data: bytes, seed: int) -> int:
+    """Full XXH64 over a byte string (the spec's general case — Spark
+    uses it for StringType children, over the UTF-8 bytes)."""
+    n = len(data)
+    i = 0
+    s = seed & _M
+    if n >= 32:
+        a1 = (s + _P1 + _P2) & _M
+        a2 = (s + _P2) & _M
+        a3 = s
+        a4 = (s - _P1) & _M
+        while i + 32 <= n:
+            a1 = _round(a1, int.from_bytes(data[i : i + 8], "little"))
+            a2 = _round(a2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            a3 = _round(a3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            a4 = _round(a4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (_rotl(a1, 1) + _rotl(a2, 7) + _rotl(a3, 12) + _rotl(a4, 18)) & _M
+        for a in (a1, a2, a3, a4):
+            h = ((h ^ _round(0, a)) * _P1 + _P4) & _M
+    else:
+        h = (s + _P5) & _M
+    h = (h + n) & _M
+    while i + 8 <= n:
+        h ^= _round(0, int.from_bytes(data[i : i + 8], "little"))
+        h = (_rotl(h, 27) * _P1 + _P4) & _M
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _P1) & _M
+        h = (_rotl(h, 23) * _P2 + _P3) & _M
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M
+        h = (_rotl(h, 11) * _P1) & _M
+        i += 1
+    return _fmix(h)
+
+
+def xxhash64_str(value: str, seed: int = 42) -> int:
+    """Signed-int64 replica of Spark ``F.xxhash64(string_col)``."""
+    return _to_signed(hash_bytes(value.encode("utf-8"), seed))
+
+
+def xxhash64_str_int(value: str, int_arg: int, seed: int = 42) -> int:
+    """Signed-int64 replica of ``F.xxhash64(string_col, F.lit(i))``."""
+    return _to_signed(hash_int(int_arg, hash_bytes(value.encode("utf-8"), seed)))
+
+
+def xxhash64_words(words: list[str], seed: int = 42) -> int:
+    """Signed-int64 replica of ``F.xxhash64(w0, w1, ..., wn)`` over n
+    string columns — Spark folds each child into the running hash, so
+    this is the shingle-id (sid) computation of the dedup family."""
+    h = seed & _M
+    for w in words:
+        h = hash_bytes(w.encode("utf-8"), h)
+    return _to_signed(h)
