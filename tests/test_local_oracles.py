@@ -19,7 +19,13 @@ from pyspark.sql import functions as F
 
 from pixie_spark.queries import QUERIES
 from tools.check_oracle import compare_frames, oracle_connection
-from tools.spark_hash import xxhash64_long, xxhash64_long_int
+from tools.spark_hash import (
+    xxhash64_long,
+    xxhash64_long_int,
+    xxhash64_str,
+    xxhash64_str_int,
+    xxhash64_words,
+)
 
 SF_DIR = "/root/testdata/sf0.01"
 
@@ -93,6 +99,34 @@ def test_spark_xxhash64_replica_pinned_against_jvm(spark):
     for r in rows:
         assert r["h1"] == xxhash64_long(r["v"]), r["v"]
         assert r["h2"] == xxhash64_long_int(r["v"], 42), r["v"]
+
+
+def test_spark_xxhash64_string_replica_pinned_against_jvm(spark):
+    # the FULL byte-wise XXH64 (stripes + tail + avalanche): lengths
+    # straddling every code path (0, <4, <8, <32, 32, >32, long), plus
+    # unicode and multi-column chaining (the shingle-id computation)
+    import random
+    import string as stringmod
+
+    rng = random.Random(7)
+    vals = ["", "a", "abc", "abcd", "abcdefg", "abcdefgh",
+            "x" * 31, "x" * 32, "x" * 33, "paragraph " * 20,
+            "unicode ✓ ▁ é 中文"] + [
+        "".join(rng.choices(stringmod.printable, k=rng.randint(1, 200)))
+        .replace("\r", " ")
+        for _ in range(100)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    rows = df.select(
+        "v", F.xxhash64("v").alias("h1"), F.xxhash64("v", F.lit(3)).alias("h2")
+    ).collect()
+    for r in rows:
+        assert r["h1"] == xxhash64_str(r["v"]), repr(r["v"])
+        assert r["h2"] == xxhash64_str_int(r["v"], 3), repr(r["v"])
+    (row,) = spark.createDataFrame(
+        [("alpha", "beta", "gamma")], "a string, b string, c string"
+    ).select(F.xxhash64("a", "b", "c").alias("h")).collect()
+    assert row["h"] == xxhash64_words(["alpha", "beta", "gamma"])
 
 
 @pytest.fixture(scope="module")
