@@ -357,3 +357,67 @@ def test_net_flow_graph_streamed_equals_golden(spark, ctx, tmp_path):
         assert (r["from_entity"], r["to_entity"]) == (src, dst)
         assert r["bytes_sent"] == approx(sent, rel=1e-9)
         assert r["bytes_recv"] == approx(recv, rel=1e-9)
+
+
+# --- protocol-trace family: three more tables into the streaming tier
+# --- (pgsql windowed stats, mysql histogram, redis windowed stats) — 12 total.
+
+
+def test_pgsql_stats_streamed_equals_golden(spark, ctx, tmp_path):
+    """PostgreSQL windowed stats + histogram over streamed pgsql_events:
+    window count, throughput mass, p99 peak, destination fan-out and
+    the histogram all equal the batch golden. (http_data's bare
+    head(100) is NOT in this tier: head over an unordered frame is
+    layout-dependent by definition — the batch golden relies on the
+    single-parquet row order, which a chunked streaming snapshot
+    legitimately does not reproduce.)"""
+    pa = {"start_time": "-1h", "pod": "prod/"}
+    run = _stream_run(
+        spark, ctx, _read("pgsql_stats/pgsql_stats.pxl"),
+        streamed=["pgsql_events"], work_dir=str(tmp_path / "pgsql"),
+        calls=[("pod_pgsql_let", pa), ("latency_histogram", pa)],
+    )
+    assert run.refresh_count >= 3
+    rows = run.results["pod_pgsql_let"]
+    assert len(rows) == 259
+    assert len({r["destination"] for r in rows}) == 66
+    assert max(r["latency_p99"] for r in rows) == 22865244
+    assert sum(r["request_throughput"] for r in rows) == approx(2.59e-08, rel=1e-9)
+    hist = _dicts(run.results["latency_histogram"], "request_latency")
+    assert [(r["request_latency"], r["count"]) for r in hist] == [(0, 259)]
+
+
+def test_mysql_stats_streamed_equals_golden(spark, ctx, tmp_path):
+    """MySQL latency histogram over streamed mysql_events: exact
+    log-bucket counts equal to the batch golden."""
+    run = _stream_run(
+        spark, ctx, _read("mysql_stats/mysql_stats.pxl"),
+        streamed=["mysql_events"], work_dir=str(tmp_path / "mysql"),
+        calls=[("latency_histogram", {"start_time": "-1h", "pod": "prod/"})],
+    )
+    assert run.refresh_count >= 3
+    rows = _dicts(run.results["latency_histogram"], "request_latency")
+    assert [(r["request_latency"], r["count"]) for r in rows] == [
+        (0, 241), (5000000, 10), (10000000, 3), (25000000, 1),
+    ]
+
+
+def test_redis_stats_streamed_equals_golden(spark, ctx, tmp_path):
+    """Redis windowed stats + histogram over streamed redis_events:
+    window count, throughput mass, p99 peak, destination fan-out and
+    the histogram all equal the batch golden."""
+    pa = {"start_time": "-1h", "pod": "prod/"}
+    run = _stream_run(
+        spark, ctx, _read("redis_stats/redis_stats.pxl"),
+        streamed=["redis_events"], work_dir=str(tmp_path / "redis"),
+        calls=[("pod_redis_let", pa), ("latency_histogram", pa)],
+    )
+    assert run.refresh_count >= 3
+    rows = run.results["pod_redis_let"]
+    assert len(rows) == 267
+    assert len({r["destination"] for r in rows}) == 67
+    assert max(r["latency_p99"] for r in rows) == 12820084
+    assert sum(r["request_throughput"] for r in rows) == approx(2.67e-08, rel=1e-9)
+    assert min(r["time_"] for r in rows) == 1704067200000000000
+    hist = _dicts(run.results["latency_histogram"], "request_latency")
+    assert [(r["request_latency"], r["count"]) for r in hist] == [(0, 267)]
