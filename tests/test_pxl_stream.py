@@ -421,3 +421,32 @@ def test_redis_stats_streamed_equals_golden(spark, ctx, tmp_path):
     assert min(r["time_"] for r in rows) == 1704067200000000000
     hist = _dicts(run.results["latency_histogram"], "request_latency")
     assert [(r["request_latency"], r["count"]) for r in hist] == [(0, 267)]
+
+
+def test_sql_queries_summary_two_streams_equals_golden(spark, ctx, tmp_path):
+    """TWO source tables streamed SIMULTANEOUSLY (mysql_events AND
+    pgsql_events feed the same script's union): the normalized-SQL
+    template summary must equal the batch golden exactly — request
+    totals and mean latencies per collapsed template. 13 scripts in the
+    streaming tier; this is the multi-stream case."""
+    import json
+
+    run = _stream_run(
+        spark, ctx, _read("sql_queries/normed_sql_queries.pxl"),
+        streamed=["mysql_events", "pgsql_events"],
+        work_dir=str(tmp_path / "sqlsum"),
+        calls=[("summary_sql_let", {"start_time": "-1h", "pod": "prod/"})],
+    )
+    assert run.refresh_count >= 3
+    rows = run.results["summary_sql_let"]
+    got = {
+        json.loads(r["normed_query"])["label"]: (r["total_requests"], r["latency"])
+        for r in rows
+    }
+    assert got == {
+        "INSERT INTO events (ts, kind) VALUES (?, ?)": (110, approx(1375277.4639175257, rel=1e-9)),
+        "SELECT * FROM orders WHERE customer_id = ?": (100, approx(1550044.4146341463, rel=1e-9)),
+        "SELECT COUNT(*) FROM lineitem": (87, approx(1037387.7631578947, rel=1e-9)),
+        "SELECT id, total FROM orders WHERE o_orderdate > ?": (89, approx(1549223.4102564103, rel=1e-9)),
+        "UPDATE inventory SET qty = qty - ? WHERE part_id = ?": (128, approx(1576471.6, rel=1e-9)),
+    }
