@@ -89,6 +89,8 @@ EXTRA = [
     "nb_classify",
     "domain_pagerank",
     "corpus_clean_pipeline",
+    "dedup_lines",
+    "c4_quality_clean",
 ]
 
 

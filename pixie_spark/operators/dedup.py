@@ -910,3 +910,76 @@ def contamination_matrix(
         F.countDistinct("doc").alias("n_contaminated_docs"),
         F.count(F.lit(1)).alias("n_shared_ngrams"),
     )
+
+
+def line_level_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 1,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide exact line-level deduplication, keep-first.
+
+    C4 (Raffel et al. 2020, §2.2) deduplicates repeated three-sentence
+    spans corpus-wide; the line/paragraph-granular variant used by later
+    public recipes (RefinedWeb, Dolma) keeps only the FIRST occurrence
+    (ordered by ``(doc_id, position)``) of every line that appears more
+    than once ANYWHERE in the corpus and drops the rest, then rebuilds
+    each document from its surviving lines. Complements
+    :func:`duplicate_spans` (which catches near-boundary-free repeated
+    substrings): this one is boundary-exact, cross-document, and keyed
+    on whole lines.
+
+    Scale shape (100 TB):
+    - a line leaves its document only as an 8-byte ``xxhash64`` id plus
+      ``(doc_id, pos)`` — line TEXT never shuffles;
+    - keep-first is ``min(struct(doc_id, pos))`` grouped by line id — a
+      map-side-combinable agg, so a boilerplate line occurring 10^9
+      times collapses in the partial aggregate instead of skewing a
+      window rank;
+    - the drop set flows back through one 8-byte-key equijoin (AQE
+      skew-split handles hot line ids) and folds to per-doc drop
+      positions; the document text is rebuilt IN-ROW by filtering the
+      original split array on position — full text crosses exactly one
+      shuffle, the final ``doc_id`` equijoin.
+
+    Lines shorter than ``min_chars`` (default: empty lines) are exempt
+    from deduplication and always kept, so blank separators survive.
+    ``sep`` is a literal separator (split treats it escaped).
+    """
+    import re as _re
+
+    pat = _re.escape(sep)
+    arr = F.split(F.col(text_col), pat, -1)
+    lines = df.select(
+        F.col(id_col), F.posexplode(arr).alias("pos", "line")
+    ).where(F.length("line") >= min_chars)
+    occ = lines.select(id_col, "pos", F.xxhash64("line").alias("lid"))
+    first = occ.groupBy("lid").agg(
+        F.min(F.struct(id_col, "pos")).alias("first_occ")
+    )
+    drops = (
+        occ.join(first, "lid")
+        .where(
+            (F.col(f"first_occ.{id_col}") != F.col(id_col))
+            | (F.col("first_occ.pos") != F.col("pos"))
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("__drop_pos"))
+    )
+    kept = F.filter(
+        arr,
+        lambda x, i: ~F.coalesce(
+            F.array_contains(F.col("__drop_pos"), i), F.lit(False)
+        ),
+    )
+    return (
+        df.join(drops, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.array_join(kept, sep).alias(text_col),
+            F.size(arr).cast("long").alias("n_lines"),
+            (F.size(arr) - F.size(kept)).cast("long").alias("n_lines_dropped"),
+        )
+    )

@@ -277,3 +277,76 @@ def gopher_filters(
     return full.withColumn("failed_rules", failed).withColumn(
         "keep", F.size("failed_rules") == 0
     )
+
+
+# C4 rule set (Raffel et al. 2020, "Exploring the Limits of Transfer
+# Learning with a Unified Text-to-Text Transformer", §2.2 — public).
+C4_MIN_WORDS_PER_LINE = 3
+C4_MIN_SENTENCES = 5
+# line-level drop phrases: the published javascript + cookie/policy
+# boilerplate rules, one alternation over lower(line)
+C4_LINE_DROP_RE = (
+    "(javascript|terms of use|privacy policy|cookie policy"
+    "|uses cookies|use of cookies|use cookies)"
+)
+C4_TERMINAL_PUNCT_RE = '[.!?"\']$'
+
+
+def c4_clean(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = C4_MIN_WORDS_PER_LINE,
+    min_sentences: int = C4_MIN_SENTENCES,
+) -> DataFrame:
+    """C4 line + page heuristic cleaning (Raffel et al. 2020 §2.2).
+
+    Line rules (a line survives only if ALL hold):
+    - ends in a terminal punctuation mark (``. ! ? " '`` after trim);
+    - has at least ``min_words_per_line`` whitespace words;
+    - does not mention javascript / cookie- / policy-boilerplate
+      phrases (one alternation regex over the lowercased line).
+
+    Page rules (evaluated after line filtering, first match wins as
+    ``drop_reason``):
+    - ``brace``: the page contains ``{`` (code);
+    - ``lorem_ipsum``: placeholder text anywhere on the page;
+    - ``too_few_sentences``: fewer than ``min_sentences`` terminal
+      punctuation marks remain in the cleaned text (the sentence-count
+      proxy — deterministic and engine-portable).
+
+    Complements :func:`gopher_filters` (doc-level SHAPE gates): C4's
+    rules are line-granular and REWRITE the text. Everything is in-row
+    native array/regexp expressions — a pure map stage, zero shuffle,
+    the same scan-attached-projection scale shape as the rest of this
+    module. Returns one row per input doc: cleaned text, line/sentence
+    accounting, the keep verdict, and the drop reason.
+    """
+    arr = _segments(F.col(text_col), r"\n")
+
+    def _line_ok(x: Column) -> Column:
+        words = F.size(F.filter(F.split(F.trim(x), r"\s+"), lambda w: w != ""))
+        return (
+            F.trim(x).rlike(C4_TERMINAL_PUNCT_RE)
+            & (words >= min_words_per_line)
+            & ~F.lower(x).rlike(C4_LINE_DROP_RE)
+        )
+
+    kept = F.filter(arr, _line_ok)
+    clean = F.array_join(kept, "\n")
+    n_sent = F.length(clean) - F.length(F.regexp_replace(clean, "[.!?]", ""))
+    reason = (
+        F.when(F.col(text_col).contains("{"), F.lit("brace"))
+        .when(F.lower(text_col).contains("lorem ipsum"), F.lit("lorem_ipsum"))
+        .when(n_sent < min_sentences, F.lit("too_few_sentences"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return df.select(
+        F.col(id_col),
+        clean.alias(text_col),
+        F.size(arr).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        n_sent.cast("long").alias("n_sentences"),
+        reason.isNull().alias("kept"),
+        reason.alias("drop_reason"),
+    )

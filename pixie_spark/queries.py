@@ -3654,6 +3654,113 @@ def q_corpus_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_lines",
+    # Rows-only in the driver gate (50-row window full); hash-checked
+    # locally below — an independent DuckDB window-function replica of
+    # the keep-first semantics — plus a serial-Python reference on a
+    # planted multi-line corpus in tests/test_dedup_extra.py.
+    None,
+    doc="Corpus-wide exact line-level dedup, keep-first (C4 §2.2 span "
+    "dedup at line granularity / RefinedWeb-Dolma recipes): every line "
+    "occurring more than once anywhere keeps only its (doc_id, pos)-"
+    "minimal occurrence; documents are rebuilt in-row from surviving "
+    "positions. Line text never shuffles — only 8-byte xxhash64 line "
+    "ids; keep-first is a map-side-combinable min(struct) agg, so "
+    "boilerplate hot lines collapse in the partial aggregate.",
+    local_oracle="""
+    WITH split AS (
+        SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, unnest(ls) AS line, unnest(range(len(ls))) AS pos
+        FROM split
+    ),
+    elig AS (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        FROM lines WHERE length(line) >= 1
+    ),
+    drops AS (SELECT doc_id, pos FROM elig WHERE rn > 1)
+    SELECT l.doc_id,
+           coalesce(string_agg(CASE WHEN d.pos IS NULL THEN l.line END,
+                               chr(10) ORDER BY l.pos), '') AS text,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(d.pos) AS BIGINT) AS n_lines_dropped
+    FROM lines l LEFT JOIN drops d ON l.doc_id = d.doc_id AND l.pos = d.pos
+    GROUP BY l.doc_id
+    """,
+)
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.line_level_dedup(docs)
+
+
+@query(
+    "c4_quality_clean",
+    # Rows-only in the driver gate (window full); hash-checked locally
+    # below via an independent DuckDB list-lambda replica of every line
+    # rule, page rule, and the reason precedence — plus a serial-Python
+    # reference on planted pages in tests/test_quality.py.
+    None,
+    doc="C4 heuristic cleaning (Raffel et al. 2020 §2.2): line-granular "
+    "keep rules (terminal punctuation, >=3 words, no javascript/cookie/"
+    "policy boilerplate) REWRITE the text; page rules (brace, lorem "
+    "ipsum, sentence floor) gate the document. Pure in-row map stage — "
+    "zero shuffle, scan-attached projection at 100 TB.",
+    local_oracle="""
+    WITH base AS (
+        SELECT doc_id, text AS orig,
+               list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines
+        FROM documents
+    ),
+    k AS (
+        SELECT doc_id, orig, lines,
+               list_filter(lines, x ->
+                   regexp_matches(trim(x), '[.!?"'']$')
+                   AND len(list_filter(string_split_regex(trim(x), '\\s+'),
+                           w -> w <> '')) >= 3
+                   AND NOT regexp_matches(lower(x),
+                       '(javascript|terms of use|privacy policy|cookie policy|uses cookies|use of cookies|use cookies)')
+               ) AS kept_lines
+        FROM base
+    ),
+    c AS (
+        SELECT doc_id, orig, lines, kept_lines,
+               -- duckdb array_to_string([]) is NULL; spark array_join is ''
+               coalesce(array_to_string(kept_lines, chr(10)), '') AS clean
+        FROM k
+    ),
+    s AS (
+        SELECT *, CAST(length(clean)
+                   - length(regexp_replace(clean, '[.!?]', '', 'g'))
+                   AS BIGINT) AS n_sentences
+        FROM c
+    ),
+    v AS (
+        SELECT *,
+            CASE WHEN strpos(orig, '{') > 0 THEN 'brace'
+                 WHEN strpos(lower(orig), 'lorem ipsum') > 0 THEN 'lorem_ipsum'
+                 WHEN n_sentences < 5 THEN 'too_few_sentences'
+                 ELSE NULL END AS drop_reason
+        FROM s
+    )
+    SELECT doc_id, clean AS text,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept_lines) AS BIGINT) AS n_lines_kept,
+           n_sentences,
+           (drop_reason IS NULL) AS kept,
+           drop_reason
+    FROM v
+    """,
+)
+def q_c4_quality_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.operators.quality import c4_clean
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return c4_clean(docs)
+
+
 # =============================================================================
 # Gate-window ordering
 # =============================================================================

@@ -420,3 +420,68 @@ def test_contamination_matrix_probe_side_broadcasts(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide exact line-level dedup, keep-first (C4 §2.2 at line
+# granularity / RefinedWeb-Dolma recipes)
+# ---------------------------------------------------------------------------
+
+LINE_CORPUS = [
+    (0, "Common header line here.\nUnique body A text.\n\nshort"),
+    (1, "Common header line here.\nUnique body B text.\nCommon header line here."),
+    (2, "Totally unique document.\n\nCommon header line here."),
+    (3, "Unique body A text."),          # whole doc duplicates an earlier line
+    (4, ""),                              # empty doc
+    (5, "Within doc repeat.\nWithin doc repeat.\nTail line stays."),
+]
+
+
+def _line_dedup_python(docs, min_chars=1):
+    seen = set()
+    out = {}
+    for did, t in docs:
+        lines = t.split("\n")
+        keep, dropped = [], 0
+        for l in lines:
+            if len(l) >= min_chars:
+                if l in seen:
+                    dropped += 1
+                    continue
+                seen.add(l)
+            keep.append(l)
+        out[did] = ("\n".join(keep), len(lines), dropped)
+    return out
+
+
+def test_line_level_dedup_matches_python_reference(spark):
+    df = spark.createDataFrame(LINE_CORPUS, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dd.line_level_dedup(df).collect()}
+    ref = _line_dedup_python(LINE_CORPUS)
+    for did, _ in LINE_CORPUS:
+        assert got[did]["text"] == ref[did][0], did
+        assert got[did]["n_lines"] == ref[did][1], did
+        assert got[did]["n_lines_dropped"] == ref[did][2], did
+    # spot semantics: within-doc repeat dropped, keep-first owner wins
+    assert got[5]["text"] == "Within doc repeat.\nTail line stays."
+    assert got[3]["text"] == ""  # its only line first occurred in doc 0
+    assert got[0]["n_lines_dropped"] == 0  # first occurrences keep everything
+
+
+def test_line_level_dedup_min_chars_exempts_short_lines(spark):
+    docs = [(0, "aa\n\nx\naa"), (1, "\nx\nbb")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dd.line_level_dedup(df, min_chars=2).collect()}
+    # empty and 1-char lines are exempt (always kept, never claim ownership)
+    assert got[0]["text"] == "aa\n\nx"       # second 'aa' dropped, 'x' kept
+    assert got[1]["text"] == "\nx\nbb"       # both short lines kept everywhere
+    assert got[1]["n_lines_dropped"] == 0
+
+
+def test_line_level_dedup_plan_shape(spark):
+    df = spark.createDataFrame(LINE_CORPUS, "doc_id long, text string")
+    plan = dd.line_level_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    # keep-first must be the map-side-combinable min(struct) agg, never a
+    # window rank over the line id (hot boilerplate lines would skew it)
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan

@@ -64,9 +64,12 @@ def test_expected_local_oracle_coverage():
         "term_freq_cms",
         "contamination_bloom",
         "dsir_resample",
+        # round-5 additions: C4 cleaning + corpus-wide line dedup
+        "c4_quality_clean",
+        "dedup_lines",
     }
     assert expected.issubset(set(LOCAL_ORACLE_NAMES))
-    assert len(LOCAL_ORACLE_NAMES) >= 22
+    assert len(LOCAL_ORACLE_NAMES) >= 24
 
 
 def test_local_oracles_never_reach_the_driver():

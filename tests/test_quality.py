@@ -182,3 +182,96 @@ def test_gopher_filters_on_fixture_corpus(spark, sf_dir):
         for c in frac_cols:
             v = r[c]
             assert v is None or (-1e-9 <= v <= 1.0 + 1e-9), (r["doc"], c, v)
+
+
+# ---------------------------------------------------------------------------
+# C4 line + page heuristic cleaning (Raffel et al. 2020 §2.2)
+# ---------------------------------------------------------------------------
+
+C4_PAGES = [
+    # survives everything: >=5 sentences of >=3-word punctuated lines
+    ("p1", "This is a good sentence with words.\n"
+           "Another fine sentence right here!\n"
+           "More valid prose ending properly.\n"
+           "And one more full sentence here.\n"
+           "Yet another complete sentence now.\n"
+           "Final good sentence to pass gate."),
+    # line-rule exercise: short line, unpunctuated line, cookie line,
+    # javascript line — all dropped; page then falls below 5 sentences
+    ("p2", "Too short.\n"
+           "this line has no terminal punctuation at all\n"
+           "This page uses cookies to improve service.\n"
+           "Please enable javascript to continue browsing.\n"
+           "Only this sentence and the short one survive here."),
+    # page rules and precedence: brace beats lorem ipsum
+    ("p3", "Code page { with braces }.\nlorem ipsum dolor sit amet etc."),
+    ("p4", "lorem ipsum dolor sit amet consectetur.\nOtherwise a fine sentence."),
+    # quote-terminated line counts as punctuated
+    ("p5", 'He said the magic words."\nSecond sentence follows naturally now.\n'
+           "Third one right after that too.\nFourth sentence of this page here.\n"
+           "Fifth sentence wraps the page up."),
+    ("p6", ""),
+]
+
+
+def _c4_python_reference(text: str, min_words: int = 3, min_sent: int = 5):
+    lines = [l for l in text.split("\n") if l.strip() != ""]
+    drop_re = re.compile(
+        r"(javascript|terms of use|privacy policy|cookie policy"
+        r"|uses cookies|use of cookies|use cookies)"
+    )
+    kept = [
+        l
+        for l in lines
+        if re.search(r'[.!?"\']$', l.strip())
+        and len([w for w in re.split(r"\s+", l.strip()) if w]) >= min_words
+        and not drop_re.search(l.lower())
+    ]
+    clean = "\n".join(kept)
+    n_sent = len(re.findall(r"[.!?]", clean))
+    if "{" in text:
+        reason = "brace"
+    elif "lorem ipsum" in text.lower():
+        reason = "lorem_ipsum"
+    elif n_sent < min_sent:
+        reason = "too_few_sentences"
+    else:
+        reason = None
+    return {
+        "text": clean,
+        "n_lines": len(lines),
+        "n_lines_kept": len(kept),
+        "n_sentences": n_sent,
+        "kept": reason is None,
+        "drop_reason": reason,
+    }
+
+
+def test_c4_clean_matches_python_reference(spark):
+    df = spark.createDataFrame(C4_PAGES, "doc_id string, text string")
+    out = {r["doc_id"]: r.asDict() for r in Q.c4_clean(df, id_col="doc_id").collect()}
+    assert set(out) == {d for d, _ in C4_PAGES}
+    for did, text in C4_PAGES:
+        ref = _c4_python_reference(text)
+        got = {k: v for k, v in out[did].items() if k != "doc_id"}
+        assert got == ref, (did, got, ref)
+
+
+def test_c4_clean_reason_precedence_and_flags(spark):
+    df = spark.createDataFrame(C4_PAGES, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in Q.c4_clean(df, id_col="doc_id").collect()}
+    assert out["p1"]["kept"] and out["p1"]["drop_reason"] is None
+    assert out["p2"]["drop_reason"] == "too_few_sentences"
+    assert out["p3"]["drop_reason"] == "brace"  # brace wins over lorem ipsum
+    assert out["p4"]["drop_reason"] == "lorem_ipsum"
+    assert out["p5"]["kept"]  # quote-terminated line is punctuated
+    # "Too short." fails the 3-word floor; only the final line survives
+    assert out["p2"]["n_lines_kept"] == 1
+    assert out["p6"]["text"] == "" and out["p6"]["n_lines"] == 0
+
+
+def test_c4_clean_is_a_pure_map_stage(spark):
+    df = spark.createDataFrame(C4_PAGES, "doc_id string, text string")
+    plan = Q.c4_clean(df, id_col="doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan  # zero shuffle: scan-attached projection
+    assert "BatchEvalPython" not in plan, plan
