@@ -91,6 +91,8 @@ EXTRA = [
     "corpus_clean_pipeline",
     "dedup_lines",
     "c4_quality_clean",
+    "dedup_lines_ccnet",
+    "normalize_corpus",
 ]
 
 
@@ -108,7 +110,17 @@ def main() -> None:
     # sf0.1; see SCALE.md round-5 notes). Warming on sf0.001 compiles
     # the same generated classes without touching the measured data.
     if os.path.isdir("/root/testdata/sf0.001"):
-        for wq in ("agg_groupby", "quantiles"):
+        # same treatment for the dedup family: their vector-fold /
+        # band-explode codegen units cost 2-4s on first compile
+        # (measured: dedup_embedding_cosine_lsh 6.6s cold vs 2.3s warm
+        # at sf0.1 in an otherwise-idle session)
+        for wq in (
+            "agg_groupby",
+            "quantiles",
+            "dedup_ngram_jaccard",
+            "dedup_minhash_lsh",
+            "dedup_embedding_cosine_lsh",
+        ):
             QUERIES[wq].fn(spark, "/root/testdata/sf0.001").write.format(
                 "noop"
             ).mode("overwrite").save()

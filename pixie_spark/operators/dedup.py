@@ -918,6 +918,7 @@ def line_level_dedup(
     text_col: str = "text",
     min_chars: int = 1,
     sep: str = "\n",
+    key_fn=None,
 ) -> DataFrame:
     """Corpus-wide exact line-level deduplication, keep-first.
 
@@ -947,6 +948,13 @@ def line_level_dedup(
     Lines shorter than ``min_chars`` (default: empty lines) are exempt
     from deduplication and always kept, so blank separators survive.
     ``sep`` is a literal separator (split treats it escaped).
+
+    ``key_fn`` (Column -> Column) transforms a line into its DEDUP KEY
+    before hashing — pass :func:`pixie_spark.operators.text.
+    normalize_for_hash` for CCNet-style fuzzy line dedup (Wenzek et al.
+    2020 §3: case/digit/punctuation-insensitive boilerplate collapse).
+    The stored text is untouched; only the 8-byte hash of the projected
+    key shuffles.
     """
     import re as _re
 
@@ -955,7 +963,8 @@ def line_level_dedup(
     lines = df.select(
         F.col(id_col), F.posexplode(arr).alias("pos", "line")
     ).where(F.length("line") >= min_chars)
-    occ = lines.select(id_col, "pos", F.xxhash64("line").alias("lid"))
+    key = key_fn(F.col("line")) if key_fn is not None else F.col("line")
+    occ = lines.select(id_col, "pos", F.xxhash64(key).alias("lid"))
     first = occ.groupBy("lid").agg(
         F.min(F.struct(id_col, "pos")).alias("first_occ")
     )

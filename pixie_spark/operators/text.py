@@ -493,3 +493,72 @@ def bpe_fertility(
         "fertility",
         F.when(F.col("total_words") > 0, F.col("total_tokens") / F.col("total_words")),
     )
+
+
+# Unicode cleanup classes for normalize_text (all as explicit escapes so
+# the same pattern strings drop into the DuckDB oracle verbatim):
+# non-\n\t C0 controls + DEL + C1 controls. \x{...} hex-escape form
+# throughout: the one escape syntax Java regex (Spark) and RE2 (DuckDB)
+# both accept, so the strings drop into the oracle verbatim.
+_CTRL_RE = "[\\x{0}-\\x{8}\\x{b}\\x{c}\\x{e}-\\x{1f}\\x{7f}-\\x{9f}]"
+# zero-width space/joiners, word-joiner, BOM
+_ZERO_WIDTH_RE = "[\\x{200b}-\\x{200d}\\x{2060}\\x{feff}]"
+# unicode horizontal spaces -> ASCII space
+_USPACE_RE = "[\\x{a0}\\x{1680}\\x{2000}-\\x{200a}\\x{202f}\\x{205f}\\x{3000}]"
+
+
+def normalize_text(text: Column) -> Column:
+    """Unicode/whitespace cleanup column expression — the standard
+    crawl-corpus pre-processing stage (CCNet/Dolma-style cleanup before
+    quality filtering and dedup):
+
+    1. fold CRLF / lone CR to LF;
+    2. drop zero-width characters (ZWSP/ZWJ/ZWNJ, word-joiner, BOM);
+    3. drop control characters other than newline and tab;
+    4. fold unicode horizontal spaces (NBSP, en/em/thin/ideographic
+       space) and tabs to ASCII space;
+    5. collapse runs of spaces to one, strip spaces around newlines;
+    6. collapse 3+ consecutive newlines to a blank line (paragraph
+       structure survives, vertical noise doesn't);
+    7. trim leading/trailing whitespace.
+
+    A chain of native ``regexp_replace`` — JVM-side, zero shuffle, and
+    each pattern string is shared verbatim with the DuckDB oracle
+    (both engines' regex dialects treat these classes identically).
+    """
+    t = F.regexp_replace(text, "\\r\\n?", "\n")
+    t = F.regexp_replace(t, _ZERO_WIDTH_RE, "")
+    t = F.regexp_replace(t, _CTRL_RE, "")
+    t = F.regexp_replace(t, _USPACE_RE + "|\\t", " ")
+    t = F.regexp_replace(t, " {2,}", " ")
+    t = F.regexp_replace(t, " ?\\n ?", "\n")
+    t = F.regexp_replace(t, "\\n{3,}", "\n\n")
+    # trim spaces AND newlines (F.trim strips only spaces)
+    return F.regexp_replace(t, "^[ \\n]+|[ \\n]+$", "")
+
+
+def normalize_for_hash(text: Column) -> Column:
+    """CCNet-style aggressive normalization for DEDUP KEYS (Wenzek et
+    al. 2020 §3: lowercase, digits to zero, strip punctuation, collapse
+    whitespace): two near-identical boilerplate lines that differ only
+    in case, numbers, or punctuation hash to the same key. Use as the
+    key transform feeding exact/line dedup — the stored text stays
+    untouched; only the 8-byte hash of THIS projection shuffles."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, "[0-9]", "0")
+    t = F.regexp_replace(t, "[^a-z0\\x{c0}-\\x{24f}\\x{400}-\\x{4ff} ]", " ")
+    t = F.regexp_replace(t, " {2,}", " ")
+    return F.trim(t)
+
+
+def normalize_report(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Apply :func:`normalize_text`, reporting per-doc before/after char
+    counts and whether anything changed — the release-audit shape."""
+    norm = normalize_text(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        norm.alias(text_col),
+        F.length(text_col).cast("long").alias("n_chars_before"),
+        F.length(norm).cast("long").alias("n_chars_after"),
+        (norm != F.col(text_col)).alias("changed"),
+    )

@@ -3761,6 +3761,93 @@ def q_c4_quality_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_clean(docs)
 
 
+@query(
+    "normalize_corpus",
+    # Rows-only in the driver gate (window full); hash-checked locally —
+    # the DuckDB replica shares every \x{...} pattern string verbatim
+    # (the one escape syntax Java regex and RE2 both accept); planted
+    # unicode/control/CRLF adversaries are pinned in tests/test_operators.
+    None,
+    doc="Unicode/whitespace cleanup (CCNet/Dolma-style pre-processing): "
+    "CRLF fold, zero-width strip, control-char strip, unicode-space "
+    "fold, space/newline-run collapse, edge trim — a chain of native "
+    "regexp_replace, zero shuffle, scan-attached projection at 100 TB.",
+    local_oracle=r"""
+    WITH n AS (
+      SELECT doc_id, text AS orig,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(text, '\r\n?', chr(10), 'g'),
+                    '[\x{200b}-\x{200d}\x{2060}\x{feff}]', '', 'g'),
+                  '[\x{0}-\x{8}\x{b}\x{c}\x{e}-\x{1f}\x{7f}-\x{9f}]', '', 'g'),
+                '[\x{a0}\x{1680}\x{2000}-\x{200a}\x{202f}\x{205f}\x{3000}]|\t', ' ', 'g'),
+              ' {2,}', ' ', 'g'),
+            ' ?\n ?', chr(10), 'g'),
+          '\n{3,}', chr(10)||chr(10), 'g') AS t1
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(t1, '^[ \n]+|[ \n]+$', '', 'g') AS text,
+           CAST(length(orig) AS BIGINT) AS n_chars_before,
+           CAST(length(regexp_replace(t1, '^[ \n]+|[ \n]+$', '', 'g')) AS BIGINT)
+               AS n_chars_after,
+           (regexp_replace(t1, '^[ \n]+|[ \n]+$', '', 'g') <> orig) AS changed
+    FROM n
+    """,
+)
+def q_normalize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.normalize_report(docs)
+
+
+@query(
+    "dedup_lines_ccnet",
+    # Rows-only in the driver gate (window full); hash-checked locally —
+    # same window-function replica as dedup_lines but partitioned by the
+    # CCNet-normalized key, so two boilerplate lines differing only in
+    # case/digits/punctuation collapse to one owner.
+    None,
+    doc="CCNet-style fuzzy line dedup (Wenzek et al. 2020 §3): "
+    "line_level_dedup keyed on the lowercase/digits-to-0/punctuation-"
+    "stripped projection — keep-first still by (doc_id, pos); the "
+    "stored text is untouched and only the 8-byte key hash shuffles.",
+    local_oracle=r"""
+    WITH split AS (
+        SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, unnest(ls) AS line, unnest(range(len(ls))) AS pos
+        FROM split
+    ),
+    elig AS (
+        SELECT doc_id, pos,
+               row_number() OVER (
+                   PARTITION BY trim(regexp_replace(regexp_replace(
+                       regexp_replace(lower(line), '[0-9]', '0', 'g'),
+                       '[^a-z0\x{c0}-\x{24f}\x{400}-\x{4ff} ]', ' ', 'g'),
+                       ' {2,}', ' ', 'g'))
+                   ORDER BY doc_id, pos) AS rn
+        FROM lines WHERE length(line) >= 1
+    ),
+    drops AS (SELECT doc_id, pos FROM elig WHERE rn > 1)
+    SELECT l.doc_id,
+           coalesce(string_agg(CASE WHEN d.pos IS NULL THEN l.line END,
+                               chr(10) ORDER BY l.pos), '') AS text,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(d.pos) AS BIGINT) AS n_lines_dropped
+    FROM lines l LEFT JOIN drops d ON l.doc_id = d.doc_id AND l.pos = d.pos
+    GROUP BY l.doc_id
+    """,
+)
+def q_dedup_lines_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.line_level_dedup(docs, key_fn=tx.normalize_for_hash)
+
+
 # =============================================================================
 # Gate-window ordering
 # =============================================================================

@@ -485,3 +485,25 @@ def test_line_level_dedup_plan_shape(spark):
     # window rank over the line id (hot boilerplate lines would skew it)
     assert "Window" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_line_level_dedup_ccnet_key_collapses_variants(spark):
+    from pixie_spark.operators.text import normalize_for_hash
+
+    docs = [
+        (0, "Copyright 2021, Example Corp.\nBody line A stays."),
+        (1, "copyright 1999 - example CORP\nBody line B stays."),
+        (2, "COPYRIGHT 2024  Example!! Corp\nBody line C stays."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    exact = {r["doc_id"]: r for r in dd.line_level_dedup(df).collect()}
+    fuzzy = {
+        r["doc_id"]: r
+        for r in dd.line_level_dedup(df, key_fn=normalize_for_hash).collect()
+    }
+    # raw-key dedup sees three distinct copyright lines — nothing drops
+    assert all(exact[d]["n_lines_dropped"] == 0 for d in (0, 1, 2))
+    # normalized-key dedup keeps only doc 0's variant, original casing
+    assert fuzzy[0]["text"].startswith("Copyright 2021, Example Corp.")
+    assert fuzzy[1]["text"] == "Body line B stays."
+    assert fuzzy[2]["text"] == "Body line C stays."

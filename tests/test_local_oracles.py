@@ -64,12 +64,15 @@ def test_expected_local_oracle_coverage():
         "term_freq_cms",
         "contamination_bloom",
         "dsir_resample",
-        # round-5 additions: C4 cleaning + corpus-wide line dedup
+        # round-5 additions: C4 cleaning, corpus-wide line dedup (exact
+        # + CCNet-normalized keys), unicode/whitespace normalization
         "c4_quality_clean",
         "dedup_lines",
+        "dedup_lines_ccnet",
+        "normalize_corpus",
     }
     assert expected.issubset(set(LOCAL_ORACLE_NAMES))
-    assert len(LOCAL_ORACLE_NAMES) >= 24
+    assert len(LOCAL_ORACLE_NAMES) >= 26
 
 
 def test_local_oracles_never_reach_the_driver():

@@ -346,3 +346,75 @@ def test_text_operators_null_text_robustness(spark):
     assert text_stats(df).count() == 3
     assert exact_dedup(df, "doc_id", ["text"]).count() == 3
     assert jaccard_pairs(df, "doc_id", "text", n=2, threshold=0.3).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# normalize_text / normalize_for_hash (CCNet/Dolma-style cleanup)
+# ---------------------------------------------------------------------------
+
+NOISY_DOCS = [
+    (0, "plain text stays the same.\nsecond line."),
+    (1, "CRLF\r\nand lone CR\rfolded"),
+    (2, "zero\u200bwidth\u200d and\ufeff bom\u2060"),
+    (3, "ctrl\x07chars\x00gone \x1b[0m"),
+    (4, "nbsp\u00a0space\u3000ideographic\u2003em"),
+    (5, "many    spaces   collapse\n\n\n\n\nnewlines too"),
+    (6, "  trimmed  \n line spacing \n"),
+    (7, "tabs\tto\t\tspaces"),
+    (8, ""),
+]
+
+
+def _normalize_python(t: str) -> str:
+    import re as _re
+
+    t = _re.sub(r"\r\n?", "\n", t)
+    t = _re.sub("[\u200b-\u200d\u2060\ufeff]", "", t)
+    t = _re.sub("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]", "", t)
+    t = _re.sub("[\u00a0\u1680\u2000-\u200a\u202f\u205f\u3000]|\t", " ", t)
+    t = _re.sub(" {2,}", " ", t)
+    t = _re.sub(" ?\n ?", "\n", t)
+    t = _re.sub("\n{3,}", "\n\n", t)
+    return _re.sub(r"^[ \n]+|[ \n]+$", "", t)
+
+
+def test_normalize_text_matches_python_reference(spark):
+    from pixie_spark.operators.text import normalize_report
+
+    df = spark.createDataFrame(NOISY_DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in normalize_report(df).collect()}
+    for did, raw in NOISY_DOCS:
+        ref = _normalize_python(raw)
+        assert got[did]["text"] == ref, (did, got[did]["text"], ref)
+        assert got[did]["n_chars_before"] == len(raw)
+        assert got[did]["n_chars_after"] == len(ref)
+        assert got[did]["changed"] == (ref != raw)
+
+
+def test_normalize_for_hash_collapses_boilerplate_variants(spark):
+    from pixie_spark.operators.text import normalize_for_hash
+
+    variants = [
+        (0, "Copyright 2021, Example Corp."),
+        (1, "copyright 1999 - example CORP"),
+        (2, "COPYRIGHT 2024  Example!! Corp"),
+        (3, "entirely different line"),
+    ]
+    df = spark.createDataFrame(variants, "doc_id long, text string")
+    keys = [
+        r["k"]
+        for r in df.select(normalize_for_hash(F.col("text")).alias("k"))
+        .orderBy("doc_id")
+        .collect()
+    ]
+    assert keys[0] == keys[1] == keys[2] == "copyright 0000 example corp"
+    assert keys[3] != keys[0]
+
+
+def test_normalize_text_is_a_pure_map_stage(spark):
+    from pixie_spark.operators.text import normalize_report
+
+    df = spark.createDataFrame(NOISY_DOCS, "doc_id long, text string")
+    plan = normalize_report(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
