@@ -82,3 +82,93 @@ def streaming_ingest_dedup(
         new_sigs.write.mode("append").parquet(sigs_path)
 
     return stream.writeStream.foreachBatch(sink).outputMode("update")
+
+
+def streaming_line_dedup(
+    stream: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 1,
+    sep: str = "\n",
+    key_fn=None,
+):
+    """writeStream writer: continuous corpus-wide LINE dedup (the
+    streaming twin of operators/dedup.line_level_dedup, keep-first by
+    arrival order then (doc_id, pos)) against a persisted line-hash
+    index.
+
+    Per micro-batch, all on 8-byte lids (line text never shuffles):
+
+    1. explode batch docs to ``(doc_id, pos, lid)`` where ``lid`` is
+       ``xxhash64`` of the (optionally ``key_fn``-normalized) line;
+    2. within-batch keep-first via the same map-side-combinable
+       ``min(struct(doc_id, pos))`` agg as the batch operator;
+    3. drop every occurrence of a lid already in the index (left-semi
+       on the stored lid column) plus within-batch repeats;
+    4. rebuild the batch's docs in-row and append to ``out_dir``;
+    5. append the batch's newly-owned lids to the index — earlier
+       index generations are never rewritten.
+
+    Over any stream prefix with batch-monotonic doc_ids, the
+    accumulated output EQUALS the batch operator on the concatenation
+    (duality test in tests/test_stateful.py). Same at-least-once
+    caveat as :func:`streaming_ingest_dedup` — production keys the
+    out/index appends by batch_id partition for idempotent replay.
+    """
+    import re as _re
+
+    lid_path = os.path.join(index_dir, "lids")
+    pat = _re.escape(sep)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        from pyspark.sql import functions as F
+
+        spark = batch_df.sparkSession
+        arr = F.split(F.col(text_col), pat, -1)
+        lines = batch_df.select(
+            F.col(id_col), F.posexplode(arr).alias("pos", "line")
+        ).where(F.length("line") >= min_chars)
+        key = key_fn(F.col("line")) if key_fn is not None else F.col("line")
+        occ = lines.select(
+            id_col, "pos", F.xxhash64(key).alias("lid")
+        ).localCheckpoint()
+        if os.path.exists(lid_path):
+            old = spark.read.parquet(lid_path)
+        else:
+            old = spark.createDataFrame([], "lid long")
+        first = occ.groupBy("lid").agg(
+            F.min(F.struct(id_col, "pos")).alias("first_occ")
+        )
+        new_owned = first.join(old, "lid", "left_anti").localCheckpoint()
+        seen_drops = occ.join(old, "lid", "left_semi").select(id_col, "pos")
+        batch_dups = (
+            occ.join(new_owned, "lid")
+            .where(
+                (F.col(f"first_occ.{id_col}") != F.col(id_col))
+                | (F.col("first_occ.pos") != F.col("pos"))
+            )
+            .select(id_col, "pos")
+        )
+        drops = seen_drops.union(batch_dups).groupBy(id_col).agg(
+            F.collect_set("pos").alias("__drop_pos")
+        )
+        kept = F.filter(
+            arr,
+            lambda x, i: ~F.coalesce(
+                F.array_contains(F.col("__drop_pos"), i), F.lit(False)
+            ),
+        )
+        out = batch_df.join(drops, id_col, "left").select(
+            F.col(id_col),
+            F.array_join(kept, sep).alias(text_col),
+            F.size(arr).cast("long").alias("n_lines"),
+            (F.size(arr) - F.size(kept)).cast("long").alias("n_lines_dropped"),
+        )
+        out.write.mode("append").parquet(out_dir)
+        new_owned.select("lid").write.mode("append").parquet(lid_path)
+
+    return stream.writeStream.foreachBatch(sink).outputMode("update")

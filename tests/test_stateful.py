@@ -332,3 +332,64 @@ def test_streaming_ingest_dedup_equals_full_rebuild(spark, tmp_path):
     # and the persisted index grew to cover every ingested doc
     sigs = spark.read.parquet(str(tmp_path / "index" / "signatures"))
     assert sigs.count() == len(rows)
+
+
+def test_streaming_line_dedup_equals_batch_operator(spark, tmp_path):
+    """Continuous line dedup over three arrival chunks must produce,
+    accumulated, EXACTLY what the batch line_level_dedup computes on
+    the concatenated corpus — duplicate lines planted within one
+    chunk, across chunks (the persisted-index case), and within one
+    document."""
+    from pyspark.sql import types as T
+
+    import pixie_spark.streaming as S
+    from pixie_spark.operators.dedup import line_level_dedup
+    from pixie_spark.streaming.ingest import streaming_line_dedup
+
+    rows = [
+        (1, "Shared boilerplate header line.\nBody of document one."),
+        (2, "Body of document two.\nBody of document two."),       # within-doc dup
+        (3, "Shared boilerplate header line.\nBody of document three."),  # cross-chunk
+        (4, "Unique content for document four.\n\nShared boilerplate header line."),
+        (5, "Body of document one.\nFresh tail line for five."),   # cross-chunk
+        (6, "Shared boilerplate header line."),                    # whole doc dies
+    ]
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    src = str(tmp_path / "ld_src")
+    for idx, chunk in enumerate([rows[:2], rows[2:4], rows[4:]]):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append" if idx else "overwrite"
+        ).parquet(src)
+
+    stream = S.stream_table(spark, src, schema, max_files_per_trigger=1)
+    writer = streaming_line_dedup(
+        stream, str(tmp_path / "ld_index"), str(tmp_path / "ld_out")
+    )
+    q = writer.option(
+        "checkpointLocation", str(tmp_path / "ld_ckpt")
+    ).trigger(availableNow=True).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in spark.read.parquet(str(tmp_path / "ld_out")).collect()
+    }
+    exp = {
+        r["doc_id"]: r.asDict()
+        for r in line_level_dedup(spark.createDataFrame(rows, schema)).collect()
+    }
+    assert got == exp
+    assert got[3]["text"] == "Body of document three."   # cross-chunk drop fired
+    assert got[6]["text"] == ""                           # whole doc died
+    assert got[2]["n_lines_dropped"] == 1                 # within-doc keep-first
+    # index holds one lid per distinct eligible line
+    lids = spark.read.parquet(str(tmp_path / "ld_index" / "lids"))
+    distinct_lines = {
+        l for _, t in rows for l in t.split("\n") if len(l) >= 1
+    }
+    assert lids.count() == len(distinct_lines)

@@ -366,3 +366,57 @@ def test_stream_quality_ingest_equals_batch(spark, tmp_path):
     for text in exp:
         for c in stat_cols:
             assert got[text][c] == exp[text][c], (text, c)
+
+
+def test_stream_c4_cleaning_funnel_equals_batch(spark, tmp_path):
+    """The round-5 cleaning front (unicode normalization -> C4 line/page
+    rules) is a stateless in-row rewrite, so it must run UNCHANGED on a
+    stream and agree with the batch computation row-for-row — including
+    the rewritten text, the per-doc accounting, and the drop reasons."""
+    import pixie_spark.streaming as S
+    from pyspark.sql import types as T
+
+    from pixie_spark.operators.quality import c4_clean
+    from pixie_spark.operators.text import normalize_text
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    b1 = [
+        (1, "First good sentence arrives here.\r\nSecond one follows directly now.\r\n"
+            "Third sentence of this page too.\nFourth keeps the page alive still.\n"
+            "Fifth seals the sentence floor fine."),
+        (2, "Code page { with a brace.\nOtherwise a fine sentence."),
+    ]
+    b2 = [
+        (3, "zero​width noise but a sentence.\nAnd then too few remain sadly."),
+        (4, "this line never terminates properly\nNor does it have punctuation"),
+    ]
+    src = str(tmp_path / "c4_src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def funnel(df):
+        return c4_clean(df.withColumn("text", normalize_text(F.col("text"))))
+
+    stream = S.stream_table(spark, src, schema, max_files_per_trigger=1)
+    q = (
+        funnel(stream)
+        .writeStream.format("memory")
+        .queryName("c4_funnel_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["doc_id"]: r.asDict() for r in spark.sql("SELECT * FROM c4_funnel_out").collect()}
+    exp = {r["doc_id"]: r.asDict() for r in funnel(spark.createDataFrame(b1 + b2, schema)).collect()}
+    assert got == exp
+    assert got[1]["kept"] and got[2]["drop_reason"] == "brace"
+    assert got[3]["drop_reason"] == "too_few_sentences"
+    assert "​" not in got[3]["text"]
+    assert got[4]["n_lines_kept"] == 0
