@@ -291,3 +291,44 @@ def test_chunk_documents_matches_python(spark, lengths, chunk_words, overlap):
             i: " ".join(ws[i * stride : i * stride + chunk_words]) for i in range(n_chunks)
         }
         assert got[did] == expect
+
+
+# line corpora: few distinct line strings so cross-doc collisions are
+# common; include empty lines and single-char lines (min_chars edge)
+LINES = ["aa bb", "cc", "dd ee ff", "", "x", "aa bb"]
+
+line_corpus_strategy = st.lists(
+    st.lists(st.sampled_from(LINES), min_size=0, max_size=6).map("\n".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+def py_line_dedup(texts, min_chars=1):
+    seen = set()
+    out = {}
+    for did, t in enumerate(texts):
+        lines = t.split("\n")
+        keep, dropped = [], 0
+        for l in lines:
+            if len(l) >= min_chars:
+                if l in seen:
+                    dropped += 1
+                    continue
+                seen.add(l)
+            keep.append(l)
+        out[did] = ("\n".join(keep), len(lines), dropped)
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(line_corpus_strategy, st.sampled_from([1, 2]))
+def test_line_level_dedup_matches_python(spark, texts, min_chars):
+    from pixie_spark.operators.dedup import line_level_dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_lines_dropped"])
+        for r in line_level_dedup(df, min_chars=min_chars).collect()
+    }
+    assert got == py_line_dedup(texts, min_chars)
