@@ -93,6 +93,7 @@ EXTRA = [
     "c4_quality_clean",
     "dedup_lines_ccnet",
     "normalize_corpus",
+    "leakage_safe_split",
 ]
 
 

@@ -327,3 +327,53 @@ def dsir_resample(
     return raw.join(
         kept.withColumnRenamed("doc", id_col), id_col
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Train/val/test assignment that near-duplicate clusters can never
+    straddle — the split-leakage guard for evaluation hygiene (the same
+    failure mode as benchmark contamination, but INTERNAL: a near-dup
+    of a training document landing in the held-out split inflates eval).
+
+    ``pairs`` is any near-dup pair frame (``doc_a``/``doc_b`` — minhash,
+    simhash, embedding, or line-overlap based). The unit of assignment
+    is the CONNECTED COMPONENT: every doc hashes through its cluster
+    representative (min doc_id of the component, singletons represent
+    themselves), so the whole cluster moves together. Assignment is the
+    seeded-xxhash64-uniform threshold chain over cumulative fractions —
+    deterministic, reproducible, and independent of row order.
+
+    Scale shape: components come from the alternating-star closure
+    (operators/clustering.py — two 8-byte shuffles per round, no
+    adjacency lists); the membership join is an equijoin on the 8-byte
+    ``id_col``; the split decision itself is an in-row expression.
+    """
+    from .clustering import connected_components
+
+    if fractions is None:
+        fractions = {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(fractions.values())
+    comp = connected_components(pairs).withColumnRenamed("node", id_col)
+    out = df.join(comp, id_col, "left").withColumn(
+        "rep", F.coalesce(F.col("component"), F.col(id_col))
+    )
+    u = (F.pmod(F.xxhash64("rep", F.lit(seed)), F.lit(2**52)) + 0.5) / F.lit(
+        float(2**52)
+    )
+    expr = None
+    acc = 0.0
+    *head, (last_name, _) = list(fractions.items())
+    for name, frac in head:
+        acc += frac / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(last_name) if expr is None else expr.otherwise(F.lit(last_name))
+    return out.select(
+        F.col(id_col), F.col("rep").alias("cluster_rep"), expr.alias("split")
+    )

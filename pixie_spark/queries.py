@@ -3848,6 +3848,84 @@ def q_dedup_lines_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.line_level_dedup(docs, key_fn=tx.normalize_for_hash)
 
 
+@query(
+    "leakage_safe_split",
+    # Rows-only in the driver gate (window full); hash-checked locally —
+    # the oracle recomputes exact-Jaccard pairs (proven ≡ the full-recall
+    # banding by the dedup_minhash_lsh gate row), closes them with the
+    # same recursive min-label CTE as dedup_clusters, and replays the
+    # seeded threshold chain with the spark_xxhash64_int replica.
+    None,
+    doc="Leakage-safe train/val/test split: the unit of assignment is "
+    "the near-dup CONNECTED COMPONENT (min-id representative; "
+    "singletons represent themselves), so a near-duplicate of a "
+    "training document can never land in a held-out split. Assignment "
+    "is the seeded-xxhash64 uniform threshold chain over cumulative "
+    "fractions — deterministic and row-order independent.",
+    local_oracle="""
+    WITH RECURSIVE w AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(ws) - 4, 0) + 1),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                             || ' ' || ws[i+3] || ' ' || ws[i+4]))) AS shingle
+        FROM w
+    ),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a AS a, doc_b AS b
+        FROM inter
+        JOIN sz x ON inter.doc_a = x.doc_id
+        JOIN sz y ON inter.doc_b = y.doc_id
+        WHERE n_common::DOUBLE / (x.sz + y.sz - n_common) >= 0.5
+    ),
+    sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    reach(node, lbl) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT s.b AS node, r.lbl
+        FROM reach r JOIN sym s ON s.a = r.node
+        WHERE r.lbl < s.b
+    ),
+    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+    r AS (
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_rep
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ),
+    u AS (
+        SELECT doc_id, cluster_rep,
+               ((spark_xxhash64_int(cluster_rep, 0) % 4503599627370496
+                 + 4503599627370496) % 4503599627370496 + 0.5)
+                 / 4503599627370496.0 AS uu
+        FROM r
+    )
+    SELECT doc_id, cluster_rep,
+           CASE WHEN uu < 0.9 THEN 'train'
+                WHEN uu < 0.9500000000000001 THEN 'val'
+                ELSE 'test' END AS split
+    FROM u
+    """,
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.operators.sampling import leakage_safe_split
+
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dd.minhash_lsh_verified_pairs(
+        doc, "doc_id", "text", n=5, num_hashes=64, bands=64, threshold=0.5
+    )
+    return leakage_safe_split(doc, pairs, seed=0)
+
+
 # =============================================================================
 # Gate-window ordering
 # =============================================================================

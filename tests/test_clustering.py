@@ -235,3 +235,58 @@ def test_semantic_dedup_auto_k_scales_with_corpus(spark):
     # within-group twins still found (groups are tight; threshold 0.99)
     found = {(r["id_a"], r["id_b"]) for r in rows_out}
     assert len(found) > 0
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe splitting (cluster-aware train/val/test assignment)
+# ---------------------------------------------------------------------------
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    from pixie_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    # three clusters: a chain, a clique-ish pair set, a 2-cycle
+    pairs = spark.createDataFrame(
+        [(1, 50), (50, 120), (7, 8), (7, 9), (8, 9), (150, 151)],
+        "doc_a long, doc_b long",
+    )
+    out = leakage_safe_split(docs, pairs, seed=3).collect()
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    rep_of = {r["doc_id"]: r["cluster_rep"] for r in out}
+    for cluster in [(1, 50, 120), (7, 8, 9), (150, 151)]:
+        assert len({split_of[d] for d in cluster}) == 1, cluster
+        assert len({rep_of[d] for d in cluster}) == 1, cluster
+        assert rep_of[cluster[0]] == min(cluster)
+    # singletons represent themselves
+    assert rep_of[0] == 0 and rep_of[42] == 42
+
+
+def test_leakage_safe_split_matches_python_replica_and_seed_moves_it(spark):
+    from pixie_spark.operators.sampling import leakage_safe_split
+    from tools.spark_hash import xxhash64_long_int
+
+    docs = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    pairs = spark.createDataFrame([(5, 6)], "doc_a long, doc_b long")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+    def py_split(rep, seed):
+        u = ((xxhash64_long_int(rep, seed) % 2**52 + 2**52) % 2**52 + 0.5) / float(2**52)
+        acc = 0.8
+        if u < acc:
+            return "train"
+        acc += 0.1
+        return "val" if u < acc else "test"
+
+    for seed in (0, 7):
+        got = {
+            r["doc_id"]: r["split"]
+            for r in leakage_safe_split(docs, pairs, fractions=fr, seed=seed).collect()
+        }
+        for d in range(300):
+            rep = 5 if d in (5, 6) else d
+            assert got[d] == py_split(rep, seed), (d, seed)
+    # different seeds must not produce identical assignments
+    a = {r["doc_id"]: r["split"] for r in leakage_safe_split(docs, pairs, fractions=fr, seed=0).collect()}
+    b = {r["doc_id"]: r["split"] for r in leakage_safe_split(docs, pairs, fractions=fr, seed=7).collect()}
+    assert a != b

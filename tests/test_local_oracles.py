@@ -70,9 +70,10 @@ def test_expected_local_oracle_coverage():
         "dedup_lines",
         "dedup_lines_ccnet",
         "normalize_corpus",
+        "leakage_safe_split",
     }
     assert expected.issubset(set(LOCAL_ORACLE_NAMES))
-    assert len(LOCAL_ORACLE_NAMES) >= 26
+    assert len(LOCAL_ORACLE_NAMES) >= 27
 
 
 def test_local_oracles_never_reach_the_driver():
