@@ -112,3 +112,44 @@ def jsonl_documents(
         *[F.col(k) for k in (extra_fields or {})],
     )
     return out
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    docs_per_file: int | None = None,
+    gzip: bool = True,
+    sort_within_by: str | None = "doc_id",
+) -> None:
+    """Export a corpus back to [gzipped] JSON-Lines — the release
+    format the read side of this module ingests (C4/Pile/RedPajama/
+    Dolma interchange).
+
+    - ``docs_per_file`` sizes output files by ROW COUNT via a
+      deterministic repartitionByRange on ``sort_within_by`` (range
+      exchange: each task writes one contiguous, sorted slice — the
+      same one-task-per-file discipline as sources/shards.py). None
+      keeps the incoming partitioning (one file per partition).
+    - ``sort_within_by`` makes reruns byte-stable: rows within a file
+      appear in key order, so a re-export of the same frame produces
+      identical archives (modulo gzip mtime headers, which Spark's
+      codec writes as 0).
+    - gzip output is non-splittable by design — same as the archives
+      public corpora ship; downstream readers get one task per file.
+
+    Columns are serialized as-is (to_json of the row struct) — nulls
+    kept, key order = column order, so read_jsonl(write_jsonl(df))
+    round-trips every declared field."""
+    out = df
+    if docs_per_file is not None and sort_within_by is not None:
+        n_rows = df.count()
+        n_files = max(1, -(-n_rows // docs_per_file))
+        out = df.repartitionByRange(n_files, F.col(sort_within_by))
+    if sort_within_by is not None:
+        out = out.sortWithinPartitions(sort_within_by)
+    writer = out.select(F.to_json(F.struct(*out.columns)).alias("value")).write.mode(
+        "overwrite"
+    )
+    if gzip:
+        writer = writer.option("compression", "gzip")
+    writer.text(path)
