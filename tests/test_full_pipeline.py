@@ -151,3 +151,91 @@ def test_whole_chain_replays_bit_for_bit(spark, crawl, tmp_path):
     _, _, shards_b, _ = _run_pipeline(spark, crawl_dir, str(tmp_path / "b"))
     key = lambda df: {(r["row_id"], r["shard"], r["text"]) for r in df.collect()}
     assert key(shards_a) == key(shards_b)
+
+
+def test_release_pipeline_end_to_end(spark, tmp_path):
+    """Capstone 2 — the round-5 web-text RELEASE chain as one flow:
+    JSONL ingest → unicode normalization → C4 line/page rules →
+    corpus-wide line dedup → near-dup clusters → leakage-safe split →
+    JSONL export, with a planted offender per stage."""
+    import gzip
+    import json
+
+    from pixie_spark.operators.dedup import line_level_dedup, minhash_lsh_verified_pairs
+    from pixie_spark.operators.quality import c4_clean
+    from pixie_spark.operators.sampling import leakage_safe_split
+    from pixie_spark.operators.text import normalize_text
+    from pixie_spark.sources.jsonl import jsonl_documents, write_jsonl
+
+    rng = random.Random(11)
+    prose = lambda n: " ".join(  # noqa: E731
+        rng.choice([f"tok{i}" for i in range(80)]) for _ in range(n)
+    )
+    sent = lambda: prose(8) + " ends here."  # noqa: E731
+    page = lambda: "\n".join(sent() for _ in range(6))  # noqa: E731
+    BOILER = "Shared boilerplate navigation bar item list."
+    good = {f"https://ok{i}.example.com/p": page() for i in range(6)}
+    near_src = good["https://ok0.example.com/p"]
+    docs = {
+        **good,
+        # normalization offender: CRLF + zero-width, otherwise fine
+        "https://crlf.example.com/p": page().replace("\n", "\r\n") + "​",
+        # C4 page offender: brace
+        "https://code.example.com/p": "function() { return 1; }\n" + page(),
+        # boilerplate line in two docs — line dedup keeps the first only
+        "https://bp1.example.com/p": BOILER + "\n" + page(),
+        "https://bp2.example.com/p": BOILER + "\n" + page(),
+        # near-duplicate pair — must land in the SAME split
+        "https://near.example.com/p": near_src.rsplit(" ", 2)[0] + " changed token.",
+    }
+    src = tmp_path / "dump.jsonl.gz"
+    with gzip.open(src, "wt") as f:
+        for url, text in docs.items():
+            f.write(json.dumps({"url": url, "text": text}) + "\n")
+
+    corpus = jsonl_documents(spark, str(src)).localCheckpoint()
+    assert corpus.count() == len(docs)
+
+    # stage 1+2: normalize, then C4 line/page rules
+    cleaned = c4_clean(
+        corpus.withColumn("text", normalize_text(F.col("text")))
+    ).localCheckpoint()
+    verdict = {r["doc_id"]: r for r in cleaned.collect()}
+    # map urls to ids via the corpus frame
+    url_by_id = {r["doc_id"]: r["url"] for r in corpus.select("doc_id", "url").collect()}
+    dropped = {url_by_id[d] for d, r in verdict.items() if not r["kept"]}
+    assert dropped == {"https://code.example.com/p"}  # only the brace page dies
+    crlf_id = next(d for d, u in url_by_id.items() if u == "https://crlf.example.com/p")
+    assert "\r" not in verdict[crlf_id]["text"] and "​" not in verdict[crlf_id]["text"]
+
+    survivors = cleaned.where(F.col("kept")).select("doc_id", "text")
+
+    # stage 3: corpus-wide line dedup kills the second boilerplate line
+    deduped = line_level_dedup(survivors).localCheckpoint()
+    bp = {
+        url_by_id[r["doc_id"]]: r["n_lines_dropped"]
+        for r in deduped.collect()
+        if url_by_id[r["doc_id"]].startswith("https://bp")
+    }
+    assert sorted(bp.values()) == [0, 1]  # exactly one copy of BOILER died
+
+    # stage 4+5: near-dup clusters drive the leakage-safe split
+    pairs = minhash_lsh_verified_pairs(
+        deduped, "doc_id", "text", n=5, num_hashes=64, bands=64, threshold=0.5
+    )
+    split = leakage_safe_split(deduped, pairs, seed=1)
+    split_of = {url_by_id[r["doc_id"]]: r["split"] for r in split.collect()}
+    assert (
+        split_of["https://ok0.example.com/p"] == split_of["https://near.example.com/p"]
+    )  # the near-dup pair cannot straddle splits
+
+    # stage 6: export the train split back to the interchange format
+    train = deduped.join(
+        split.where(F.col("split") == "train").select("doc_id"), "doc_id", "left_semi"
+    )
+    out = str(tmp_path / "release")
+    write_jsonl(train, out, docs_per_file=8)
+    from pixie_spark.sources.jsonl import read_jsonl
+
+    back = read_jsonl(spark, out, {"doc_id": "long", "text": "string"})
+    assert back.count() == train.count() > 0
