@@ -96,6 +96,7 @@ def temperature_mix(
     target_total: int,
     temperature: float = 2.0,
     seed: int = 42,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Temperature-sampled mixture: keep each row of domain d with
     probability p_d from ``temperature_weights``, decided by a seeded
@@ -107,10 +108,21 @@ def temperature_mix(
     domains are downsampled toward the target. Rows keep iff
     uniform_hash(row, seed) < p_d where uniform_hash maps xxhash64 onto
     [0,1) — the same row always gets the same draw.
+
+    ``weight_col`` switches the domain mass from ROW COUNTS to a
+    per-row weight sum (token or char counts — the units the published
+    recipes actually temper: T5 §3.4.3 and XLM-R §3.1 sample by
+    language SIZE, not document count). ``target_total`` is then in the
+    same units, and p_d caps at 1 per unit-mass exactly as before; the
+    waterfilling math is unchanged because it never looks at what the
+    masses count.
     """
+    agg = (
+        F.count("*") if weight_col is None else F.sum(weight_col)
+    ).alias("n")
     counts = {
         r[domain_col]: r["n"]
-        for r in df.groupBy(domain_col).agg(F.count("*").alias("n")).collect()
+        for r in df.groupBy(domain_col).agg(agg).collect()
     }
     probs = temperature_weights(counts, temperature, target_total)
     pmap = F.create_map(

@@ -154,3 +154,40 @@ def test_epoch_expand_no_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_temperature_mix_token_weighted_mass(spark):
+    """weight_col switches the tempering unit from documents to tokens
+    (T5 §3.4.3 samples by language SIZE): a domain with few but huge
+    documents must count as a HEAD domain, not a tail one."""
+    from pixie_spark.operators.sampling import temperature_mix, temperature_weights
+
+    rows = (
+        # 'big': 10 docs x 1000 tokens = 10_000 token mass
+        [(f"b{i}", "big", 1000) for i in range(10)]
+        # 'small': 100 docs x 10 tokens = 1_000 token mass
+        + [(f"s{i}", "small", 10) for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "doc_id string, domain string, n_tokens long")
+
+    kept = temperature_mix(
+        df, "domain", target_total=2000, temperature=1.0, seed=1, weight_col="n_tokens"
+    )
+    got = {
+        r["domain"]: r["m"]
+        for r in kept.groupBy("domain").agg(F.sum("n_tokens").alias("m")).collect()
+    }
+    # at T=1 expected kept mass is proportional: ~1818 vs ~182 tokens;
+    # hash noise moves individual draws, proportions must not flip
+    assert got.get("big", 0) > got.get("small", 0) * 3
+
+    # the probabilities themselves follow the token masses exactly
+    probs = temperature_weights({"big": 10_000, "small": 1_000}, 1.0, 2000)
+    assert abs(probs["big"] - probs["small"]) < 1e-12  # T=1 ⇒ equal p per unit
+    # under strong tempering the two mass definitions DISAGREE on which
+    # domain is the tail: token masses upweight 'small'…
+    tok = temperature_weights({"big": 10_000, "small": 1_000}, 4.0, 2000)
+    assert tok["small"] > tok["big"]
+    # …while doc counts call 'big' the 10x-rarer tail and saturate it
+    doc = temperature_weights({"big": 10, "small": 100}, 4.0, 50)
+    assert doc["big"] == 1.0 and doc["small"] < 1.0
