@@ -183,6 +183,8 @@ def perplexity_buckets(
     text_col: str = "text",
     group_col: str | None = None,
     cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    exact_cuts: bool = False,
+    round_to: int | None = None,
 ) -> DataFrame:
     """CCNet's head/middle/tail partition (Wenzek et al. 2020 §4.3):
     bucket each document by where its perplexity falls among the
@@ -198,10 +200,26 @@ def perplexity_buckets(
     (n_tokens, perplexity, bucket).
     """
     scores = df.join(lm_score(df, lm, id_col=id_col, text_col=text_col), id_col)
+    if round_to is not None:
+        _sc = float(10**round_to)
+        scores = scores.withColumn(
+            "perplexity", F.floor(F.col("perplexity") * _sc + F.lit(0.5)) / F.lit(_sc)
+        )
     keys = [group_col] if group_col else []
-    agg = [
-        F.percentile_approx("perplexity", list(cuts), 10_000).alias("__cuts"),
-    ]
+    if exact_cuts:
+        # oracle-parity switch (the quantiles gate-row convention):
+        # exact percentile instead of the sketch, cut points re-rounded
+        # so an independent SQL engine lands on identical boundaries;
+        # the production path stays the mergeable sketch (default)
+        _cut = F.percentile("perplexity", F.lit(list(cuts)))
+        if round_to is not None:
+            _sc = float(10**round_to)
+            _cut = F.transform(
+                _cut, lambda c: F.floor(c * F.lit(_sc) + F.lit(0.5)) / F.lit(_sc)
+            )
+    else:
+        _cut = F.percentile_approx("perplexity", list(cuts), 10_000)
+    agg = [_cut.alias("__cuts")]
     cut_rows = scores.groupBy(*keys).agg(*agg) if keys else scores.agg(*agg)
     joined = (
         scores.join(F.broadcast(cut_rows), keys) if keys else scores.crossJoin(F.broadcast(cut_rows))

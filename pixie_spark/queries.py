@@ -3016,19 +3016,89 @@ def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "perplexity_buckets",
-    None,  # rows-only (window full); bucket ordering/balance and
-    # per-group cuts are value-checked in tests/test_lm.py.
+    # Rows-only in the driver gate (window full); hash-checked locally —
+    # the registered query runs the exact_cuts/round_to oracle-parity
+    # mode (the quantiles gate-row convention; the production path is
+    # the percentile_approx sketch, sketch-vs-exact agreement checked in
+    # tests/test_lm.py). The oracle extends the lm_perplexity
+    # string-keyed twin with per-language quantile_cont cuts.
+    None,
+    local_oracle="""
+    WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+    w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(t, '\\s+'), x -> x <> '') AS ws
+        FROM d
+    ),
+    tok AS (
+        SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos,
+               unnest(ws) AS word,
+               unnest(list_transform(range(1, len(ws) + 1),
+                      i -> CASE WHEN i > 1 THEN ws[i-1] || chr(1) || ws[i] END)) AS prev_bi
+        FROM w
+    ),
+    uni AS (SELECT word, count(*) AS c1 FROM tok GROUP BY word),
+    nv AS (SELECT CAST(sum(c1) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM uni),
+    bi AS (
+        SELECT t2.prev_bi AS big, count(*) AS c2,
+               string_split(t2.prev_bi, chr(1))[1] AS ctx
+        FROM tok t2 WHERE t2.prev_bi IS NOT NULL
+        GROUP BY t2.prev_bi HAVING count(*) >= 2
+    ),
+    bigr AS (
+        SELECT b.big, ln(b.c2 / CAST(u.c1 AS DOUBLE)) AS log_cond
+        FROM bi b JOIN uni u ON u.word = b.ctx
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               CASE WHEN t.prev_bi IS NULL
+                    THEN ln((u.c1 + 1) / ((SELECT n FROM nv) + (SELECT v FROM nv) + 1))
+                    ELSE coalesce(
+                        bg.log_cond,
+                        ln(0.4) + ln((u.c1 + 1) /
+                                     ((SELECT n FROM nv) + (SELECT v FROM nv) + 1)))
+               END AS lp
+        FROM tok t
+        JOIN uni u ON u.word = t.word
+        LEFT JOIN bigr bg ON bg.big = t.prev_bi
+    ),
+    ppl AS (
+        SELECT doc_id, floor(exp(-avg(lp)) * 1e6 + 0.5) / 1e6 AS perplexity
+        FROM scored GROUP BY doc_id
+    ),
+    wl AS (
+        SELECT p.doc_id, p.perplexity, d2.lang
+        FROM ppl p JOIN documents d2 USING (doc_id)
+    ),
+    cuts AS (
+        SELECT lang,
+               floor(quantile_cont(perplexity, 1.0/3.0) * 1e6 + 0.5) / 1e6 AS lo,
+               floor(quantile_cont(perplexity, 2.0/3.0) * 1e6 + 0.5) / 1e6 AS hi
+        FROM wl GROUP BY lang
+    ),
+    b AS (
+        SELECT w2.lang, w2.perplexity,
+               CASE WHEN w2.perplexity <= c.lo THEN 'head'
+                    WHEN w2.perplexity <= c.hi THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM wl w2 JOIN cuts c ON w2.lang = c.lang
+    )
+    SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           floor(avg(perplexity) * 1e4 + 0.5) / 1e4 AS avg_ppl
+    FROM b GROUP BY lang, bucket ORDER BY lang, bucket
+    """,
     doc="CCNet head/middle/tail buckets (Wenzek et al. 2020 §4.3, "
     "operators/lm.py): per-language perplexity percentile cuts via "
     "percentile_approx (mergeable sketch, partial+final) broadcast back "
-    "onto the corpus as a native when-chain.",
+    "onto the corpus as a native when-chain. The registered query runs "
+    "exact cuts for oracle determinism; the sketch is the scale path.",
 )
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pixie_spark.operators.lm import ngram_lm_train, perplexity_buckets
 
     doc = load_table(spark, sf_dir, "documents")
     lm = ngram_lm_train(doc, min_count=2)
-    out = perplexity_buckets(doc, lm, group_col="lang")
+    out = perplexity_buckets(doc, lm, group_col="lang", exact_cuts=True, round_to=6)
     return (
         out.groupBy("lang", "bucket")
         .agg(

@@ -171,3 +171,30 @@ def test_perplexity_buckets_per_group(spark):
     # the gibberish group still has a head bucket OF ITS OWN
     assert "head" in langs["xx"]
     assert "head" in langs["en"]
+
+
+def test_perplexity_buckets_exact_cuts_agree_with_sketch(spark):
+    """The oracle-parity mode (exact percentile + rounding) and the
+    production sketch path must assign the same buckets except possibly
+    at the cut boundaries — on a corpus with distinct perplexities the
+    disagreement set is tiny."""
+    from pixie_spark.operators.lm import ngram_lm_train, perplexity_buckets
+    from pixie_spark.sources import load_table
+
+    doc = load_table(spark, "/root/testdata/sf0.001", "documents")
+    lm = ngram_lm_train(doc, min_count=2)
+    exact = {
+        r["doc_id"]: r["bucket"]
+        for r in perplexity_buckets(
+            doc, lm, group_col="lang", exact_cuts=True, round_to=6
+        ).collect()
+    }
+    sketch = {
+        r["doc_id"]: r["bucket"]
+        for r in perplexity_buckets(doc, lm, group_col="lang").collect()
+    }
+    assert set(exact) == set(sketch)
+    diff = [d for d in exact if exact[d] != sketch[d]]
+    assert len(diff) <= max(2, len(exact) // 50), diff  # boundary-only drift
+    # and each (lang) group really splits into three ordered buckets
+    assert set(exact.values()) == {"head", "middle", "tail"}

@@ -71,9 +71,10 @@ def test_expected_local_oracle_coverage():
         "dedup_lines_ccnet",
         "normalize_corpus",
         "leakage_safe_split",
+        "perplexity_buckets",
     }
     assert expected.issubset(set(LOCAL_ORACLE_NAMES))
-    assert len(LOCAL_ORACLE_NAMES) >= 27
+    assert len(LOCAL_ORACLE_NAMES) >= 28
 
 
 def test_local_oracles_never_reach_the_driver():
