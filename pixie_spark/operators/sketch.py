@@ -117,6 +117,7 @@ def hll_overlap_report(
     b: DataFrame,
     col: str,
     lg_k: int = 12,
+    exact: bool = False,
 ) -> DataFrame:
     """Distinct-set overlap between two corpora WITHOUT a join: |A|,
     |B|, |A∪B| from HLL sketch states (the union is a sketch merge, so
@@ -132,6 +133,27 @@ def hll_overlap_report(
     gate — standard practice for audience-overlap estimation. Output
     one row: (n_a, n_b, n_union, n_intersection, jaccard).
     """
+    if exact:
+        # oracle-parity switch (the quantiles gate-row convention):
+        # exact count_distinct over the 8-byte value hash; at 100 TB the
+        # sketch path is the point of this operator — exact shuffles
+        # every distinct value
+        ca = a.agg(F.count_distinct(col).alias("n_a"))
+        cb = b.agg(F.count_distinct(col).alias("n_b"))
+        cu = (
+            a.select(F.col(col).alias("v"))
+            .unionByName(b.select(F.col(col).alias("v")))
+            .agg(F.count_distinct("v").alias("n_union"))
+        )
+        out = ca.crossJoin(cb).crossJoin(cu)
+        inter = F.col("n_a") + F.col("n_b") - F.col("n_union")
+        return out.select(
+            "n_a",
+            "n_b",
+            "n_union",
+            inter.alias("n_intersection"),
+            F.when(F.col("n_union") > 0, inter / F.col("n_union")).alias("jaccard"),
+        )
     sa = a.agg(F.hll_sketch_agg(col, F.lit(lg_k)).alias("s"))
     sb = b.agg(F.hll_sketch_agg(col, F.lit(lg_k)).alias("s"))
     both = sa.unionByName(sb).agg(F.hll_union_agg("s").alias("u"))

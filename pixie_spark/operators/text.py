@@ -398,6 +398,7 @@ def distinct_ngram_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     slice_col: str | None = None,
+    exact: bool = False,
 ) -> DataFrame:
     """Corpus diversity report: distinct-n = |unique word n-grams| /
     |total n-grams| per n (Li et al. 2016's diversity metric, the
@@ -452,9 +453,15 @@ def distinct_ngram_stats(
     rows = led.select("doc", *slice_cols, F.explode(grams).alias("g")).select(
         "doc", *slice_cols, F.col("g.n").alias("n"), F.col("g.sid").alias("sid")
     )
+    # exact=True is the oracle-parity switch (count_distinct shuffles
+    # every gram id — fine at fixture scale, the HLL sketch is the
+    # production path; same convention as the quantiles gate row)
+    distinct_agg = (
+        F.count_distinct("sid") if exact else F.approx_count_distinct("sid", 0.005)
+    )
     out = rows.groupBy(*slice_cols, "n").agg(
         F.count(F.lit(1)).alias("total_ngrams"),
-        F.approx_count_distinct("sid", 0.005).alias("distinct_ngrams"),
+        distinct_agg.alias("distinct_ngrams"),
     )
     return out.withColumn(
         "distinct_ratio", F.col("distinct_ngrams") / F.col("total_ngrams")

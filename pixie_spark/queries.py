@@ -3609,18 +3609,44 @@ def q_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_diversity",
-    None,  # rows-only (window full); totals/ratios replicate a Python
-    # reference in tests/test_corpus_metrics.py.
+    # Rows-only in the driver gate (window full); hash-checked locally —
+    # the registered query runs the exact count_distinct oracle-parity
+    # mode (HLL stays the production path; HLL-vs-exact tolerance is
+    # pinned in tests/test_corpus_metrics.py). The oracle counts
+    # distinct space-joined word tuples — the collision-free twin of the
+    # hashed gram ids.
+    None,
+    local_oracle="""
+    WITH w AS (
+        SELECT lang,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+        FROM documents
+    ),
+    g AS (
+        SELECT lang, nn.n AS n,
+               unnest(list_transform(range(1, len(ws) - nn.n + 2),
+                      i -> array_to_string(ws[i:i+nn.n-1], ' '))) AS gram
+        FROM w, (VALUES (1), (2), (3)) nn(n)
+        WHERE len(ws) >= nn.n
+    )
+    SELECT lang, n,
+           CAST(count(*) AS BIGINT) AS total_ngrams,
+           CAST(count(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+           floor(count(DISTINCT gram)::DOUBLE / count(*) * 1e6 + 0.5) / 1e6
+               AS distinct_ratio
+    FROM g GROUP BY lang, n ORDER BY lang, n
+    """,
     doc="Corpus diversity report (operators/text.distinct_ngram_stats): "
-    "distinct-n per (lang, n) via 8-byte gram ids + HLL "
-    "approx_count_distinct — the mixture-card repetitiveness gauge; "
-    "shuffle bounded by sketch partials, not gram counts.",
+    "distinct-n per (lang, n) via 8-byte gram ids — the mixture-card "
+    "repetitiveness gauge. Production path = HLL approx_count_distinct "
+    "(shuffle bounded by sketch partials, not gram counts); the "
+    "registered query runs the exact count_distinct parity mode.",
 )
 def q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pixie_spark.operators.text import distinct_ngram_stats
 
     doc = load_table(spark, sf_dir, "documents")
-    out = distinct_ngram_stats(doc, (1, 2, 3), slice_col="lang")
+    out = distinct_ngram_stats(doc, (1, 2, 3), slice_col="lang", exact=True)
     return out.select(
         "lang",
         "n",
@@ -3700,13 +3726,31 @@ def q_ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_overlap_sketch",
-    None,  # rows-only; estimates track planted exact sets in
-    # tests/test_sketch.py (sketch report, tolerance-bounded).
+    # Rows-only in the driver gate (window full); hash-checked locally —
+    # the registered query runs the exact count_distinct parity mode
+    # (the HLL sketch stays the production path; estimate-vs-exact
+    # tolerance pinned in tests/test_sketch.py).
+    None,
+    local_oracle="""
+    WITH a AS (SELECT DISTINCT text FROM documents WHERE doc_id % 10 != 9),
+    b AS (SELECT DISTINCT text FROM documents WHERE doc_id % 10 != 0),
+    u AS (SELECT text FROM a UNION SELECT text FROM b),
+    c AS (SELECT (SELECT count(*) FROM a) AS n_old,
+                 (SELECT count(*) FROM b) AS n_new,
+                 (SELECT count(*) FROM u) AS n_union)
+    SELECT CAST(n_old AS BIGINT) AS n_old,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(n_union AS BIGINT) AS n_union,
+           CAST(n_old + n_new - n_union AS BIGINT) AS n_shared,
+           floor((n_old + n_new - n_union)::DOUBLE / n_union * 1e4 + 0.5) / 1e4
+               AS jaccard
+    FROM c
+    """,
     doc="Sketch-based corpus-version overlap (operators/sketch."
     "hll_overlap_report): |A|, |B|, |A∪B| from mergeable HLL states + "
     "inclusion-exclusion intersection/Jaccard — the aggregate twin of "
     "snapshot_diff without its full-outer join; the two corpora never "
-    "co-shuffle.",
+    "co-shuffle. Registered query runs the exact parity mode.",
 )
 def q_corpus_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pixie_spark.operators.sketch import hll_overlap_report
@@ -3714,7 +3758,7 @@ def q_corpus_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     old = doc.where(F.col("doc_id") % 10 != 9)  # the snapshot_diff slices
     new = doc.where(F.col("doc_id") % 10 != 0)
-    rep = hll_overlap_report(old, new, "text")
+    rep = hll_overlap_report(old, new, "text", exact=True)
     return rep.select(
         F.round("n_a").cast("long").alias("n_old"),
         F.round("n_b").cast("long").alias("n_new"),

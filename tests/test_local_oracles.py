@@ -72,9 +72,11 @@ def test_expected_local_oracle_coverage():
         "normalize_corpus",
         "leakage_safe_split",
         "perplexity_buckets",
+        "corpus_diversity",
+        "corpus_overlap_sketch",
     }
     assert expected.issubset(set(LOCAL_ORACLE_NAMES))
-    assert len(LOCAL_ORACLE_NAMES) >= 28
+    assert len(LOCAL_ORACLE_NAMES) >= 30
 
 
 def test_local_oracles_never_reach_the_driver():
