@@ -1195,9 +1195,13 @@ def q_udtf_catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Rows-only BY DESIGN since round 4: the driver's gate window holds 50
     # rows and all 50 go to value-bearing queries — this 0-row schema
     # check ceded its slot to the hash-matched dedup_simhash row. The
-    # operator stays verified: tests/test_sources.py pins schema + zero
-    # rows, and tools/check_oracle.py still runs this entry (allow_empty).
+    # local oracle closes the loop: same 0-row/column/dtype comparison
+    # through the gate comparator.
     None,
+    local_oracle="""
+    SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS VARCHAR) AS name
+    WHERE false
+    """,
     doc="EmptySource (ref: src/carnot/exec/empty_source_node.cc): zero "
     "rows, fixed schema.",
     allow_empty=True,

@@ -74,9 +74,10 @@ def test_expected_local_oracle_coverage():
         "perplexity_buckets",
         "corpus_diversity",
         "corpus_overlap_sketch",
+        "empty_source",
     }
     assert expected.issubset(set(LOCAL_ORACLE_NAMES))
-    assert len(LOCAL_ORACLE_NAMES) >= 30
+    assert len(LOCAL_ORACLE_NAMES) >= 31
 
 
 def test_local_oracles_never_reach_the_driver():
