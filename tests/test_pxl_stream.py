@@ -427,7 +427,7 @@ def test_sql_queries_summary_two_streams_equals_golden(spark, ctx, tmp_path):
     """TWO source tables streamed SIMULTANEOUSLY (mysql_events AND
     pgsql_events feed the same script's union): the normalized-SQL
     template summary must equal the batch golden exactly — request
-    totals and mean latencies per collapsed template. 13 scripts in the
+    totals and mean latencies per collapsed template. 15 scripts in the
     streaming tier; this is the multi-stream case."""
     import json
 
@@ -450,3 +450,48 @@ def test_sql_queries_summary_two_streams_equals_golden(spark, ctx, tmp_path):
         "SELECT id, total FROM orders WHERE o_orderdate > ?": (89, approx(1549223.4102564103, rel=1e-9)),
         "UPDATE inventory SET qty = qty - ? WHERE part_id = ?": (128, approx(1576471.6, rel=1e-9)),
     }
+
+
+def test_cql_stats_streamed_equals_golden(spark, ctx, tmp_path):
+    """CQL per-pod LET + histogram + command timeseries over streamed
+    cql_events: all three display calls of the verbatim script equal
+    their batch goldens after the final micro-batch refresh."""
+    pa = {"start_time": "-1h", "pod": "prod/"}
+    run = _stream_run(
+        spark, ctx, _read("cql_stats/cql_stats.pxl"),
+        streamed=["cql_events"], work_dir=str(tmp_path / "cql"),
+        calls=[("pod_cql_let", pa), ("latency_histogram", pa),
+               ("cmd_timeseries", pa)],
+    )
+    assert run.refresh_count >= 3
+    let = run.results["pod_cql_let"]
+    assert len(let) == 208
+    assert sorted({r["k8s"] for r in let}) == [
+        "prod/api-0001", "prod/api-0004", "prod/api-0007",
+        "prod/frontend-0000", "prod/frontend-0003", "prod/frontend-0006",
+        "prod/frontend-0009",
+    ]
+    assert sum(r["error_rate"] for r in let) == approx(0.0, abs=1e-12)
+    assert sum(r["latency_p50"] for r in let) == approx(310060929.0, rel=1e-9)
+    hist = _dicts(run.results["latency_histogram"], "request_latency")
+    assert [(r["request_latency"], r["count"]) for r in hist] == [(0, 208)]
+    ts = run.results["cmd_timeseries"]
+    assert len(ts) == 194
+    assert {r["req_op"] for r in ts} == {"Query"}
+    assert sum(r["throughput_total"] for r in ts) == 208
+
+
+def test_largest_http_request_streamed_equals_golden(spark, ctx, tmp_path):
+    """Global top-1-by-size over streamed http_events — the ordered
+    head() case: the winner is only correct once EVERY chunk has
+    arrived, so a mid-stream snapshot could hold a pretender; the final
+    refresh must converge on the batch golden row."""
+    run = _stream_run(
+        spark, ctx, _read("largest_http_request/data.pxl"),
+        streamed=["http_events"], work_dir=str(tmp_path / "largest"),
+    )
+    assert run.refresh_count >= 3
+    rows = run.results["requests_of_max_size"]
+    assert [(r["pod"], r["resp_size_bytes"], r["req_path"]) for r in rows] == [
+        ("prod/api-0004", 63708, "/api/v1/inventory")
+    ]
