@@ -427,7 +427,7 @@ def test_sql_queries_summary_two_streams_equals_golden(spark, ctx, tmp_path):
     """TWO source tables streamed SIMULTANEOUSLY (mysql_events AND
     pgsql_events feed the same script's union): the normalized-SQL
     template summary must equal the batch golden exactly — request
-    totals and mean latencies per collapsed template. 15 scripts in the
+    totals and mean latencies per collapsed template. 16 scripts in the
     streaming tier; this is the multi-stream case."""
     import json
 
@@ -495,3 +495,24 @@ def test_largest_http_request_streamed_equals_golden(spark, ctx, tmp_path):
     assert [(r["pod"], r["resp_size_bytes"], r["req_path"]) for r in rows] == [
         ("prod/api-0004", 63708, "/api/v1/inventory")
     ]
+
+
+def test_inbound_conns_streamed_equals_golden(spark, ctx, tmp_path):
+    """Inbound-connection audit over streamed conn_stats — a MAX/MIN
+    delta aggregation (bytes are cumulative counters, so the result
+    depends on seeing both the earliest and latest samples of each
+    connection; a partial stream would under-count): the single
+    staging/db edge with exact byte/connection totals, equal to the
+    batch golden after the final refresh."""
+    run = _stream_run(
+        spark, ctx, _read("inbound_conns/data.pxl"),
+        streamed=["conn_stats"], work_dir=str(tmp_path / "inbound"),
+        calls=[("inbound_conns", {"start_time": "-1h", "ip_filter": ""})],
+    )
+    assert run.refresh_count >= 3
+    rows = run.results["inbound_conns"]
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["pod"], r["remote_addr"]) == ("staging/db-0002", "203.0.113.77")
+    assert (r["conn_open"], r["bytes_sent"], r["bytes_recv"]) == (56, 298270, 657347)
+    assert r["last_activity_time"] == 1704067790000000000
