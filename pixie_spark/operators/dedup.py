@@ -959,7 +959,9 @@ def line_level_dedup(
     import re as _re
 
     pat = _re.escape(sep)
-    arr = F.split(F.col(text_col), pat, -1)
+    # null text folds to '' (split(NULL) would silently drop the doc
+    # from the line frame and emit size(NULL) = -1 accounting)
+    arr = F.split(F.coalesce(F.col(text_col), F.lit("")), pat, -1)
     lines = df.select(
         F.col(id_col), F.posexplode(arr).alias("pos", "line")
     ).where(F.length("line") >= min_chars)

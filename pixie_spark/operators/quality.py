@@ -322,7 +322,10 @@ def c4_clean(
     module. Returns one row per input doc: cleaned text, line/sentence
     accounting, the keep verdict, and the drop reason.
     """
-    arr = _segments(F.col(text_col), r"\n")
+    # null text folds to '' (a null page would emit size(NULL) = -1
+    # accounting instead of an honest 0-line drop verdict)
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    arr = _segments(text, r"\n")
 
     def _line_ok(x: Column) -> Column:
         words = F.size(F.filter(F.split(F.trim(x), r"\s+"), lambda w: w != ""))
@@ -336,8 +339,8 @@ def c4_clean(
     clean = F.array_join(kept, "\n")
     n_sent = F.length(clean) - F.length(F.regexp_replace(clean, "[.!?]", ""))
     reason = (
-        F.when(F.col(text_col).contains("{"), F.lit("brace"))
-        .when(F.lower(text_col).contains("lorem ipsum"), F.lit("lorem_ipsum"))
+        F.when(text.contains("{"), F.lit("brace"))
+        .when(F.lower(text).contains("lorem ipsum"), F.lit("lorem_ipsum"))
         .when(n_sent < min_sentences, F.lit("too_few_sentences"))
         .otherwise(F.lit(None).cast("string"))
     )

@@ -507,3 +507,13 @@ def test_line_level_dedup_ccnet_key_collapses_variants(spark):
     assert fuzzy[0]["text"].startswith("Copyright 2021, Example Corp.")
     assert fuzzy[1]["text"] == "Body line B stays."
     assert fuzzy[2]["text"] == "Body line C stays."
+
+
+def test_line_level_dedup_null_text_is_empty_doc(spark):
+    df = spark.createDataFrame(
+        [(0, "real line."), (1, None)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in dd.line_level_dedup(df).collect()}
+    assert got[1]["text"] == "" and got[1]["n_lines"] == 1
+    assert got[1]["n_lines_dropped"] == 0
+    assert got[0]["text"] == "real line."

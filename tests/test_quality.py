@@ -275,3 +275,10 @@ def test_c4_clean_is_a_pure_map_stage(spark):
     plan = Q.c4_clean(df, id_col="doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan  # zero shuffle: scan-attached projection
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_c4_clean_null_text_is_honest_drop(spark):
+    df = spark.createDataFrame([(0, None)], "doc_id long, text string")
+    (r,) = Q.c4_clean(df, id_col="doc_id").collect()
+    assert r["text"] == "" and r["n_lines"] == 0 and not r["kept"]
+    assert r["drop_reason"] == "too_few_sentences"
