@@ -140,8 +140,14 @@ def write_jsonl(
     Columns are serialized as-is (to_json of the row struct) — nulls
     kept, key order = column order, so read_jsonl(write_jsonl(df))
     round-trips every declared field."""
+    if docs_per_file is not None and sort_within_by is None:
+        raise ValueError(
+            "docs_per_file requires sort_within_by: file sizing is a "
+            "repartitionByRange on that key (a round-robin split would "
+            "not be byte-stable across reruns)"
+        )
     out = df
-    if docs_per_file is not None and sort_within_by is not None:
+    if docs_per_file is not None:
         n_rows = df.count()
         n_files = max(1, -(-n_rows // docs_per_file))
         out = df.repartitionByRange(n_files, F.col(sort_within_by))
