@@ -427,7 +427,7 @@ def test_sql_queries_summary_two_streams_equals_golden(spark, ctx, tmp_path):
     """TWO source tables streamed SIMULTANEOUSLY (mysql_events AND
     pgsql_events feed the same script's union): the normalized-SQL
     template summary must equal the batch golden exactly — request
-    totals and mean latencies per collapsed template. 16 scripts in the
+    totals and mean latencies per collapsed template. 17 scripts in the
     streaming tier; this is the multi-stream case."""
     import json
 
@@ -516,3 +516,28 @@ def test_inbound_conns_streamed_equals_golden(spark, ctx, tmp_path):
     assert (r["pod"], r["remote_addr"]) == ("staging/db-0002", "203.0.113.77")
     assert (r["conn_open"], r["bytes_sent"], r["bytes_recv"]) == (56, 298270, 657347)
     assert r["last_activity_time"] == 1704067790000000000
+
+
+def test_http_post_requests_streamed_equals_golden(spark, ctx, tmp_path):
+    """POST-only trace slice over streamed http_events — the row-level
+    (non-aggregating) script case: a filter + ctx-join passthrough must
+    surface exactly the batch golden's two trace rows once the stream
+    drains."""
+    run = _stream_run(
+        spark, ctx, _read("http_post_requests/data.pxl"),
+        streamed=["http_events"], work_dir=str(tmp_path / "post"),
+    )
+    assert run.refresh_count >= 3
+    rows = _dicts(run.results["output"], "time_")
+    assert len(rows) == 2
+    a, b = rows
+    assert (a["time_"], a["remote_addr"], a["remote_port"]) == (
+        1704070771121065472, "10.0.0.3", 18781,
+    )
+    assert (a["req_method"], a["req_path"], a["resp_status"], a["latency"]) == (
+        "POST", "/api/v1/items/91", 200, 2974776,
+    )
+    assert a["service"] == "prod/frontend"
+    assert (b["req_method"], b["req_path"], b["resp_status"], b["latency"]) == (
+        "POST", "/api/v1/inventory", 204, 10432677,
+    )
