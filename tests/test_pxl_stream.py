@@ -427,7 +427,7 @@ def test_sql_queries_summary_two_streams_equals_golden(spark, ctx, tmp_path):
     """TWO source tables streamed SIMULTANEOUSLY (mysql_events AND
     pgsql_events feed the same script's union): the normalized-SQL
     template summary must equal the batch golden exactly — request
-    totals and mean latencies per collapsed template. 17 scripts in the
+    totals and mean latencies per collapsed template. 18 scripts in the
     streaming tier; this is the multi-stream case."""
     import json
 
@@ -541,3 +541,26 @@ def test_http_post_requests_streamed_equals_golden(spark, ctx, tmp_path):
     assert (b["req_method"], b["req_path"], b["resp_status"], b["latency"]) == (
         "POST", "/api/v1/inventory", 204, 10432677,
     )
+
+
+def test_kafka_overview_streamed_equals_golden(spark, ctx, tmp_path):
+    """Per-topic Kafka overview over streamed kafka_events.beta —
+    count_distinct-heavy aggregation (partitions/producers/consumers per
+    topic) whose distinct sets accrete across micro-batches; the final
+    refresh must equal the batch golden's exact per-topic tuple list."""
+    run = _stream_run(
+        spark, ctx, _read("kafka_overview/kafka_overview.pxl"),
+        streamed=["kafka_events.beta"], work_dir=str(tmp_path / "kafka"),
+        calls=[("kafka_topics_overview", {"start_time": "-1h", "ns": "", "topic": ""})],
+    )
+    assert run.refresh_count >= 3
+    rows = _dicts(run.results["kafka_topics_overview"], "topic_name")
+    assert [
+        (r["topic_name"], r["num_partitions"], r["num_producers"], r["num_consumers"],
+         r["bytes_produced_total"], r["bytes_consumed_total"])
+        for r in rows
+    ] == [
+        ("events", 3, 10, 10, 225795, 228798),
+        ("logs", 3, 10, 10, 210009, 255115),
+        ("orders", 3, 10, 10, 204546, 256706),
+    ]
