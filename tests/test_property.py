@@ -332,3 +332,67 @@ def test_line_level_dedup_matches_python(spark, texts, min_chars):
         for r in line_level_dedup(df, min_chars=min_chars).collect()
     }
     assert got == py_line_dedup(texts, min_chars)
+
+
+# C4 pages: lines with/without terminal punct, short lines, boilerplate
+C4_LINE_POOL = [
+    "A good long sentence here.",
+    "short.",
+    "no terminal punctuation line at all",
+    "This page uses cookies thanks.",
+    "Please enable javascript now please.",
+    "Another perfectly fine sentence!",
+    "",
+    "Tail sentence with brace free text?",
+    "lorem ipsum dolor sit amet etc.",
+    "Code snippet { inside } braces.",
+]
+
+c4_pages_strategy = st.lists(
+    st.lists(st.sampled_from(C4_LINE_POOL), min_size=0, max_size=8).map("\n".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+def py_c4(text, min_words=3, min_sent=5):
+    import re as _re
+
+    lines = [l for l in text.split("\n") if l.strip() != ""]
+    drop_re = _re.compile(
+        r"(javascript|terms of use|privacy policy|cookie policy"
+        r"|uses cookies|use of cookies|use cookies)"
+    )
+    kept = [
+        l for l in lines
+        if _re.search(r'[.!?"\']$', l.strip())
+        and len([w for w in _re.split(r"\s+", l.strip()) if w]) >= min_words
+        and not drop_re.search(l.lower())
+    ]
+    clean = "\n".join(kept)
+    n_sent = len(_re.findall(r"[.!?]", clean))
+    if "{" in text:
+        reason = "brace"
+    elif "lorem ipsum" in text.lower():
+        reason = "lorem_ipsum"
+    elif n_sent < min_sent:
+        reason = "too_few_sentences"
+    else:
+        reason = None
+    return (clean, len(lines), len(kept), n_sent, reason is None, reason)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(c4_pages_strategy)
+def test_c4_clean_matches_python(spark, texts):
+    from pixie_spark.operators.quality import c4_clean
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (
+            r["text"], r["n_lines"], r["n_lines_kept"], r["n_sentences"],
+            r["kept"], r["drop_reason"],
+        )
+        for r in c4_clean(df).collect()
+    }
+    assert got == {i: py_c4(t) for i, t in enumerate(texts)}
