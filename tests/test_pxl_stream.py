@@ -427,7 +427,7 @@ def test_sql_queries_summary_two_streams_equals_golden(spark, ctx, tmp_path):
     """TWO source tables streamed SIMULTANEOUSLY (mysql_events AND
     pgsql_events feed the same script's union): the normalized-SQL
     template summary must equal the batch golden exactly — request
-    totals and mean latencies per collapsed template. 18 scripts in the
+    totals and mean latencies per collapsed template. 19 scripts in the
     streaming tier; this is the multi-stream case."""
     import json
 
@@ -563,4 +563,25 @@ def test_kafka_overview_streamed_equals_golden(spark, ctx, tmp_path):
         ("events", 3, 10, 10, 225795, 228798),
         ("logs", 3, 10, 10, 210009, 255115),
         ("orders", 3, 10, 10, 204546, 256706),
+    ]
+
+
+def test_amqp_data_streamed_equals_golden(spark, ctx, tmp_path):
+    """AMQP trace slice + per-method stats + flow graph over streamed
+    amqp_events: all three display calls equal their batch goldens —
+    the three-output protocol-tracer shape."""
+    args = {"start_time": "-1h", "source_filter": "", "destination_filter": ""}
+    run = _stream_run(
+        spark, ctx, _read("amqp_data/amqp_data.pxl"),
+        streamed=["amqp_events"], work_dir=str(tmp_path / "amqp"),
+        calls=[("amqp_data", args), ("amqp_msg_stats", args),
+               ("amqp_flow_graph", {**args, "ns": "prod"})],
+    )
+    assert run.refresh_count >= 3
+    assert len(run.results["amqp_data"]) == 300
+    assert len(run.results["amqp_flow_graph"]) == 89
+    stats = _dicts(run.results["amqp_msg_stats"], "req_name")
+    assert stats == [
+        {"frame_name": "Frame method", "req_name": "BasicDeliver", "stats": 153},
+        {"frame_name": "Frame method", "req_name": "BasicPublish", "stats": 147},
     ]
