@@ -427,7 +427,7 @@ def test_sql_queries_summary_two_streams_equals_golden(spark, ctx, tmp_path):
     """TWO source tables streamed SIMULTANEOUSLY (mysql_events AND
     pgsql_events feed the same script's union): the normalized-SQL
     template summary must equal the batch golden exactly — request
-    totals and mean latencies per collapsed template. 19 scripts in the
+    totals and mean latencies per collapsed template. 20 scripts in the
     streaming tier; this is the multi-stream case."""
     import json
 
@@ -585,3 +585,20 @@ def test_amqp_data_streamed_equals_golden(spark, ctx, tmp_path):
         {"frame_name": "Frame method", "req_name": "BasicDeliver", "stats": 153},
         {"frame_name": "Frame method", "req_name": "BasicPublish", "stats": 147},
     ]
+
+
+def test_http_trace_id_streamed_equals_golden(spark, ctx, tmp_path):
+    """Zero-row golden over streamed http_events: no fixture request
+    carries an X-Request-Id header, so the streamed script must
+    converge on an EMPTY result with the right schema — not an error,
+    not fabricated rows, and no spurious rows from any micro-batch."""
+    run = _stream_run(
+        spark, ctx, _read("http_trace_id/script.pxl"),
+        streamed=["http_events"], work_dir=str(tmp_path / "traceid"),
+        calls=[("http_trace_data",
+                {"start_time": "-1h", "trace_header_name": "X-Request-Id",
+                 "trace_id_filter": ""})],
+    )
+    assert run.refresh_count >= 3
+    rows = run.results["http_trace_data"]
+    assert rows == []
