@@ -427,7 +427,7 @@ def test_sql_queries_summary_two_streams_equals_golden(spark, ctx, tmp_path):
     """TWO source tables streamed SIMULTANEOUSLY (mysql_events AND
     pgsql_events feed the same script's union): the normalized-SQL
     template summary must equal the batch golden exactly — request
-    totals and mean latencies per collapsed template. 20 scripts in the
+    totals and mean latencies per collapsed template. 21 scripts in the
     streaming tier; this is the multi-stream case."""
     import json
 
@@ -602,3 +602,28 @@ def test_http_trace_id_streamed_equals_golden(spark, ctx, tmp_path):
     assert run.refresh_count >= 3
     rows = run.results["http_trace_data"]
     assert rows == []
+
+
+def test_mysql_flow_graph_streamed_equals_golden(spark, ctx, tmp_path):
+    """MySQL flow-graph edges over streamed mysql_events: edge count,
+    request totals, fan-out, p99 peak, and the lexicographically-first
+    edge's p50 all equal the batch golden — percentile state must
+    accrete correctly across micro-batches before the edge aggregate."""
+    run = _stream_run(
+        spark, ctx, _read("mysql_flow_graph/mysql_flow_graph.pxl"),
+        streamed=["mysql_events"], work_dir=str(tmp_path / "myflow"),
+        calls=[("mysql_flow_graph",
+                {"start_time": "-1h", "ns": "prod", "source_filter": "",
+                 "destination_filter": ""})],
+    )
+    assert run.refresh_count >= 3
+    rows = run.results["mysql_flow_graph"]
+    assert len(rows) == 128
+    assert sum(r["throughput_total"] for r in rows) == 213
+    assert len({r["destination"] for r in rows}) == 66
+    assert len({r["source"] for r in rows}) == 10
+    assert max(r["latency_p99"] for r in rows) == approx(13848606.5, rel=1e-9)
+    first = _dicts(rows, "source", "destination")[0]
+    assert (first["source"], first["destination"]) == ("prod/api-0001", "203.0.113.121")
+    assert first["latency_p50"] == approx(661296.0, rel=1e-9)
+    assert first["namespace"] == "prod" and first["is_source_pod_type"] is True
