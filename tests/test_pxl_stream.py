@@ -427,7 +427,7 @@ def test_sql_queries_summary_two_streams_equals_golden(spark, ctx, tmp_path):
     """TWO source tables streamed SIMULTANEOUSLY (mysql_events AND
     pgsql_events feed the same script's union): the normalized-SQL
     template summary must equal the batch golden exactly — request
-    totals and mean latencies per collapsed template. 21 scripts in the
+    totals and mean latencies per collapsed template. 22 scripts in the
     streaming tier; this is the multi-stream case."""
     import json
 
@@ -627,3 +627,31 @@ def test_mysql_flow_graph_streamed_equals_golden(spark, ctx, tmp_path):
     assert (first["source"], first["destination"]) == ("prod/api-0001", "203.0.113.121")
     assert first["latency_p50"] == approx(661296.0, rel=1e-9)
     assert first["namespace"] == "prod" and first["is_source_pod_type"] is True
+
+
+def test_network_stats_streamed_equals_golden(spark, ctx, tmp_path):
+    """Per-pod network counters over streamed network_stats under a
+    NON-DEFAULT now (the '-30s' window sits mid-fixture at T+390s):
+    exact totals equal the batch golden — the window bound must slice
+    the streamed snapshot exactly as it slices the batch table."""
+    import pixie_spark.api as px
+    from pixie_spark.sources.fixtures import BASE_NS, HOUR_NS
+
+    px.set_now(BASE_NS + 390 * 1_000_000_000)
+    try:
+        run = _stream_run(
+            spark, ctx, _read("network_stats/stats.pxl"),
+            streamed=["network_stats"], work_dir=str(tmp_path / "netstats"),
+        )
+    finally:
+        px.set_now(BASE_NS + HOUR_NS)
+    assert run.refresh_count >= 3
+    rows = run.results["output"]
+    assert len(rows) == 40
+    assert len({r["pod_id"] for r in rows}) == 10
+    assert (
+        sum(r["rx_bytes"] for r in rows),
+        sum(r["tx_bytes"] for r in rows),
+        sum(r["rx_packets"] for r in rows),
+        sum(r["tx_packets"] for r in rows),
+    ) == (749778993, 409758210, 749173, 618934)
