@@ -391,6 +391,12 @@ def display(df: PxDataFrame, name: str = "output") -> SparkDataFrame:
         # remove_group_by_rule_test.cc:68 — a dangling groupby is a
         # compile error in the reference, not a displayable frame
         raise PxTypeError("'groupby()' should be followed by an 'agg()'")
+    if not isinstance(df, (PxDataFrame, SparkDataFrame)):
+        # pixie_module.cc display() arg typecheck — a PxL-locatable
+        # error, not an AttributeError off a missing .isStreaming
+        raise PxTypeError(
+            f"'display' expects a DataFrame, got {type(df).__name__} {df!r}"
+        )
     sdf = df.to_spark() if isinstance(df, PxDataFrame) else df
     # re-display under a name bound to an active stream: stop and unbind
     # the old query first, whether the new frame is batch or streaming
@@ -432,6 +438,12 @@ def debug(df: PxDataFrame, name: str = "debug") -> str:
     import contextlib
     import io
 
+    if not isinstance(df, (PxDataFrame, SparkDataFrame)):
+        # pixie_module.cc display() arg typecheck — a PxL-locatable
+        # error, not an AttributeError off a missing .isStreaming
+        raise PxTypeError(
+            f"'display' expects a DataFrame, got {type(df).__name__} {df!r}"
+        )
     sdf = df.to_spark() if isinstance(df, PxDataFrame) else df
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):

@@ -263,6 +263,12 @@ class PxDataFrame:
 
     def head(self, n: int = 5) -> "PxDataFrame":
         """dataframe.h:263 (Limit operator)."""
+        if isinstance(n, bool) or not isinstance(n, int):
+            # dataframe.cc head() arg typecheck — a PxL-locatable error,
+            # not a raw py4j Method-limit-does-not-exist trace
+            raise PxTypeError(
+                f"'head' expects an integer 'n', got {type(n).__name__} {n!r}"
+            )
         return self._wrap(self._sdf.limit(n))
 
     def groupby(self, by: list[str] | str) -> "PxGroupedFrame":

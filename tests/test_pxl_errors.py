@@ -209,3 +209,23 @@ def test_px_errors_subclass_legacy_types(ctx):
         assert issubclass(t, CompilerError)
     # KeyError's repr-quoting must not mangle the message
     assert str(PxKeyError("Table 'x' not found.")) == "Table 'x' not found."
+
+
+def test_head_non_int_argument(ctx):
+    # dataframe.cc head() arg typecheck: must be a PxL error naming the
+    # offending value, never a raw py4j Method-does-not-exist trace
+    with pytest.raises(PxTypeError, match="'head' expects an integer 'n', got str 'ten'"):
+        px.DataFrame("http_events").head("ten")
+
+
+def test_display_non_dataframe(ctx):
+    with pytest.raises(PxTypeError, match="'display' expects a DataFrame, got int 42"):
+        px.display(42)
+
+
+def test_bad_duration_string_is_a_value_error(ctx):
+    # time parse errors (compile-time fns): '-5q' is not a duration
+    with pytest.raises(ValueError, match="bad duration '-5q'"):
+        px.run_script(
+            "import px\ndf = px.DataFrame('http_events', start_time='-5q')\npx.display(df)"
+        )
