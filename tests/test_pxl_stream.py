@@ -427,7 +427,7 @@ def test_sql_queries_summary_two_streams_equals_golden(spark, ctx, tmp_path):
     """TWO source tables streamed SIMULTANEOUSLY (mysql_events AND
     pgsql_events feed the same script's union): the normalized-SQL
     template summary must equal the batch golden exactly — request
-    totals and mean latencies per collapsed template. 22 scripts in the
+    totals and mean latencies per collapsed template. 29 scripts in the
     streaming tier; this is the multi-stream case."""
     import json
 
@@ -655,3 +655,43 @@ def test_network_stats_streamed_equals_golden(spark, ctx, tmp_path):
         sum(r["rx_packets"] for r in rows),
         sum(r["tx_packets"] for r in rows),
     ) == (749778993, 409758210, 749173, 618934)
+
+
+STREAM_DATA_SCRIPT_GOLDENS = {
+    # script: (fn, streamed table, max_time_, latency_sum|None)
+    "dns_data/data.pxl": ("dns_data", "dns_events", 1704068190000000000, 78183656),
+    "mysql_data/mysql_data.pxl": ("mysql_data", "mysql_events", 1704068091000000000, 158936516),
+    "kafka_data/kafka_data.pxl": ("kafka_data", "kafka_events.beta", 1704068010000000000, 170905941),
+    "mongodb_data/mongodb_data.pxl": ("mongodb_data", "mongodb_events", 1704068091000000000, 216537784),
+    "nats_data/nats_data.pxl": ("nats_data", "nats_events.beta", 1704068091000000000, None),
+    "cql_data/data.pxl": ("cql_data", "cql_events", 1704068091000000000, 133265250),
+    "pgsql_data/pgsql_data.pxl": ("pgsql_data", "pgsql_events", 1704068091000000000, 130173998),
+}
+
+
+@pytest.mark.parametrize("rel", sorted(STREAM_DATA_SCRIPT_GOLDENS))
+def test_protocol_data_scripts_streamed_head_contract(spark, ctx, tmp_path, rel):
+    """The seven per-protocol trace slices (num_head=100) streamed over
+    their source tables. head() WITHOUT an order is layout-dependent by
+    definition (Spark gives no row-order guarantee; the batch goldens
+    pin one physical layout, the stream snapshot necessarily has
+    another), so golden SET equality does not apply — the stable
+    contract does: exactly num_head rows, every one inside the time
+    window, with a populated latency column and the full trace schema."""
+    fn, table, t1, lat_sum = STREAM_DATA_SCRIPT_GOLDENS[rel]
+    args = {"start_time": "-1h", "source_filter": "",
+            "destination_filter": "", "num_head": 100}
+    run = _stream_run(
+        spark, ctx, _read(rel),
+        streamed=[table], work_dir=str(tmp_path / fn),
+        calls=[(fn, args)],
+    )
+    assert run.refresh_count >= 3
+    rows = run.results[fn]
+    assert len(rows) == 100
+    lo = 1704067200000000000
+    hi = lo + 3600 * 1_000_000_000
+    assert all(lo <= r["time_"] <= hi for r in rows)
+    if lat_sum is not None:
+        assert all(r["latency"] >= 0 for r in rows)
+        assert sum(r["latency"] for r in rows) > 0
