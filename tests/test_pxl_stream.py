@@ -427,7 +427,7 @@ def test_sql_queries_summary_two_streams_equals_golden(spark, ctx, tmp_path):
     """TWO source tables streamed SIMULTANEOUSLY (mysql_events AND
     pgsql_events feed the same script's union): the normalized-SQL
     template summary must equal the batch golden exactly — request
-    totals and mean latencies per collapsed template. 29 scripts in the
+    totals and mean latencies per collapsed template. 31 scripts in the
     streaming tier; this is the multi-stream case."""
     import json
 
@@ -695,3 +695,43 @@ def test_protocol_data_scripts_streamed_head_contract(spark, ctx, tmp_path, rel)
     if lat_sum is not None:
         assert all(r["latency"] >= 0 for r in rows)
         assert sum(r["latency"] for r in rows) > 0
+
+
+def test_outbound_conns_streamed_equals_golden(spark, ctx, tmp_path):
+    """Outbound-connection audit over streamed conn_stats: the single
+    aggregate row — every column exact against the batch golden."""
+    run = _stream_run(
+        spark, ctx, _read("outbound_conns/data.pxl"),
+        streamed=["conn_stats"], work_dir=str(tmp_path / "outbound"),
+        calls=[("outbound_conns", {"start_time": "-1h", "ip_filter": ""})],
+    )
+    assert run.refresh_count >= 3
+    rows = run.results["outbound_conns"]
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["pod"], r["remote_addr"], r["remote_port"]) == (
+        "prod/api-0001", "203.0.113.9", 8080,
+    )
+    assert (r["conn_open"], r["bytes_sent"], r["bytes_recv"]) == (27, 132979, 289105)
+    assert r["last_activity_time"] == 1704067790000000000
+
+
+def test_kafka_consumer_rebalancing_streamed_equals_golden(spark, ctx, tmp_path):
+    """JoinGroup/SyncGroup correlation over streamed kafka_events.beta —
+    an EVENT-PAIRING case: each delay row correlates a join with the
+    NEXT sync in time, so pairs must not be lost when the two events of
+    a pair arrive in different micro-batches."""
+    run = _stream_run(
+        spark, ctx, _read("kafka_consumer_rebalancing/kafka_consumer_rebalancing.pxl"),
+        streamed=["kafka_events.beta"], work_dir=str(tmp_path / "rebal"),
+        calls=[("kafka_join_sync_group_events",
+                {"start_time": "-1h", "consumer_group_id": ""}),
+               ("kafka_group_ids", {"start_time": "-1h"}),
+               ("kafka_join_sync_delay", {"start_time": "-1h", "consumer_group_id": ""})],
+    )
+    assert run.refresh_count >= 3
+    (g,) = run.results["kafka_group_ids"]
+    assert tuple(g) == ("cg-1", 14)
+    assert len(run.results["kafka_join_sync_group_events"]) == 42
+    delays = [r["delay"] for r in run.results["kafka_join_sync_delay"]]
+    assert len(delays) == 41
