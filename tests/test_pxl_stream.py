@@ -427,7 +427,7 @@ def test_sql_queries_summary_two_streams_equals_golden(spark, ctx, tmp_path):
     """TWO source tables streamed SIMULTANEOUSLY (mysql_events AND
     pgsql_events feed the same script's union): the normalized-SQL
     template summary must equal the batch golden exactly — request
-    totals and mean latencies per collapsed template. 31 scripts in the
+    totals and mean latencies per collapsed template. 32 scripts in the
     streaming tier; this is the multi-stream case."""
     import json
 
@@ -735,3 +735,20 @@ def test_kafka_consumer_rebalancing_streamed_equals_golden(spark, ctx, tmp_path)
     assert len(run.results["kafka_join_sync_group_events"]) == 42
     delays = [r["delay"] for r in run.results["kafka_join_sync_delay"]]
     assert len(delays) == 41
+
+
+def test_kafka_producer_consumer_latency_streamed_equals_golden(spark, ctx, tmp_path):
+    """Producer-to-consumer latency topics over streamed
+    kafka_events.beta: the produce and consume events of a message may
+    arrive in different micro-batches; the final topic set equals the
+    batch golden."""
+    run = _stream_run(
+        spark, ctx,
+        _read("kafka_producer_consumer_latency/kafka_producer_consumer_latency.pxl"),
+        streamed=["kafka_events.beta"], work_dir=str(tmp_path / "kpcl"),
+        calls=[("kafka_topics", {"start_time": "-1h", "namespace": "prod"})],
+    )
+    assert run.refresh_count >= 3
+    assert sorted(r[0] for r in run.results["kafka_topics"]) == [
+        "events", "logs", "orders",
+    ]
