@@ -427,7 +427,7 @@ def test_sql_queries_summary_two_streams_equals_golden(spark, ctx, tmp_path):
     """TWO source tables streamed SIMULTANEOUSLY (mysql_events AND
     pgsql_events feed the same script's union): the normalized-SQL
     template summary must equal the batch golden exactly — request
-    totals and mean latencies per collapsed template. 32 scripts in the
+    totals and mean latencies per collapsed template. 33 scripts in the
     streaming tier; this is the multi-stream case."""
     import json
 
@@ -752,3 +752,28 @@ def test_kafka_producer_consumer_latency_streamed_equals_golden(spark, ctx, tmp_
     assert sorted(r[0] for r in run.results["kafka_topics"]) == [
         "events", "logs", "orders",
     ]
+
+
+def test_pods_overview_two_streams_equals_golden(spark, ctx, tmp_path):
+    """The pods overview dashboard streams BOTH of its source tables
+    simultaneously (http_events and process_stats feed separate branches
+    joined on pod metadata): the final pod table — service, start time,
+    status, container counts — equals the batch golden."""
+    run = _stream_run(
+        spark, ctx, _read("pods/pods.pxl"),
+        streamed=["http_events", "process_stats"],
+        work_dir=str(tmp_path / "pods"),
+        calls=[("pods", {"start_time": "-1h", "namespace": "prod"})],
+    )
+    assert run.refresh_count >= 3
+    rows = _dicts(run.results["pods"], "pod")
+    assert [(r["pod"], r["service"], r["start_time"], r["status"]) for r in rows] == [
+        ("prod/api-0001", "prod/api", 1704060000000000000, "Running"),
+        ("prod/api-0004", "prod/api", 1704049200000000000, "Running"),
+        ("prod/api-0007", "prod/api", 1704038400000000000, "Pending"),
+        ("prod/frontend-0000", "prod/frontend", 1704063600000000000, "Pending"),
+        ("prod/frontend-0003", "prod/frontend", 1704052800000000000, "Running"),
+        ("prod/frontend-0006", "prod/frontend", 1704042000000000000, "Running"),
+        ("prod/frontend-0009", "prod/frontend", 1704031200000000000, "Running"),
+    ]
+    assert all(r["containers"] == 1 for r in rows)
