@@ -433,18 +433,19 @@ def debug(df: PxDataFrame, name: str = "debug") -> str:
     """px.debug(df[, name]) → the optimized/physical plan (explain
     passthrough); the reference's form registers a debug-named result
     (pixie_module.h), so the frame is also registered under _{name}."""
-    sdf0 = df.to_spark() if isinstance(df, PxDataFrame) else df
-    _ctx["results"][f"_{name}"] = sdf0
     import contextlib
     import io
 
     if not isinstance(df, (PxDataFrame, SparkDataFrame)):
-        # pixie_module.cc display() arg typecheck — a PxL-locatable
-        # error, not an AttributeError off a missing .isStreaming
+        # pixie_module.cc display()/debug() arg typecheck — a PxL-
+        # locatable error, not an AttributeError off a missing
+        # .isStreaming. Checked BEFORE registration so an invalid
+        # object never pollutes results() (round-5 ADVICE).
         raise PxTypeError(
-            f"'display' expects a DataFrame, got {type(df).__name__} {df!r}"
+            f"'debug' expects a DataFrame, got {type(df).__name__} {df!r}"
         )
     sdf = df.to_spark() if isinstance(df, PxDataFrame) else df
+    _ctx["results"][f"_{name}"] = sdf
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         sdf.explain("formatted")

@@ -188,6 +188,7 @@ def semantic_dedup_pairs(
     seed: int = 42,
     target_cluster_rows: int = 256,
     max_cluster_rows: int = 2048,
+    stats: dict | None = None,
 ) -> DataFrame:
     """SemDeDup candidate pairs (Abbas et al. 2023, "SemDeDup: Data-
     efficient learning at web-scale through semantic deduplication"):
@@ -207,6 +208,9 @@ def semantic_dedup_pairs(
     same hot-key discipline as dedup.MAX_POSTING_LIST — bounding any
     single task's rows at ~max_cluster_rows; cross-sub pairs inside a
     split cluster are the documented recall cost (None to disable).
+    Splitting never silently weakens the k=1 exactness anchor: it is
+    disabled when k==1, and passing ``stats`` (a dict) reports
+    ``split_clusters`` / ``rows_in_split_clusters`` for every run.
 
     Scoring: ONE shuffle on (cluster, sub), then per-group Arrow-batched
     BLAS (X·Xᵀ upper triangle) via applyInPandas — the paper's own
@@ -270,20 +274,34 @@ def semantic_dedup_pairs(
         assign_cluster(F.col(vec_col)).alias("cluster"),
     ).localCheckpoint()
 
-    if max_cluster_rows is not None:
+    if max_cluster_rows is not None and k > 1:
         # hot-cluster guard: a k-row size frame (bounded — one row per
         # cluster, broadcast) salts oversized clusters into
         # ceil(size/max) sub-blocks; the grouping key becomes
         # (cluster, sub). n_subs=1 for every in-bound cluster, so the
         # guard is a no-op unless a cluster is actually hot — and it
-        # bounds the per-task BLAS block below.
+        # bounds the per-task BLAS block below. Disabled at k==1 so the
+        # exact-all-pairs equivalence anchor holds at ANY corpus size
+        # (round-5 ADVICE); splits are never silent — pass ``stats`` to
+        # receive split_clusters / rows_in_split_clusters (the
+        # connected_components stats-dict pattern).
         sizes = assigned.groupBy("cluster").agg(
-            F.ceil(F.count(F.lit(1)) / F.lit(max_cluster_rows)).cast("int").alias("__n_subs")
+            F.ceil(F.count(F.lit(1)) / F.lit(max_cluster_rows)).cast("int").alias("__n_subs"),
+            F.count(F.lit(1)).alias("__size"),
         )
-        assigned = assigned.join(F.broadcast(sizes), "cluster").withColumn(
+        if stats is not None:
+            split = sizes.where(F.col("__n_subs") > 1).agg(
+                F.count(F.lit(1)).alias("c"), F.coalesce(F.sum("__size"), F.lit(0)).alias("r")
+            ).first()
+            stats["split_clusters"] = int(split["c"])
+            stats["rows_in_split_clusters"] = int(split["r"])
+        assigned = assigned.join(F.broadcast(sizes.drop("__size")), "cluster").withColumn(
             "__sub", F.pmod(F.xxhash64("id", F.lit(seed)), F.col("__n_subs")).cast("int")
         ).drop("__n_subs")
     else:
+        if stats is not None:
+            stats["split_clusters"] = 0
+            stats["rows_in_split_clusters"] = 0
         assigned = assigned.withColumn("__sub", F.lit(0))
 
     thr = float(threshold)

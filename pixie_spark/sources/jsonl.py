@@ -125,11 +125,14 @@ def write_jsonl(
     format the read side of this module ingests (C4/Pile/RedPajama/
     Dolma interchange).
 
-    - ``docs_per_file`` sizes output files by ROW COUNT via a
+    - ``docs_per_file`` TARGETS that many rows per file via a
       deterministic repartitionByRange on ``sort_within_by`` (range
       exchange: each task writes one contiguous, sorted slice — the
-      same one-task-per-file discipline as sources/shards.py). None
-      keeps the incoming partitioning (one file per partition).
+      same one-task-per-file discipline as sources/shards.py). Range
+      partitioning samples key boundaries, so per-file counts are
+      approximate (±sampling error), not exact; only the FILE COUNT
+      ceil(n/docs_per_file) is exact. None keeps the incoming
+      partitioning (one file per partition).
     - ``sort_within_by`` makes reruns byte-stable: rows within a file
       appear in key order, so a re-export of the same frame produces
       identical archives (modulo gzip mtime headers, which Spark's
@@ -137,9 +140,12 @@ def write_jsonl(
     - gzip output is non-splittable by design — same as the archives
       public corpora ship; downstream readers get one task per file.
 
-    Columns are serialized as-is (to_json of the row struct) — nulls
-    kept, key order = column order, so read_jsonl(write_jsonl(df))
-    round-trips every declared field."""
+    Columns are serialized as-is (to_json of the row struct) — null
+    fields are emitted explicitly as ``"key": null`` (ignoreNullFields
+    is forced off; Spark's default silently drops null struct keys,
+    which round-trips internally but makes keys vanish for external
+    consumers), key order = column order, so read_jsonl(write_jsonl(
+    df)) round-trips every declared field."""
     if docs_per_file is not None and sort_within_by is None:
         raise ValueError(
             "docs_per_file requires sort_within_by: file sizing is a "
@@ -153,9 +159,11 @@ def write_jsonl(
         out = df.repartitionByRange(n_files, F.col(sort_within_by))
     if sort_within_by is not None:
         out = out.sortWithinPartitions(sort_within_by)
-    writer = out.select(F.to_json(F.struct(*out.columns)).alias("value")).write.mode(
-        "overwrite"
-    )
+    writer = out.select(
+        F.to_json(
+            F.struct(*out.columns), {"ignoreNullFields": "false"}
+        ).alias("value")
+    ).write.mode("overwrite")
     if gzip:
         writer = writer.option("compression", "gzip")
     writer.text(path)

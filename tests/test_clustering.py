@@ -175,38 +175,79 @@ def test_semantic_dedup_hot_cluster_guard_bounds_pair_cost(spark):
     ONE hot kmeans cluster) must not produce an O(size²) single-task
     pair explosion: with max_cluster_rows=m the cluster splits into
     ceil(size/m) hash-salted sub-blocks, bounding any block's pair
-    count; cross-sub pairs are the documented recall cost."""
+    count; cross-sub pairs are the documented recall cost, and the
+    split is never silent — the stats dict reports which clusters were
+    split and how many rows they held (round-5 ADVICE)."""
     import numpy as np
 
     rng = np.random.default_rng(11)
     dim = 8
     base = rng.normal(size=dim)
     n = 400
+    # the hot region + a small well-separated cold group so k=2 kmeans
+    # isolates the hot cluster deterministically
     rows = [
         (i, [float(x) for x in base + 1e-4 * rng.normal(size=dim)])
         for i in range(n)
     ]
+    far = -10.0 * base
+    rows += [
+        (n + j, [float(x) for x in far + 1e-4 * rng.normal(size=dim)])
+        for j in range(10)
+    ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    full = C.semantic_dedup_pairs(
-        df, k=1, threshold=0.99, dim=dim, max_cluster_rows=None
-    ).count()
-    assert full == n * (n - 1) // 2  # everything matches everything
+    full_pairs = C.semantic_dedup_pairs(
+        df, k=2, threshold=0.99, dim=dim, max_cluster_rows=None
+    )
+    full = full_pairs.count()
+    assert full == n * (n - 1) // 2 + 10 * 9 // 2  # within-group all-pairs
     m = 100
+    stats = {}
     capped_pairs = C.semantic_dedup_pairs(
-        df, k=1, threshold=0.99, dim=dim, max_cluster_rows=m
+        df, k=2, threshold=0.99, dim=dim, max_cluster_rows=m, stats=stats
     )
     capped = capped_pairs.count()
+    # no silent caps: exactly the hot cluster was split, its rows counted
+    assert stats["split_clusters"] == 1
+    assert stats["rows_in_split_clusters"] == n
     # bounded: at most ceil(n/m) blocks × C(block,2); blocks are hash-
     # balanced so no block exceeds ~2·m rows even adversarially here
     import math
 
     n_subs = math.ceil(n / m)
     assert 0 < capped < full
-    assert capped <= n_subs * (2 * m) * (2 * m - 1) // 2
+    assert capped <= n_subs * (2 * m) * (2 * m - 1) // 2 + 10 * 9 // 2
     # capped pairs are a SUBSET of the full pair set (guard only drops,
     # never invents)
     capped_set = {(r["id_a"], r["id_b"]) for r in capped_pairs.collect()}
+    full_set = {(r["id_a"], r["id_b"]) for r in full_pairs.collect()}
+    assert capped_set <= full_set
     assert all(a < b for a, b in capped_set)
+    # the cold cluster's pairs are untouched by the hot split
+    assert {(a, b) for a, b in full_set if a >= n} <= capped_set
+
+
+def test_semantic_dedup_k1_anchor_immune_to_row_cap(spark):
+    """The k=1 ≡ exact-all-pairs anchor must hold even when the corpus
+    exceeds max_cluster_rows: sub-block splitting is disabled at k==1
+    (round-5 ADVICE), so the default cap can never silently drop pairs
+    from the exactness gate config."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    dim = 8
+    base = rng.normal(size=dim)
+    rows = [
+        (i, [float(x) for x in base + 1e-4 * rng.normal(size=dim)])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    stats = {}
+    got = C.semantic_dedup_pairs(
+        df, k=1, threshold=0.99, dim=dim, max_cluster_rows=50, stats=stats
+    ).count()
+    assert got == 120 * 119 // 2
+    assert stats == {"split_clusters": 0, "rows_in_split_clusters": 0}
 
 
 def test_semantic_dedup_auto_k_scales_with_corpus(spark):

@@ -136,6 +136,13 @@ def test_write_jsonl_roundtrips_through_read_jsonl(spark, tmp_path):
 
     files = sorted(glob.glob(out + "/part-*.gz"))
     assert len(files) == 2
+    # null fields are emitted explicitly (ignoreNullFields=false) so
+    # external consumers see every declared key on every row
+    import gzip
+
+    lines = [ln for f in files for ln in gzip.open(f, "rt").read().splitlines()]
+    doc2 = next(ln for ln in lines if '"doc_id":2' in ln)
+    assert '"url":null' in doc2 and '"lang":null' in doc2
 
 
 def test_write_jsonl_rerun_is_byte_stable(spark, tmp_path):

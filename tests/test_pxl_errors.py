@@ -223,6 +223,16 @@ def test_display_non_dataframe(ctx):
         px.display(42)
 
 
+def test_debug_non_dataframe_does_not_pollute_results(ctx):
+    # round-5 ADVICE: debug() used to register the argument into
+    # results() BEFORE the type check (so an invalid object satisfied
+    # the 'No runnable code found' sink check) and misnamed itself
+    # 'display' in the error
+    with pytest.raises(PxTypeError, match="'debug' expects a DataFrame, got int 42"):
+        px.debug(42)
+    assert "_debug" not in px.results()
+
+
 def test_bad_duration_string_is_a_value_error(ctx):
     # time parse errors (compile-time fns): '-5q' is not a duration
     with pytest.raises(ValueError, match="bad duration '-5q'"):

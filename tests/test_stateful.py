@@ -316,9 +316,11 @@ def test_streaming_ingest_dedup_equals_full_rebuild(spark, tmp_path):
     finally:
         q.stop()
 
+    from pixie_spark.streaming.ingest import read_accumulated
+
     got = {
         frozenset((r["doc_a"], r["doc_b"])): round(r["est_jaccard"], 9)
-        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+        for r in read_accumulated(spark, str(tmp_path / "pairs")).collect()
     }
     full = {
         frozenset((r["doc_a"], r["doc_b"])): round(r["est_jaccard"], 9)
@@ -375,9 +377,11 @@ def test_streaming_line_dedup_equals_batch_operator(spark, tmp_path):
     finally:
         q.stop()
 
+    from pixie_spark.streaming.ingest import read_accumulated
+
     got = {
         r["doc_id"]: r.asDict()
-        for r in spark.read.parquet(str(tmp_path / "ld_out")).collect()
+        for r in read_accumulated(spark, str(tmp_path / "ld_out")).collect()
     }
     exp = {
         r["doc_id"]: r.asDict()
@@ -393,3 +397,100 @@ def test_streaming_line_dedup_equals_batch_operator(spark, tmp_path):
         l for _, t in rows for l in t.split("\n") if len(l) >= 1
     }
     assert lids.count() == len(distinct_lines)
+
+
+def test_ingest_dedup_retry_is_idempotent(spark, tmp_path):
+    """foreachBatch's retry contract: re-invoking a batch sink with the
+    SAME batch_id must leave pairs/index identical to a single run —
+    the batch_id-partitioned dynamic-overwrite writes replace the
+    batch's own partition instead of appending a duplicate copy
+    (round-5 review ask #1)."""
+    from pyspark.sql import types as T
+
+    from pixie_spark.streaming.ingest import ingest_dedup_batch, read_accumulated
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    b0 = spark.createDataFrame([(1, f"{base} one"), (2, f"{base} two")], schema)
+    b1 = spark.createDataFrame([(3, f"{base} one"), (4, f"{base} four")], schema)
+    idx, pairs = str(tmp_path / "index"), str(tmp_path / "pairs")
+    kw = dict(n=3, num_hashes=64, bands=64, threshold=0.5)
+
+    ingest_dedup_batch(b0, 0, idx, pairs, **kw)
+    ingest_dedup_batch(b1, 1, idx, pairs, **kw)
+    snap = lambda p: sorted(  # noqa: E731
+        map(str, read_accumulated(spark, p).collect())
+    )
+    one_run = {
+        p: snap(str(tmp_path / p))
+        for p in ["pairs", "index/entries", "index/signatures"]
+    }
+    assert any(
+        {r["doc_a"], r["doc_b"]} == {1, 3}
+        for r in read_accumulated(spark, pairs).collect()
+    )
+    # simulate the retry: batch 1 runs AGAIN with the same batch_id
+    ingest_dedup_batch(b1, 1, idx, pairs, **kw)
+    for p, want in one_run.items():
+        assert snap(str(tmp_path / p)) == want, p
+    # and a partial failed attempt of batch 2 must be invisible to the
+    # retry's index read (batch_id < current prunes it): run batch 2
+    # twice and the pair set still equals the clean accumulation
+    b2 = spark.createDataFrame([(5, f"{base} two")], schema)
+    ingest_dedup_batch(b2, 2, idx, pairs, **kw)
+    ingest_dedup_batch(b2, 2, idx, pairs, **kw)
+    got = {
+        frozenset((r["doc_a"], r["doc_b"]))
+        for r in read_accumulated(spark, pairs).collect()
+    }
+    assert frozenset((5, 2)) in got
+    assert all(len(k) == 2 for k in got)  # no self-pairs from replayed index
+
+
+def test_line_dedup_retry_is_idempotent_and_null_text(spark, tmp_path):
+    """(a) Re-running a line-dedup batch with the same batch_id leaves
+    out/index identical to a single run. (b) A null-text doc flows
+    through the streaming sink exactly as through the batch operator
+    (text='', n_lines=1) — the round-5 ADVICE coalesce fix."""
+    from pyspark.sql import types as T
+
+    from pixie_spark.operators.dedup import line_level_dedup
+    from pixie_spark.streaming.ingest import line_dedup_batch, read_accumulated
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    b0 = spark.createDataFrame(
+        [(1, "shared line\nbody one"), (2, None)], schema
+    )
+    b1 = spark.createDataFrame([(3, "shared line\nbody three")], schema)
+    idx, out = str(tmp_path / "ld_index"), str(tmp_path / "ld_out")
+
+    line_dedup_batch(b0, 0, idx, out)
+    line_dedup_batch(b1, 1, idx, out)
+    snap = lambda p: sorted(  # noqa: E731
+        map(str, read_accumulated(spark, p).collect())
+    )
+    one_run = {p: snap(str(tmp_path / p)) for p in ["ld_out", "ld_index/lids"]}
+    line_dedup_batch(b1, 1, idx, out)  # the retry
+    for p, want in one_run.items():
+        assert snap(str(tmp_path / p)) == want, p
+
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in read_accumulated(spark, out).collect()
+    }
+    exp = {
+        r["doc_id"]: r.asDict()
+        for r in line_level_dedup(
+            spark.createDataFrame(
+                [(1, "shared line\nbody one"), (2, None),
+                 (3, "shared line\nbody three")], schema
+            )
+        ).collect()
+    }
+    assert got == exp
+    assert got[2]["text"] == "" and got[2]["n_lines"] == 1  # null-text duality
+    assert got[3]["text"] == "body three"  # cross-batch drop survived the retry
