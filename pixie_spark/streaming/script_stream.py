@@ -88,13 +88,20 @@ class StreamingScriptRun:
         for name, df in stream_tables.items():
             src = os.path.join(work_dir, "src", name)
             # ordered chunks: range-partition on event time so files
-            # arrive roughly chronologically, like a live feed
-            (
-                df.repartitionByRange(chunks, time_col)
-                .sortWithinPartitions(time_col)
-                .write.mode("overwrite")
-                .parquet(src)
-            )
+            # arrive roughly chronologically, like a live feed. On a
+            # RESTART (same work_dir, checkpoint present) the existing
+            # files are reused — re-laying them would mint new file
+            # names the checkpointed file source treats as unseen,
+            # double-ingesting everything.
+            import glob as _glob
+
+            if not _glob.glob(os.path.join(src, "part-*")):
+                (
+                    df.repartitionByRange(chunks, time_col)
+                    .sortWithinPartitions(time_col)
+                    .write.mode("overwrite")
+                    .parquet(src)
+                )
             self._schemas[name] = df.schema
 
         for name in stream_tables:
@@ -116,10 +123,15 @@ class StreamingScriptRun:
     # -- ingestion + refresh --------------------------------------------------
 
     def _ingest_and_refresh(self, name: str, accum: str):
+        from pixie_spark.streaming.ingest import _write_batch
+
         def sink(batch_df: DataFrame, batch_id: int) -> None:
-            # distributed append of this micro-batch to the snapshot
+            # distributed idempotent append of this micro-batch to the
+            # snapshot: the batch owns its batch_id= partition, so a
+            # kill mid-batch followed by a checkpoint restart REPLACES
+            # the partial partition instead of duplicating rows
             # (parquet here; Delta on a production cluster)
-            batch_df.write.mode("append").parquet(accum)
+            _write_batch(batch_df, accum, batch_id)
             with self._lock:
                 try:
                     self._refresh()
@@ -129,8 +141,17 @@ class StreamingScriptRun:
         return sink
 
     def _snapshot(self, name: str) -> DataFrame:
+        from pixie_spark.streaming.ingest import BATCH_COL
+
         accum = os.path.join(self._work, "accum", name)
-        df = self._spark.read.schema(self._schemas[name]).parquet(accum)
+        # declared schema keeps exact table types (partition discovery
+        # alone would relax nullability); Spark appends the undeclared
+        # batch_id partition column after it — dropped here
+        df = (
+            self._spark.read.schema(self._schemas[name])
+            .parquet(accum)
+            .drop(BATCH_COL)
+        )
         if self._retention_ns is not None:
             # ring-buffer retention: scripts only ever see the window
             from pyspark.sql import functions as F
@@ -144,9 +165,11 @@ class StreamingScriptRun:
     def _refresh(self) -> None:
         import pixie_spark.api as px
 
+        from pixie_spark.streaming.ingest import _has_batches
+
         tables = dict(self._static)
         for name in self._schemas:
-            if os.path.isdir(os.path.join(self._work, "accum", name)):
+            if _has_batches(os.path.join(self._work, "accum", name)):
                 tables[name] = self._snapshot(name)
         for name, df in tables.items():
             px.register_table(name, df)

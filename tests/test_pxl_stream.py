@@ -777,3 +777,84 @@ def test_pods_overview_two_streams_equals_golden(spark, ctx, tmp_path):
         ("prod/frontend-0009", "prod/frontend", 1704031200000000000, "Running"),
     ]
     assert all(r["containers"] == 1 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# checkpoint-restart recovery: kill a run mid-stream, resume from the
+# checkpoint, final refresh must still equal the batch golden (the
+# reference's eow/eos contract survives agent restarts — exec_node.h:
+# 213-223). Exercises the batch_id-partitioned idempotent snapshot
+# ingestion: the killed run's in-flight micro-batch is REPLAYED by the
+# resumed run and must replace, not duplicate, its partition.
+# ---------------------------------------------------------------------------
+
+
+def _stream_run_kill_resume(spark, tables, script, streamed, work_dir,
+                            calls=None, chunks=6):
+    import time as _t
+
+    stream_tables = {n: tables[n] for n in streamed}
+    static_tables = {n: df for n, df in tables.items() if n not in streamed}
+    mk = lambda: StreamingScriptRun(  # noqa: E731
+        spark, script, stream_tables=stream_tables,
+        static_tables=static_tables, work_dir=work_dir,
+        calls=calls, chunks=chunks,
+    )
+    run1 = mk()
+    t0 = _t.time()
+    while run1.refresh_count < 1 and _t.time() - t0 < 120:
+        _t.sleep(0.05)
+    run1.stop()  # the kill
+    assert run1.refresh_count >= 1, "stream never produced a refresh"
+    killed_at = run1.refresh_count
+    run2 = mk()  # same work_dir: reuses sources, resumes from checkpoint
+    try:
+        run2.await_drained()
+    finally:
+        run2.stop()
+        for n, df in tables.items():
+            px.register_table(n, df)
+    assert killed_at < chunks, "kill landed after the stream already drained"
+    assert run2.refresh_count >= 1, "resumed run ingested nothing"
+    return run2
+
+
+def test_mysql_flow_graph_kill_resume_equals_golden(spark, ctx, tmp_path):
+    """Percentile-state recovery: the quantile sketches over mysql
+    latencies accrete across micro-batches; killing the run mid-stream
+    and resuming from the checkpoint must converge on the exact batch
+    golden (p50/p99 included), with the replayed batch replacing its
+    own snapshot partition."""
+    run = _stream_run_kill_resume(
+        spark, ctx, _read("mysql_flow_graph/mysql_flow_graph.pxl"),
+        streamed=["mysql_events"], work_dir=str(tmp_path / "myflow_kr"),
+        calls=[("mysql_flow_graph",
+                {"start_time": "-1h", "ns": "prod", "source_filter": "",
+                 "destination_filter": ""})],
+    )
+    rows = run.results["mysql_flow_graph"]
+    assert len(rows) == 128
+    assert sum(r["throughput_total"] for r in rows) == 213
+    assert max(r["latency_p99"] for r in rows) == approx(13848606.5, rel=1e-9)
+    first = _dicts(rows, "source", "destination")[0]
+    assert (first["source"], first["destination"]) == ("prod/api-0001", "203.0.113.121")
+    assert first["latency_p50"] == approx(661296.0, rel=1e-9)
+
+
+def test_inbound_conns_kill_resume_equals_golden(spark, ctx, tmp_path):
+    """Cumulative-counter recovery: conn_stats byte counters need both
+    the EARLIEST and LATEST sample of each connection (max-min delta);
+    a kill/resume cycle must not lose the pre-kill samples or double-
+    count the replayed micro-batch — either error shifts the exact
+    byte totals."""
+    run = _stream_run_kill_resume(
+        spark, ctx, _read("inbound_conns/data.pxl"),
+        streamed=["conn_stats"], work_dir=str(tmp_path / "inbound_kr"),
+        calls=[("inbound_conns", {"start_time": "-1h", "ip_filter": ""})],
+    )
+    rows = run.results["inbound_conns"]
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["pod"], r["remote_addr"]) == ("staging/db-0002", "203.0.113.77")
+    assert (r["conn_open"], r["bytes_sent"], r["bytes_recv"]) == (56, 298270, 657347)
+    assert r["last_activity_time"] == 1704067790000000000

@@ -2,6 +2,7 @@
 per-key state over a stream must equal the batch aggregate of the same
 data — state survives across micro-batches."""
 
+import os
 import time
 
 import pytest
@@ -494,3 +495,168 @@ def test_line_dedup_retry_is_idempotent_and_null_text(spark, tmp_path):
     assert got == exp
     assert got[2]["text"] == "" and got[2]["n_lines"] == 1  # null-text duality
     assert got[3]["text"] == "body three"  # cross-batch drop survived the retry
+
+
+def _kill_after_first_output(q, out_dir, timeout_s=90):
+    """Wait until the running query has committed at least one output
+    partition, then stop it — a mid-stream kill. Returns the number of
+    batch partitions committed before the kill."""
+    import glob
+    import time as _t
+
+    t0 = _t.time()
+    while _t.time() - t0 < timeout_s:
+        done = glob.glob(os.path.join(out_dir, "batch_id=*"))
+        if done:
+            q.stop()
+            # partitions may still land while stop() drains the trigger
+            return len(glob.glob(os.path.join(out_dir, "batch_id=*")))
+        _t.sleep(0.05)
+    q.stop()
+    raise AssertionError("no output before timeout")
+
+
+def test_stateful_checkpoint_restart_running_totals(spark, tmp_path):
+    """Kill an applyInPandasWithState query mid-stream and restart it
+    from the checkpoint: per-key state (cumulative counters) must
+    survive the restart, so the final per-key totals equal the batch
+    aggregate over ALL the data — not just the post-restart suffix.
+    (The reference's eow/eos contract survives agent restarts —
+    exec_node.h:213-223.)"""
+    from pyspark.sql import functions as F
+
+    from pixie_spark.streaming.ingest import _write_batch, read_accumulated
+    from pixie_spark.streaming.stateful import running_totals
+
+    df = spark.range(0, 600).select(
+        (F.col("id") % 7).alias("user_id"),
+        (F.col("id") * 1.5).alias("value"),
+        (F.col("id") * 1_000_000).alias("time_"),
+    )
+    src = str(tmp_path / "src")
+    df.repartitionByRange(6, "time_").sortWithinPartitions("time_").write.mode(
+        "overwrite"
+    ).parquet(src)
+    expected = {
+        r["user_id"]: (r["n_events"], r["total"], r["last_seen"])
+        for r in running_totals(
+            spark.read.schema(df.schema).parquet(src), "user_id", "value", "time_"
+        ).collect()
+    }
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return (
+            running_totals(stream, "user_id", "value", "time_")
+            .writeStream.foreachBatch(lambda b, bid: _write_batch(b, out, bid))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q1 = start()
+    n_before = _kill_after_first_output(q1, out)
+    assert n_before < 6, "kill landed after the stream already drained"
+
+    q2 = start()  # resume from the SAME checkpoint
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    import glob
+
+    assert len(glob.glob(os.path.join(out, "batch_id=*"))) == 6
+    # final state = the LAST update per key (n_events is monotone)
+    rows = read_accumulated(spark, out).collect()
+    last = {}
+    for r in rows:
+        cur = last.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            last[r["user_id"]] = (r["n_events"], r["total"], r["last_seen"])
+    assert last == expected
+
+
+def test_stateful_checkpoint_restart_anomalies(spark, tmp_path):
+    """Kill/resume for the percentile-style stateful twin: the
+    trailing-window anomaly state (per-entity baseline history) must
+    survive a checkpoint restart, so the accumulated append output over
+    both runs equals the batch computation — including a spike whose
+    baseline was built entirely BEFORE the kill."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from pixie_spark.streaming.ingest import _write_batch, read_accumulated
+    from pixie_spark.streaming.stateful import streaming_anomalies
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for e in ("svc-a", "svc-b"):
+        vs = list(rng.normal(loc=10, scale=1, size=120))
+        vs[100] = 40.0  # spike lands in the LAST micro-batch
+        rows += [(e, t, float(v)) for t, v in enumerate(vs)]
+    schema = T.StructType(
+        [
+            T.StructField("entity", T.StringType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "a_src")
+    for i, (lo, hi) in enumerate([(0, 30), (30, 60), (60, 90), (90, 120)]):
+        part = [r for r in rows if lo <= r[1] < hi]
+        spark.createDataFrame(part, schema).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+
+    expected = {
+        (r["entity"], r["ts"]): (
+            r["baseline_n"],
+            None if r["z"] is None else round(r["z"], 6),
+            r["is_anomaly"],
+        )
+        for r in streaming_anomalies(spark.createDataFrame(rows, schema)).collect()
+    }
+
+    out, ckpt = str(tmp_path / "a_out"), str(tmp_path / "a_ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return (
+            streaming_anomalies(stream)
+            .writeStream.foreachBatch(lambda b, bid: _write_batch(b, out, bid))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q1 = start()
+    n_before = _kill_after_first_output(q1, out)
+    assert n_before < 4, "kill landed after the stream already drained"
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = {
+        (r["entity"], r["ts"]): (
+            r["baseline_n"],
+            None if r["z"] is None else round(r["z"], 6),
+            r["is_anomaly"],
+        )
+        for r in read_accumulated(spark, out).collect()
+    }
+    assert got == expected
+    # the planted spike (state built pre-kill) still flagged post-resume
+    assert got[("svc-a", 100)][2] and got[("svc-b", 100)][2]
