@@ -61,6 +61,20 @@ def _diversity_production(spark, sf_dir):
     )
 
 
+def _rollup_production(spark, sf_dir):
+    # registered query runs the exact value-set parity mode for the
+    # local oracle; the bench times the production HLL-sketch cascade
+    from pixie_spark.operators.rollup import cascade_long, rollup_cascade
+
+    ev = load_table(spark, sf_dir, "events")
+    widths = [60 * 10**9, 600 * 10**9, 3600 * 10**9]
+    return cascade_long(
+        rollup_cascade(ev, "ts", "value", ["event_type"], widths,
+                       distinct_col="user_id"),
+        ["event_type"],
+    )
+
+
 BENCH_OVERRIDES = {
     # gate: bands=64/rows=1 (full recall ⇒ equals the exact oracle);
     # production: 16 bands × 4 rows tuned for t=0.5, far fewer candidates.
@@ -74,6 +88,7 @@ BENCH_OVERRIDES = {
         threshold=0.5,
     ),
     "corpus_diversity": _diversity_production,
+    "rollup_cascade": _rollup_production,
 }
 
 
@@ -105,6 +120,8 @@ EXTRA = [
     "dedup_lines_ccnet",
     "normalize_corpus",
     "leakage_safe_split",
+    # round-6 visibility additions
+    "rollup_cascade",
 ]
 
 

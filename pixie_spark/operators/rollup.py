@@ -57,6 +57,7 @@ def rollup_base(
     width_ns: int,
     distinct_col: str | None = None,
     quantiles: bool = False,
+    exact_distinct: bool = False,
 ) -> DataFrame:
     """Finest level: one scan of raw rows → per-(group, bucket) mergeable
     partials. Columns: group_cols + bucket_ts + (n, sum_v, min_v, max_v)
@@ -76,7 +77,16 @@ def rollup_base(
         F.max(value_col).alias("max_v"),
     ]
     if distinct_col is not None:
-        aggs.append(F.hll_sketch_agg(distinct_col).alias("hll_v"))
+        if exact_distinct:
+            # oracle-parity mode (the quantiles gate-row convention):
+            # the mergeable partial is the VALUE SET itself, so every
+            # cascaded level's distinct count is exact and SQL-checkable.
+            # Production keeps the HLL sketch (bounded state per group);
+            # this mode's state grows with true cardinality — fine for
+            # gates, wrong at 100 TB.
+            aggs.append(F.collect_set(distinct_col).alias("dset_v"))
+        else:
+            aggs.append(F.hll_sketch_agg(distinct_col).alias("hll_v"))
     if quantiles:
         aggs.append(
             F.kll_sketch_agg_double(F.col(value_col).cast("double")).alias("kll_v")
@@ -99,6 +109,11 @@ def rollup_merge(level: DataFrame, group_cols: list[str], width_ns: int) -> Data
     ]
     if "hll_v" in level.columns:
         aggs.append(F.hll_union_agg("hll_v").alias("hll_v"))
+    if "dset_v" in level.columns:
+        # exact-mode merge: set union of the finer level's value sets
+        aggs.append(
+            F.array_distinct(F.flatten(F.collect_list("dset_v"))).alias("dset_v")
+        )
     if "kll_v" in level.columns:
         aggs.append(F.kll_merge_agg_double("kll_v").alias("kll_v"))
     return level.groupBy(
@@ -115,6 +130,10 @@ def finalize(level: DataFrame) -> DataFrame:
         out = out.withColumn(
             "approx_distinct", F.hll_sketch_estimate("hll_v")
         ).drop("hll_v")
+    if "dset_v" in level.columns:
+        out = out.withColumn(
+            "approx_distinct", F.size("dset_v").cast("long")
+        ).drop("dset_v")
     if "kll_v" in level.columns:
         q = F.kll_sketch_get_quantile_double(
             "kll_v", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))
@@ -137,6 +156,7 @@ def rollup_cascade(
     checkpoint: bool = True,
     distinct_col: str | None = None,
     quantiles: bool = False,
+    exact_distinct: bool = False,
 ) -> dict[int, DataFrame]:
     """{width_ns: partial-state level} for an ascending width cascade.
 
@@ -162,6 +182,7 @@ def rollup_cascade(
         widths_ns[0],
         distinct_col=distinct_col,
         quantiles=quantiles,
+        exact_distinct=exact_distinct,
     )
     if checkpoint:
         # each level feeds BOTH its consumers and the next level; without

@@ -70,7 +70,10 @@ def temperature_weights(
     if not counts or target_total <= 0:
         return {d: 0.0 for d in counts}
     inv_t = 1.0 / temperature
-    free = dict(counts)  # domains not yet saturated at p=1
+    # sorted: every float fold below (z sums, budget subtraction) runs
+    # in domain order, so the probabilities are bit-identical across
+    # partitionings/collect orders — and SQL-replicable by an oracle
+    free = {d: counts[d] for d in sorted(counts, key=str)}
     probs = {d: 0.0 for d in counts}
     budget = float(target_total)
     # waterfilling converges in ≤ |domains| rounds: each round either
@@ -84,7 +87,7 @@ def temperature_weights(
             for d, c in free.items():
                 probs[d] = budget * (c**inv_t) / z / c
             break
-        for d in sat:
+        for d in sorted(sat, key=str):
             probs[d] = 1.0
             budget -= free.pop(d)
     return probs

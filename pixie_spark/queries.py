@@ -2402,11 +2402,62 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("score", dround("score", 6)).orderBy("query_id", "rank")
 
 
+
+def _waterfill_ctes(target: float, rounds: int = 6) -> str:
+    """DuckDB CTE chain replicating operators/sampling.temperature_weights
+    (T=2) over documents.lang: ``rounds`` unrolled saturation rounds
+    (each round saturates >=1 domain or reaches the fixed point, so
+    rounds >= |domains|+1 suffices); every CTE is MATERIALIZED because
+    inlining would re-expand the chain exponentially. Ends with CTE
+    ``p`` = (lang, keep probability)."""
+    out = [
+        "cnt AS MATERIALIZED (SELECT lang, CAST(count(*) AS DOUBLE) AS c "
+        "FROM documents GROUP BY lang)",
+        "r0 AS MATERIALIZED (SELECT lang, c, FALSE AS sat FROM cnt)",
+    ]
+    for k in range(rounds):
+        out.append(
+            f"s{k} AS MATERIALIZED (SELECT {target} - coalesce(sum(c) "
+            f"FILTER (WHERE sat), 0.0) AS b, coalesce(sum(pow(c, 0.5)) "
+            f"FILTER (WHERE NOT sat), 0.0) AS z FROM r{k})"
+        )
+        out.append(
+            f"r{k + 1} AS MATERIALIZED (SELECT lang, c, sat OR "
+            f"((SELECT b FROM s{k}) > 1e-12 AND (SELECT b FROM s{k}) "
+            f"* pow(c, 0.5) / (SELECT z FROM s{k}) >= c) AS sat FROM r{k})"
+        )
+    out.append(
+        f"s{rounds} AS MATERIALIZED (SELECT {target} - coalesce(sum(c) "
+        f"FILTER (WHERE sat), 0.0) AS b, coalesce(sum(pow(c, 0.5)) "
+        f"FILTER (WHERE NOT sat), 0.0) AS z FROM r{rounds})"
+    )
+    out.append(
+        f"p AS MATERIALIZED (SELECT lang, CASE WHEN sat THEN 1.0 "
+        f"WHEN (SELECT b FROM s{rounds}) <= 1e-12 THEN 0.0 "
+        f"ELSE (SELECT b FROM s{rounds}) * pow(c, 0.5) "
+        f"/ (SELECT z FROM s{rounds}) / c END AS p FROM r{rounds})"
+    )
+    return ",\n    ".join(out)
+
+
 @query(
     "temperature_mix",
-    # Rows-only (gate window full); the waterfilling math and the exact
-    # hash-threshold selection are pinned in tests/test_temperature_mix.py.
+    # Rows-only IN THE DRIVER GATE (window full); hash-checked locally
+    # via local_oracle below -- the waterfilling replicated by
+    # _waterfill_ctes and the row draw via the spark_xxhash64_chain
+    # replica of xxhash64(struct(doc_id, lang), 42) -- plus the math
+    # pinned in tests/test_temperature_mix.py.
     None,
+    local_oracle=f"""
+    WITH {_waterfill_ctes(200.0)}
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN p USING (lang)
+    WHERE ((spark_xxhash64_chain([
+                'l:' || CAST(d.doc_id AS VARCHAR), 's:' || d.lang, 'i:42'
+            ]) % 4294967296) + 4294967296) % 4294967296
+          / 4294967296.0 < p.p
+    ORDER BY d.doc_id
+    """,
     doc="Temperature-sampled domain mixture (T5 §3.4.3 / XLM-R): keep "
     "domain d with p ∝ count_d^(1/T) waterfilled to a target total, "
     "decided by a seeded row hash — deterministic, zero-shuffle "
@@ -2603,10 +2654,38 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rollup_cascade",
-    # Rows-only in the driver gate (window full); every cascaded level is
-    # exact-matched against a direct-from-raw DuckDB oracle per
-    # resolution in tests/test_rollup.py.
+    # Rows-only IN THE DRIVER GATE (window full); hash-checked locally
+    # via local_oracle below — each cascaded level against direct
+    # aggregation from raw in DuckDB. The registered query runs the
+    # exact_distinct parity mode (mergeable value-set partials, the
+    # quantiles gate-row convention); production keeps the HLL sketch
+    # path, which the bench times via BENCH_OVERRIDES.
     None,
+    local_oracle="""
+    WITH ev AS (
+        SELECT epoch_us(ts) * 1000 AS t, event_type, value, user_id FROM events
+    ),
+    lv AS (SELECT l FROM (VALUES (60), (600), (3600)) AS levels(l)),
+    agg AS (
+        SELECT l AS level_width_s, event_type,
+               (t // (CAST(l AS BIGINT) * 1000000000))
+                   * (CAST(l AS BIGINT) * 1000000000) AS bucket_ts,
+               count(value) AS n,
+               sum(value) AS sum_raw,
+               min(value) AS min_v,
+               max(value) AS max_v,
+               count(DISTINCT user_id) AS approx_distinct
+        FROM ev CROSS JOIN lv
+        GROUP BY 1, 2, 3
+    )
+    SELECT level_width_s, event_type, bucket_ts, n,
+           floor(sum_raw * 1e4 + 0.5) / 1e4 AS sum_v,
+           min_v, max_v,
+           floor((sum_raw / n) * 1e6 + 0.5) / 1e6 AS avg_v,
+           approx_distinct
+    FROM agg
+    ORDER BY level_width_s, event_type, bucket_ts
+    """,
     doc="Multi-resolution rollup cascade (TimescaleDB continuous "
     "aggregates / Druid rollup): raw events are scanned ONCE into 1m "
     "(count,sum,min,max) partials, then 10m and 1h levels merge the "
@@ -2621,7 +2700,8 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     widths = [60 * 10**9, 600 * 10**9, 3600 * 10**9]
     levels = rollup_cascade(
-        ev, "ts", "value", ["event_type"], widths, distinct_col="user_id"
+        ev, "ts", "value", ["event_type"], widths,
+        distinct_col="user_id", exact_distinct=True,
     )
     return (
         cascade_long(levels, ["event_type"])
@@ -2745,9 +2825,82 @@ def q_warc_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_incremental",
-    # Rows-only (window full); exact slice-equality vs a full rebuild is
-    # pinned in tests/test_incremental.py.
+    # Rows-only IN THE DRIVER GATE (window full); hash-checked locally
+    # via local_oracle below — the ENTIRE MinHash-LSH pipeline replayed
+    # independently in DuckDB (shingle sids via spark_xxhash64_words,
+    # the 64 minwise mixes via the spark_minhash_mix64 replica of
+    # _minhash_mix's XOR-rotate double hashing, band buckets via
+    # spark_xxhash64_longs over signature slices, then the new-vs-old /
+    # new-vs-new candidate joins and the agreement-fraction verify).
+    # Exact slice-equality vs a full rebuild additionally pinned in
+    # tests/test_incremental.py. The MAX_POSTING_LIST cap is not
+    # replicated: no fixture posting list approaches 2500 docs, and a
+    # triggered cap would surface here as a mismatch, not hide.
     None,
+    local_oracle="""
+WITH oldd AS MATERIALIZED (
+    SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+),
+newd AS MATERIALIZED (
+    SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text || ' tail' AS text
+    FROM documents WHERE doc_id % 5 <> 0 AND doc_id < 20
+),
+alldocs AS MATERIALIZED (
+    SELECT 'o' AS side, doc_id, text FROM oldd
+    UNION ALL
+    SELECT 'n' AS side, doc_id, text FROM newd
+),
+ws AS MATERIALIZED (
+    SELECT side, doc_id,
+           list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+    FROM alldocs
+),
+sh AS MATERIALIZED (
+    SELECT side, doc_id,
+           unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                                 i -> spark_xxhash64_words([ws[i], ws[i+1], ws[i+2]]))) AS sid
+    FROM ws
+),
+mixed AS MATERIALIZED (
+    SELECT side, doc_id, spark_minhash_mix64(sid, spark_xxhash64(sid)) AS m FROM sh
+),
+mrows AS MATERIALIZED (
+    SELECT side, doc_id, unnest(m) AS v, generate_subscripts(m, 1) AS i FROM mixed
+),
+sigs AS MATERIALIZED (
+    SELECT side, doc_id, list(v ORDER BY i) AS s
+    FROM (SELECT side, doc_id, i, min(v) AS v FROM mrows GROUP BY 1, 2, 3)
+    GROUP BY 1, 2
+),
+entries AS MATERIALIZED (
+    SELECT side, doc_id, b,
+           spark_xxhash64_longs(s[CAST(b*4+1 AS INT):CAST(b*4+4 AS INT)]) AS bucket
+    FROM sigs CROSS JOIN (SELECT unnest(range(16)) AS b) bands
+),
+cand AS MATERIALIZED (
+    SELECT DISTINCT n.doc_id AS doc_a, o.doc_id AS doc_b
+    FROM entries n JOIN entries o ON n.b = o.b AND n.bucket = o.bucket
+    WHERE n.side = 'n' AND o.side = 'o'
+    UNION
+    SELECT DISTINCT n1.doc_id AS doc_a, n2.doc_id AS doc_b
+    FROM entries n1 JOIN entries n2 ON n1.b = n2.b AND n1.bucket = n2.bucket
+    WHERE n1.side = 'n' AND n2.side = 'n' AND n1.doc_id < n2.doc_id
+),
+est AS (
+    SELECT c.doc_a, c.doc_b,
+           len(list_filter(range(1, 65),
+                           i -> sa.s[CAST(i AS INT)] = sb.s[CAST(i AS INT)]))
+               / 64.0 AS ej
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.doc_a AND sa.side = 'n'
+    JOIN sigs sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, floor(ej * 1e6 + 0.5) / 1e6 AS est_jaccard
+FROM est WHERE ej >= 0.5
+ORDER BY doc_a, doc_b
+    """,
     doc="Incremental near-dup against a persisted MinHash-LSH index — "
     "the ingestion-loop shape at 100 TB: the new batch's band entries "
     "BROADCAST against the stored corpus index (corpus never shuffles), "
@@ -3115,8 +3268,40 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mixture_shards",
-    None,  # rows-only (window full); unbiasedness, replay identity, and
-    # id re-keying are value-checked in tests/test_shards.py.
+    # Rows-only IN THE DRIVER GATE (window full); hash-checked locally
+    # via local_oracle below — waterfilling via _waterfill_ctes, the
+    # row draw via spark_xxhash64_chain over struct(doc_id, text, lang),
+    # and the global shard permutation as row_number over the
+    # spark_xxhash64_int(doc_id, 42) order (collision-free at fixture
+    # size, so the rank is total). Unbiasedness, replay identity, and
+    # id re-keying are additionally value-checked in tests/test_shards.py.
+    None,
+    local_oracle=f"""
+    WITH {_waterfill_ctes(300.0)},
+    sel AS MATERIALIZED (
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN p USING (lang)
+        WHERE ((spark_xxhash64_chain([
+                    'l:' || CAST(d.doc_id AS VARCHAR),
+                    's:' || d.text, 's:' || d.lang, 'i:42'
+                ]) % 4294967296) + 4294967296) % 4294967296
+              / 4294967296.0 < p.p
+    ),
+    top AS (
+        SELECT lang FROM documents GROUP BY lang ORDER BY count(*) DESC LIMIT 1
+    ),
+    ranked AS (
+        SELECT lang,
+               row_number() OVER (ORDER BY spark_xxhash64_int(doc_id, 42)) - 1
+                   AS rnk
+        FROM sel
+    )
+    SELECT rnk // 64 AS shard, count(*) AS n_rows,
+           floor(avg(CASE WHEN lang = (SELECT lang FROM top)
+                          THEN 1.0 ELSE 0.0 END) * 1e4 + 0.5) / 1e4
+               AS head_lang_frac
+    FROM ranked GROUP BY 1 ORDER BY shard
+    """,
     doc="Mixture materialization (sources/shards.materialize_mixture): "
     "temperature-sampled multi-source selection → deterministic global "
     "permutation → fixed-size shards; per-shard source composition "

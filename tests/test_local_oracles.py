@@ -75,9 +75,17 @@ def test_expected_local_oracle_coverage():
         "corpus_diversity",
         "corpus_overlap_sketch",
         "empty_source",
+        # round-6 additions: the deterministic rows-only tail the r5
+        # review named — exact-distinct rollup cascade, waterfilled
+        # temperature mixes (struct-hash chain replica), and the full
+        # MinHash-LSH incremental pipeline replayed in DuckDB
+        "rollup_cascade",
+        "temperature_mix",
+        "mixture_shards",
+        "dedup_incremental",
     }
     assert expected.issubset(set(LOCAL_ORACLE_NAMES))
-    assert len(LOCAL_ORACLE_NAMES) >= 31
+    assert len(LOCAL_ORACLE_NAMES) >= 35
 
 
 def test_local_oracles_never_reach_the_driver():
@@ -154,3 +162,99 @@ def test_local_oracle_matches(spark, oracle_con, name):
     odf = oracle_con.execute(spec.local_oracle).fetchdf()
     problems = compare_frames(sdf, odf)
     assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_spark_hash_chain_replicas_pinned_against_jvm(spark):
+    """Round-6 replicas: the typed argument chain (struct children of
+    mixed types — temperature_mix's row draw), the longs fold
+    (_band_entries' bucket), and the XOR-rotate minhash mix — each
+    pinned against the JVM over a seeded sweep."""
+    import random
+
+    from tools.spark_hash import minhash_mix64, xxhash64_chain, xxhash64_longs
+
+    rng = random.Random(99)
+    rows = [
+        (rng.randint(-(2**63), 2**63 - 1), f"lang-{i % 7}", rng.randint(-1000, 1000))
+        for i in range(200)
+    ] + [(0, "", 0), (2**63 - 1, "unicode ✓ 中文", -1)]
+    df = spark.createDataFrame(rows, "a long, s string, i int")
+    got = df.select(
+        "a", "s", "i",
+        F.xxhash64(F.struct("a", "s"), F.lit(42)).alias("h_struct"),
+        F.xxhash64("a", "s", "i").alias("h_mixed"),
+    ).collect()
+    for r in got:
+        chain = [f"l:{r['a']}", f"s:{r['s']}", "i:42"]
+        assert r["h_struct"] == xxhash64_chain(chain), r
+        assert r["h_mixed"] == xxhash64_chain(
+            [f"l:{r['a']}", f"s:{r['s']}", f"i:{r['i']}"]
+        ), r
+    # null children are skipped, not hashed
+    (nrow,) = (
+        spark.createDataFrame([(5, None)], "a long, s string")
+        .select(F.xxhash64(F.struct("a", "s"), F.lit(42)).alias("h"))
+        .collect()
+    )
+    assert nrow["h"] == xxhash64_chain([f"l:{5}", None, "i:42"])
+
+    # longs fold = the band-bucket hash
+    longs = [rng.randint(-(2**63), 2**63 - 1) for _ in range(4)]
+    (lrow,) = (
+        spark.createDataFrame([tuple(longs)], "a long, b long, c long, d long")
+        .select(F.xxhash64("a", "b", "c", "d").alias("h"))
+        .collect()
+    )
+    assert lrow["h"] == xxhash64_longs(longs)
+
+    # minhash mix: h1 ^ rotl(h2, i) for all 64 positions
+    from pixie_spark.operators.dedup import _minhash_mix
+
+    pairs = [
+        (rng.randint(-(2**63), 2**63 - 1), rng.randint(-(2**63), 2**63 - 1))
+        for _ in range(20)
+    ] + [(0, 0), (-1, -1), (2**63 - 1, -(2**63))]
+    mdf = spark.createDataFrame(pairs, "h1 long, h2 long")
+    mrows = mdf.select(
+        "h1", "h2", F.array(*[_minhash_mix(i) for i in range(64)]).alias("m")
+    ).collect()
+    for r in mrows:
+        assert list(r["m"]) == minhash_mix64(r["h1"], r["h2"]), (r["h1"], r["h2"])
+
+
+def test_rows_only_tail_is_documented_irreducible():
+    """Every registry query is value-verified by the driver gate, a
+    local DuckDB oracle, or is on THIS list — the documented tail whose
+    semantics SQL cannot replay, each with its pytest value anchor. A
+    new rows-only query must either grow a local_oracle or be added
+    here with a reason."""
+    rows_only = {
+        n for n, s in QUERIES.items()
+        if s.oracle is None and s.local_oracle is None
+    }
+    irreducible = {
+        # kmeans-seeded / iterative-numeric: centroid trajectories are
+        # float-order dependent inside numpy BLAS — anchored by planted-
+        # structure and k=1-equivalence tests instead
+        "kmeans_clusters",      # tests/test_clustering.py
+        "kmeans_coreset",       # tests/test_coreset.py (bound + q-math)
+        "semantic_dedup",       # tests/test_clustering.py (k=1 ≡ exact)
+        "ann_ivf_persisted",    # tests/test_ivf_index.py (≡ live IVF,
+                                # full-probe ≡ brute force)
+        "ann_ivfpq_topk",       # tests/test_pq.py (lossless-config ≡ exact)
+        "ann_lsh_topk",         # tests/test_operators.py (recall floor +
+                                # bucket-containment invariants)
+        # pipeline-/IO-shaped: read external files (WARC/JSONL archives,
+        # synthetic media) that the oracle connection's fixed table
+        # views cannot see
+        "warc_ingest_pipeline",   # tests/test_full_pipeline.py (byte-pinned)
+        "jsonl_ingest_pipeline",  # tests/test_jsonl.py (round-trip + nulls)
+        "embedding_pipeline_e2e", # tests/test_real_inference.py (encoder
+                                  # batch path) + per-stage operator tests
+        "multimodal_features",    # tests/test_multimodal.py (golden decode)
+        "image_phash_dedup",      # tests/test_phash.py (planted near-dups)
+    }
+    assert rows_only == irreducible, (
+        f"undocumented rows-only queries: {sorted(rows_only - irreducible)}; "
+        f"stale entries: {sorted(irreducible - rows_only)}"
+    )

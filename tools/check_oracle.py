@@ -118,8 +118,11 @@ def oracle_connection(sf_dir: str):
     """DuckDB connection with the testdata views and the spark-hash UDF
     replicas registered — everything a local_oracle may reference."""
     from tools.spark_hash import (
+        minhash_mix64,
+        xxhash64_chain,
         xxhash64_long,
         xxhash64_long_int,
+        xxhash64_longs,
         xxhash64_str,
         xxhash64_str_int,
         xxhash64_words,
@@ -153,6 +156,24 @@ def oracle_connection(sf_dir: str):
         lambda ws: xxhash64_words(ws),
         ["VARCHAR[]"],
         "BIGINT",
+    )
+    con.create_function(
+        "spark_xxhash64_chain",
+        lambda ps: xxhash64_chain(ps),
+        ["VARCHAR[]"],
+        "BIGINT",
+    )
+    con.create_function(
+        "spark_xxhash64_longs",
+        lambda vs: xxhash64_longs(vs),
+        ["BIGINT[]"],
+        "BIGINT",
+    )
+    con.create_function(
+        "spark_minhash_mix64",
+        lambda h1, h2: minhash_mix64(h1, h2),
+        ["BIGINT", "BIGINT"],
+        "BIGINT[]",
     )
     return con
 

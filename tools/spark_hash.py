@@ -136,3 +136,50 @@ def xxhash64_words(words: list[str], seed: int = 42) -> int:
     for w in words:
         h = hash_bytes(w.encode("utf-8"), h)
     return _to_signed(h)
+
+
+def xxhash64_chain(parts: list[str | None], seed: int = 42) -> int:
+    """Signed-int64 replica of ``F.xxhash64(...)`` over a TYPED argument
+    chain — the general form covering struct children of mixed types
+    (Spark folds a struct field-by-field into the running hash, each
+    field with its own width specialization). Each element is
+    ``"<t>:<value>"`` with ``t`` ∈ {``l`` long (8-byte), ``i`` int
+    (4-byte), ``s`` string (utf-8 bytes)}; a NULL element is skipped,
+    matching Spark's null-child behavior (hash unchanged)."""
+    h = seed & _M
+    for p in parts:
+        if p is None:
+            continue
+        t, v = p[0], p[2:]
+        if t == "l":
+            h = hash_long(int(v), h)
+        elif t == "i":
+            h = hash_int(int(v), h)
+        elif t == "s":
+            h = hash_bytes(v.encode("utf-8"), h)
+        else:
+            raise ValueError(f"unknown chain part type {t!r}")
+    return _to_signed(h)
+
+
+def xxhash64_longs(values: list[int], seed: int = 42) -> int:
+    """Signed-int64 replica of ``F.xxhash64(l0, l1, ..., ln)`` over n
+    LONG columns — the LSH band-bucket computation (_band_entries hashes
+    each band's signature slice)."""
+    h = seed & _M
+    for v in values:
+        h = hash_long(v, h)
+    return _to_signed(h)
+
+
+def minhash_mix64(h1: int, h2: int, num_hashes: int = 64) -> list[int]:
+    """Replica of operators/dedup._minhash_mix for i in 0..num_hashes-1:
+    mix_i = h1 XOR rotl64(h2, i) (Kirsch-Mitzenmacher double hashing,
+    XOR-rotate form). Returns the full signature-candidate vector for
+    one shingle row; min over shingles per position = the signature."""
+    h1u, h2u = h1 & _M, h2 & _M
+    out = [_to_signed(h1u ^ h2u)]
+    for i in range(1, num_hashes):
+        rot = ((h2u << i) | (h2u >> (64 - i))) & _M
+        out.append(_to_signed(h1u ^ rot))
+    return out
