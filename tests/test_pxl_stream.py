@@ -858,3 +858,239 @@ def test_inbound_conns_kill_resume_equals_golden(spark, ctx, tmp_path):
     assert (r["pod"], r["remote_addr"]) == ("staging/db-0002", "203.0.113.77")
     assert (r["conn_open"], r["bytes_sent"], r["bytes_recv"]) == (56, 298270, 657347)
     assert r["last_activity_time"] == 1704067790000000000
+
+
+# ---------------------------------------------------------------------------
+# round-6 promotions: protocol flow graphs, multi-source dashboards
+# (including a THREE-source-stream script), and remaining LET scripts
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "rel,fn,table,count,tp_sum,sample_edges",
+    [
+        ("cql_flow_graph/cql_flow_graph.pxl", "cql_flow_graph", "cql_events",
+         130, 208,
+         [("prod/api-0001", "prod/frontend-0006", 3),
+          ("staging/db-0008", "prod/frontend-0003", 5)]),
+        ("pgsql_flow_graph/pgsql_flow_graph.pxl", "pgsql_flow_graph",
+         "pgsql_events", 122, 210,
+         [("prod/frontend-0000", "prod/api-0004", 6),
+          ("staging/db-0005", "prod/frontend-0000", 6)]),
+        ("redis_flow_graph/redis_flow_graph.pxl", "redis_flow_graph",
+         "redis_events", 123, 212,
+         [("prod/frontend-0000", "prod/frontend-0003", 6),
+          ("staging/db-0002", "prod/frontend-0006", 6)]),
+    ],
+)
+def test_protocol_flow_graph_streamed_equals_golden(
+    spark, ctx, tmp_path, rel, fn, table, count, tp_sum, sample_edges
+):
+    """CQL/PgSQL/Redis flow graphs over their streamed protocol feeds:
+    exact edge counts, total request mass, and the spot-pinned pod→pod
+    edges from the batch goldens."""
+    run = _stream_run(
+        spark, ctx, _read(rel), streamed=[table],
+        work_dir=str(tmp_path / fn),
+        calls=[(fn, {"start_time": "-1h", "ns": "prod", "source_filter": "",
+                     "destination_filter": ""})],
+    )
+    assert run.refresh_count >= 3
+    rows = run.results[fn]
+    assert len(rows) == count
+    assert sum(r["throughput_total"] for r in rows) == tp_sum
+    pod_edges = {
+        (r["source"], r["destination"]): r["throughput_total"]
+        for r in rows if r["is_dest_pod_type"]
+    }
+    for src, dst, tp in sample_edges:
+        assert pod_edges[(src, dst)] == tp
+
+
+def test_services_streamed_equals_golden(spark, ctx, tmp_path):
+    """services.pxl over TWO simultaneous source streams (http_events +
+    process_stats): the namespace service inventory with exact pod
+    counts."""
+    run = _stream_run(
+        spark, ctx, _read("services/services.pxl"),
+        streamed=["http_events", "process_stats"],
+        work_dir=str(tmp_path / "services"),
+        calls=[("services", {"start_time": "-1h", "namespace": "prod"})],
+    )
+    assert run.refresh_count >= 3
+    rows = _dicts(run.results["services"], "service")
+    assert [(r["service"], r["pod_count"]) for r in rows] == [
+        ("prod/api", 3), ("prod/frontend", 4),
+    ]
+
+
+def test_namespaces_streamed_equals_golden(spark, ctx, tmp_path):
+    """namespaces.pxl (pxviews.pod_resource_stats) over streamed
+    process_stats: exact pod/service counts per namespace."""
+    run = _stream_run(
+        spark, ctx, _read("namespaces/namespaces.pxl"),
+        streamed=["process_stats"], work_dir=str(tmp_path / "nss"),
+        calls=[("namespaces_for_cluster", {"start_time": "-1h"})],
+    )
+    assert run.refresh_count >= 3
+    rows = _dicts(run.results["namespaces_for_cluster"], "namespace")
+    assert [(r["namespace"], r["pod_count"], r["service_count"]) for r in rows] == [
+        ("prod", 7, 2), ("staging", 3, 1),
+    ]
+
+
+def test_cluster_streamed_three_source_streams(spark, ctx, tmp_path):
+    """cluster.pxl — the widest dashboard in the corpus — over THREE
+    simultaneous source streams (process_stats + http_events +
+    conn_stats, via five pxviews): the namespace rollup must converge
+    on the batch golden's exact double-precision resource sums."""
+    run = _stream_run(
+        spark, ctx, _read("cluster/cluster.pxl"),
+        streamed=["process_stats", "http_events", "conn_stats"],
+        work_dir=str(tmp_path / "cluster"),
+        calls=[("namespaces_for_cluster", {"start_time": "-1h"})],
+    )
+    assert run.refresh_count >= 3
+    rows = _dicts(run.results["namespaces_for_cluster"], "namespace")
+    assert [(r["namespace"], r["pod_count"], r["service_count"]) for r in rows] == [
+        ("prod", 7, 2), ("staging", 3, 1),
+    ]
+    assert rows[0]["vsize"] == approx(8301158604.874999, rel=1e-9)
+    assert rows[0]["rss"] == approx(2076907517.4249997, rel=1e-9)
+    assert rows[1]["vsize"] == approx(3647204347.4750004, rel=1e-9)
+    assert rows[1]["rss"] == approx(882857475.7, rel=1e-9)
+
+
+def test_sql_query_streamed_two_protocol_streams(spark, ctx, tmp_path):
+    """normed_sql_query.pxl over BOTH sql protocol feeds streamed at
+    once (mysql_events + pgsql_events): the single-query drilldown's
+    exact row count and p50 latency mass."""
+    run = _stream_run(
+        spark, ctx, _read("sql_query/normed_sql_query.pxl"),
+        streamed=["mysql_events", "pgsql_events"],
+        work_dir=str(tmp_path / "sqlq"),
+        calls=[("pod_sql_let",
+                {"start_time": "-1h", "pod": "prod/",
+                 "normed_query": "SELECT COUNT(*) FROM lineitem"})],
+    )
+    assert run.refresh_count >= 3
+    rows = run.results["pod_sql_let"]
+    assert len(rows) == 76
+    assert {r["normed_query"] for r in rows} == {"SELECT COUNT(*) FROM lineitem"}
+    assert sum(r["latency_p50"] for r in rows) == approx(78841470, rel=1e-9)
+
+
+def test_service_stats_streamed_equals_golden(spark, ctx, tmp_path):
+    """service_stats.pxl (LET + two histograms) over streamed
+    http_events: exact window count, error mass, and both histogram
+    breakdowns."""
+    sargs = {"start_time": "-1h", "svc": "prod/frontend"}
+    run = _stream_run(
+        spark, ctx, _read("service_stats/service_stats.pxl"),
+        streamed=["http_events"], work_dir=str(tmp_path / "svcstats"),
+        calls=[("svc_let", sargs), ("http_code_histogram", sargs),
+               ("latency_histogram", sargs)],
+    )
+    assert run.refresh_count >= 3
+    let = run.results["svc_let"]
+    assert len(let) == 278
+    assert {r["k8s"] for r in let} == {"prod/frontend"}
+    assert sum(r["error_rate"] for r in let) == approx(4.5e-09, rel=1e-6)
+    codes = sorted((r[0], r[1]) for r in run.results["http_code_histogram"])
+    assert codes == [(200, 583), (204, 112), (400, 17), (404, 17), (500, 11)]
+    lats = sorted((r[0], r[1]) for r in run.results["latency_histogram"])
+    assert lats == [(0, 737), (50000000, 2), (200000000, 1)]
+
+
+def test_pod_edge_stats_streamed_equals_golden(spark, ctx, tmp_path):
+    """pod_edge_stats.pxl over streamed http_events: exact edge-window
+    aggregates including the p99 peak and the first window's row."""
+    run = _stream_run(
+        spark, ctx, _read("pod_edge_stats/pod_edge_stats.pxl"),
+        streamed=["http_events"], work_dir=str(tmp_path / "podedge"),
+        calls=[("pod_edge_let",
+                {"start_time": "-1h", "requesting_pod": "prod/frontend-0000",
+                 "responding_pod": "prod/api-0001"})],
+    )
+    assert run.refresh_count >= 3
+    rows = _dicts(run.results["pod_edge_let"], "timestamp")
+    assert len(rows) == 19
+    assert sum(r["throughput_total"] for r in rows) == 20
+    assert sum(r["bytes_recv"] for r in rows) == 37049
+    assert sum(r["bytes_sent"] for r in rows) == 643984
+    assert max(r["latency_p99"] for r in rows) == 24733519
+    assert sum(r["error_rate_per_window"] for r in rows) == approx(3.0, rel=1e-9)
+    first = rows[0]
+    assert first["timestamp"] == 1704067300000000000
+    assert first["latency_p50"] == 156753
+    assert (first["bytes_recv"], first["bytes_sent"]) == (2718, 10958)
+
+
+def test_jvm_data_streamed_equals_golden(spark, ctx, tmp_path):
+    """jvm_data over streamed jvm_stats under a NON-DEFAULT now (the
+    '-1m' window sits mid-fixture): exact row count and one pinned
+    pid's heap row."""
+    px.set_now(BASE_NS + 200 * 1_000_000_000)
+    try:
+        run = _stream_run(
+            spark, ctx, _read("jvm_data/stats.pxl"),
+            streamed=["jvm_stats"], work_dir=str(tmp_path / "jvmdata"),
+        )
+    finally:
+        px.set_now(BASE_NS + HOUR_NS)
+    assert run.refresh_count >= 3
+    rows = run.results["output"]
+    assert len(rows) == 160
+    (r,) = [
+        r for r in rows
+        if r["time_"] == 1704067340000000000 and r["pid"] == 1000
+    ]
+    assert r["used_heap_size"] == 223346688
+    assert r["total_heap_size"] == 290455552
+    assert r["max_heap_size"] == 536870912
+    assert r["cmdline"] == "/bin/server --port=8080"
+
+
+def test_redis_data_streamed_head_contract(spark, ctx, tmp_path):
+    """redis_data (num_head=100 of 212 events): head() without an order
+    is layout-dependent, so the stream snapshot necessarily picks a
+    different subset than the batch golden — the stable contract holds:
+    exactly num_head rows, inside the window, commands from the fixture
+    command set."""
+    run = _stream_run(
+        spark, ctx, _read("redis_data/redis_data.pxl"),
+        streamed=["redis_events"], work_dir=str(tmp_path / "redisdata"),
+        calls=[("redis_data", {"start_time": "-1h", "source_filter": "",
+                               "destination_filter": "", "num_head": 100})],
+    )
+    assert run.refresh_count >= 3
+    rows = run.results["redis_data"]
+    assert len(rows) == 100
+    lo = 1704067200000000000
+    hi = lo + 3600 * 1_000_000_000
+    assert all(lo <= r["time_"] <= hi for r in rows)
+    assert {r["req_cmd"] for r in rows} <= {"EXPIRE", "GET", "HGET", "INCR", "SET"}
+
+
+def test_nodes_streamed_equals_golden(spark, ctx, tmp_path):
+    """nodes.pxl over TWO streamed stats feeds (network_stats +
+    process_stats): exact node inventory and per-node pod placement."""
+    run = _stream_run(
+        spark, ctx, _read("nodes/nodes.pxl"),
+        streamed=["network_stats", "process_stats"],
+        work_dir=str(tmp_path / "nodes"),
+        calls=[("nodes", {"start_time": "-1h"}),
+               ("pods_by_node", {"start_time": "-1h"})],
+    )
+    assert run.refresh_count >= 3
+    assert [r["node"] for r in _dicts(run.results["nodes"], "node")] == [
+        "node-1", "node-2", "node-3",
+    ]
+    rows = _dicts(run.results["pods_by_node"], "node", "pod")
+    assert [(r["node"], r["pod"], r["pod_status"]) for r in rows[:4]] == [
+        ("node-1", "prod/frontend-0000", "Pending"),
+        ("node-1", "prod/frontend-0003", "Running"),
+        ("node-1", "prod/frontend-0006", "Running"),
+        ("node-1", "prod/frontend-0009", "Running"),
+    ]
+    assert len(rows) == 10

@@ -1,0 +1,85 @@
+"""Generate the synthetic sf1 bench tier: a ~10× copy of sf0.1 ON DISK.
+
+The round-5 review's last unmeasured claim in the 100 TB story was
+disk-resident scale behavior — SCALE.md's 10× tables were built from
+in-memory unions. This materializes the same recipe as parquet so
+bench.py can run the full headline/extras suite against it:
+
+- FACT tables (lineitem, orders, events, documents, embeddings) are
+  duplicated 10× with primary keys shifted by copy·OFFSET; foreign keys
+  into dimensions stay unchanged so every join still resolves, and
+  l_orderkey/o_orderkey shift together so the order↔lineitem join keeps
+  its fan-out. Text/embedding payloads are NOT mutated — each document
+  gains 9 exact twins (shifted ids), the adversarially dup-heavy corpus
+  SCALE.md's dedup measurements use: true-pair count grows ~45× while a
+  sub-linear dedup plan's wall should grow far less than that.
+- DIMENSIONS (region, nation, customer, supplier, part) copy through
+  1×, as at a real 100 TB deployment (facts grow, dims don't).
+- Time columns are untouched: every query's fixture-epoch window simply
+  sees 10× the rows, which is the scan-scaling being measured.
+
+Usage:  python tools/make_sf1.py [out_dir]      (default .benchdata/sf1)
+Then:   SPARK_GRAFT_SF_DIR=.benchdata/sf1 python bench.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pixie_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+COPIES = 10
+# well above every sf0.1 key range, and copy·OFFSET stays < 2^53 so the
+# shifted ids survive any double round-trip in downstream arithmetic
+OFFSET = 10_000_000
+
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+# fact table → columns shifted per copy (PKs + the FKs that reference
+# another SHIFTED fact, never an unshifted dimension)
+FACT_SHIFT = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".benchdata", "sf1",
+    )
+    spark = get_spark("make_sf1")
+    for t in DIMS:
+        df = spark.read.parquet(os.path.join(SRC, f"{t}.parquet"))
+        df.write.mode("overwrite").parquet(os.path.join(out, f"{t}.parquet"))
+        print(f"{t}: {df.count()} rows (1x)")
+    for t, shift_cols in FACT_SHIFT.items():
+        base = spark.read.parquet(os.path.join(SRC, f"{t}.parquet"))
+        copies = None
+        for k in range(COPIES):
+            c = base
+            for col in shift_cols:
+                c = c.withColumn(col, F.col(col) + F.lit(k * OFFSET))
+            copies = c if copies is None else copies.unionByName(c)
+        # spread copies across files so the scan parallelizes like real
+        # ingest output, not 10 concatenated replicas of one layout
+        (
+            copies.repartition(32)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, f"{t}.parquet"))
+        )
+        n = spark.read.parquet(os.path.join(out, f"{t}.parquet")).count()
+        print(f"{t}: {n} rows ({COPIES}x)")
+    print(f"sf1 tier written to {out}")
+
+
+if __name__ == "__main__":
+    main()
