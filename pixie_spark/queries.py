@@ -2837,7 +2837,7 @@ def q_warc_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replicated: no fixture posting list approaches 2500 docs, and a
     # triggered cap would surface here as a mismatch, not hide.
     None,
-    local_oracle="""
+    local_oracle=r"""
 WITH oldd AS MATERIALIZED (
     SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
 ),

@@ -1,0 +1,190 @@
+"""Property-based fuzz harness for the PxL facade (round-5 review #8).
+
+The 96 registry queries and 25 fixed error cases pin KNOWN shapes; this
+is the generative complement: a seeded generator emits random small PxL
+scripts (projection → filters/assignments in random order → optional
+groupby-aggregate) TOGETHER with the equivalent DuckDB SQL derived from
+the same AST, runs the script through the real px.run_script facade,
+and cross-checks the results through the SAME comparator the driver
+gate uses (tools/check_oracle.compare_frames: columns, dtype kinds,
+order-insensitive normalized values).
+
+Domain discipline keeps every variant exactly comparable:
+- arithmetic only over int64 columns (exact in both engines; no
+  float-fold order sensitivity),
+- float columns appear only in comparisons against literals (same
+  parquet doubles on both sides),
+- sums cast to BIGINT on the DuckDB side (sum(BIGINT) is HUGEINT),
+- no head()/limit (order-dependent by definition).
+
+200 variants, fixed seed — failures reproduce byte-for-byte and the
+assert message carries the full script + SQL.
+"""
+
+import random
+
+import pixie_spark.api as px
+import pytest
+from pixie_spark.sources import load_table
+from tools.check_oracle import compare_frames, oracle_connection
+
+SF_DIR = "/root/testdata/sf0.001"
+N_VARIANTS = 200
+
+INT_COLS = ["event_id", "user_id"]
+FLOAT_COLS = ["value"]
+STR_COLS = ["event_type"]
+BASE_COLS = INT_COLS + FLOAT_COLS + STR_COLS
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view", "no_such_type"]
+
+# (px fn name, sql template, needs int input)
+AGG_FNS = [
+    ("px.count", "CAST(count({c}) AS BIGINT)"),
+    ("px.sum", "CAST(sum({c}) AS BIGINT)"),
+    ("px.min", "min({c})"),
+    ("px.max", "max({c})"),
+    ("px.mean", "avg({c})"),
+]
+
+
+@pytest.fixture(scope="module")
+def fuzz_ctx(spark):
+    ev = load_table(spark, SF_DIR, "events").select(*BASE_COLS)
+    px.set_context(spark, tables={"events": ev})
+    con = oracle_connection(SF_DIR)
+    yield con
+    con.close()
+
+
+class _Gen:
+    """One random script+SQL pair from a shared op sequence."""
+
+    def __init__(self, rng: random.Random):
+        self.rng = rng
+        self.int_cols = list(INT_COLS)  # grows with derived columns
+        self.lines = ["import px", "df = px.DataFrame('events')"]
+        self.ctes = [
+            f"q0 AS (SELECT {', '.join(BASE_COLS)} FROM events)"
+        ]
+        self.step = 0
+
+    def _next_cte(self, select_sql: str) -> None:
+        prev = f"q{self.step}"
+        self.step += 1
+        self.ctes.append(f"q{self.step} AS (SELECT {select_sql} FROM {prev})")
+
+    def _predicate(self) -> tuple[str, str]:
+        r = self.rng
+        kind = r.choice(["int", "int", "float", "str"])
+        if kind == "int":
+            c = r.choice(self.int_cols)
+            op = r.choice([">", ">=", "<", "<=", "==", "!="])
+            lit = r.randint(0, 1200)
+            return f"(df['{c}'] {op} {lit})", f"({c} {'=' if op == '==' else op} {lit})"
+        if kind == "float":
+            c = r.choice(FLOAT_COLS)
+            op = r.choice([">", "<", ">=", "<="])
+            lit = round(r.uniform(0.0, 350.0), 2)
+            return f"(df['{c}'] {op} {lit})", f"({c} {op} {lit})"
+        c = r.choice(STR_COLS)
+        op = r.choice(["==", "!="])
+        lit = r.choice(EVENT_TYPES)
+        return (
+            f"(df['{c}'] {op} '{lit}')",
+            f"({c} {'=' if op == '==' else '<>'} '{lit}')",
+        )
+
+    def add_filter(self) -> None:
+        p_px, p_sql = self._predicate()
+        if self.rng.random() < 0.3:
+            q_px, q_sql = self._predicate()
+            conj = self.rng.choice(["&", "|"])
+            p_px = f"({p_px} {conj} {q_px})"
+            p_sql = f"({p_sql} {'AND' if conj == '&' else 'OR'} {q_sql})"
+        self.lines.append(f"df = df[{p_px}]")
+        prev = f"q{self.step}"
+        self.step += 1
+        self.ctes.append(
+            f"q{self.step} AS (SELECT * FROM {prev} WHERE {p_sql})"
+        )
+
+    def add_assign(self) -> None:
+        r = self.rng
+        a = r.choice(self.int_cols)
+        op = r.choice(["+", "-", "*"])
+        if r.random() < 0.5:
+            b = r.choice(self.int_cols)
+            rhs_px, rhs_sql = f"df['{a}'] {op} df['{b}']", f"{a} {op} {b}"
+        else:
+            lit = r.randint(1, 7)
+            rhs_px, rhs_sql = f"df['{a}'] {op} {lit}", f"{a} {op} {lit}"
+        name = f"v{self.step}"
+        self.lines.append(f"df['{name}'] = {rhs_px}")
+        self._next_cte(f"*, CAST({rhs_sql} AS BIGINT) AS {name}")
+        self.int_cols.append(name)
+
+    def finish(self) -> tuple[str, str]:
+        r = self.rng
+        if r.random() < 0.5:
+            # groupby-aggregate tail
+            by = r.choice([None, "event_type"])
+            n_aggs = r.randint(1, 3)
+            specs, sqls = [], []
+            for i in range(n_aggs):
+                fn, sql_t = r.choice(AGG_FNS)
+                c = r.choice(self.int_cols)
+                specs.append(f"a{i}=('{c}', '{fn}')")
+                sqls.append(sql_t.format(c=c) + f" AS a{i}")
+            if by is None:
+                self.lines.append(f"df = df.agg({', '.join(specs)})")
+                self._next_cte(", ".join(sqls))
+            else:
+                self.lines.append(
+                    f"df = df.groupby('{by}').agg({', '.join(specs)})"
+                )
+                prev = f"q{self.step}"
+                self.step += 1
+                self.ctes.append(
+                    f"q{self.step} AS (SELECT {by}, {', '.join(sqls)} "
+                    f"FROM {prev} GROUP BY {by})"
+                )
+        self.lines.append("px.display(df, 'out')")
+        sql = "WITH " + ",\n".join(self.ctes) + f"\nSELECT * FROM q{self.step}"
+        return "\n".join(self.lines), sql
+
+
+def _variant(rng: random.Random) -> tuple[str, str]:
+    g = _Gen(rng)
+    for _ in range(rng.randint(1, 4)):
+        if rng.random() < 0.55:
+            g.add_filter()
+        else:
+            g.add_assign()
+    return g.finish()
+
+
+def test_pxl_facade_fuzz_200_variants(spark, fuzz_ctx):
+    rng = random.Random(2026)
+    failures = []
+    zero_rows = 0
+    for i in range(N_VARIANTS):
+        script, sql = _variant(rng)
+        sdf = px.run_script(script)["out"].toPandas()
+        odf = fuzz_ctx.execute(sql).fetchdf()
+        if len(sdf) == 0 and len(odf) == 0:
+            # empty frames lose dtype fidelity through toPandas/fetchdf;
+            # the contract that remains checkable is the column set
+            zero_rows += 1
+            if sorted(sdf.columns) != sorted(odf.columns):
+                failures.append((i, script, sql, "empty-frame column mismatch"))
+            continue
+        problems = compare_frames(sdf, odf)
+        if problems:
+            failures.append((i, script, sql, "; ".join(problems)))
+    assert not failures, "\n\n".join(
+        f"variant {i}:\n--- script ---\n{s}\n--- sql ---\n{q}\n--- {p}"
+        for i, s, q, p in failures[:3]
+    ) + f"\n({len(failures)} of {N_VARIANTS} variants failed)"
+    # the generator must actually exercise non-trivial shapes: most
+    # variants return rows (an all-empty sweep would vacuously pass)
+    assert zero_rows < N_VARIANTS * 0.5, f"{zero_rows} empty variants"
