@@ -1094,3 +1094,250 @@ def test_nodes_streamed_equals_golden(spark, ctx, tmp_path):
         ("node-1", "prod/frontend-0009", "Running"),
     ]
     assert len(rows) == 10
+
+
+T390 = BASE_NS + 390 * 1_000_000_000
+
+
+def test_namespace_pods_streamed_equals_golden(spark, ctx, tmp_path):
+    """namespace.pxl over streamed http_events + process_stats: the
+    prod pod inventory with exact memory readings and statuses."""
+    run = _stream_run(
+        spark, ctx, _read("namespace/namespace.pxl"),
+        streamed=["http_events", "process_stats"],
+        work_dir=str(tmp_path / "nsp"),
+        calls=[("pods_for_namespace", {"start_time": "-1h", "namespace": "prod"})],
+    )
+    assert run.refresh_count >= 3
+    rows = _dicts(run.results["pods_for_namespace"], "pod")
+    assert [r["pod"] for r in rows] == [
+        "prod/api-0001", "prod/api-0004", "prod/api-0007",
+        "prod/frontend-0000", "prod/frontend-0003", "prod/frontend-0006",
+        "prod/frontend-0009",
+    ]
+    by_pod = {r["pod"]: r for r in rows}
+    assert by_pod["prod/api-0001"]["rss"] == approx(310371504.975, rel=1e-9)
+    assert by_pod["prod/api-0001"]["vsize"] == approx(1055292271.625, rel=1e-9)
+    assert by_pod["prod/api-0007"]["status"] == "Pending"
+
+
+def test_service_pods_streamed_equals_golden(spark, ctx, tmp_path):
+    """service.pxl over streamed http_events + process_stats: the
+    frontend pod list with create times and statuses."""
+    run = _stream_run(
+        spark, ctx, _read("service/service.pxl"),
+        streamed=["http_events", "process_stats"],
+        work_dir=str(tmp_path / "svcp"),
+        calls=[("pods_for_service", {"start_time": "-1h", "service": "prod/frontend"})],
+    )
+    assert run.refresh_count >= 3
+    rows = _dicts(run.results["pods_for_service"], "pod")
+    assert [(r["pod"], r["pod_create_time"], r["pod_status"]) for r in rows] == [
+        ("prod/frontend-0000", 1704063600000000000, "Pending"),
+        ("prod/frontend-0003", 1704052800000000000, "Running"),
+        ("prod/frontend-0006", 1704042000000000000, "Running"),
+        ("prod/frontend-0009", 1704031200000000000, "Running"),
+    ]
+
+
+def test_node_pods_streamed_equals_golden(spark, ctx, tmp_path):
+    """node.pxl with MIXED sources: process_stats + network_stats
+    streamed, stack_traces.beta left static — the design's static/
+    stream table split in one script."""
+    run = _stream_run(
+        spark, ctx, _read("node/node.pxl"),
+        streamed=["process_stats", "network_stats"],
+        work_dir=str(tmp_path / "nodep"),
+        calls=[("pods_for_node", {"start_time": "-1h", "node": "node-1"})],
+    )
+    assert run.refresh_count >= 3
+    rows = _dicts(run.results["pods_for_node"], "pod")
+    assert [(r["pod"], r["status"]) for r in rows] == [
+        ("prod/frontend-0000", "Pending"),
+        ("prod/frontend-0003", "Running"),
+        ("prod/frontend-0006", "Running"),
+        ("prod/frontend-0009", "Running"),
+    ]
+
+
+def test_pod_timeseries_streamed_equals_golden(spark, ctx, tmp_path):
+    """pod.pxl over THREE streamed feeds (http_events + process_stats +
+    network_stats; stack_traces.beta static): exact window counts, time
+    extents, and latency-percentile mass."""
+    pod = "prod/frontend-0000"
+    run = _stream_run(
+        spark, ctx, _read("pod/pod.pxl"),
+        streamed=["http_events", "process_stats", "network_stats"],
+        work_dir=str(tmp_path / "podts"),
+        calls=[
+            ("resource_timeseries", {"start_time": "-1h", "pod": pod}),
+            ("inbound_latency_timeseries", {"start_time": "-1h", "pod": pod}),
+        ],
+    )
+    assert run.refresh_count >= 3
+    rt = run.results["resource_timeseries"]
+    assert len(rt) == 40
+    assert min(r["time_"] for r in rt) == 1704067200000000000
+    assert max(r["time_"] for r in rt) == 1704067590000000000
+    il = run.results["inbound_latency_timeseries"]
+    assert len(il) == 137
+    assert sum(r["latency_p50"] for r in il) == 536728747
+    assert sum(r["latency_p90"] for r in il) == 796157260
+    assert sum(r["latency_p99"] for r in il) == 796157260
+
+
+@pytest.mark.parametrize(
+    "rel,n_rows,vm_sum",
+    [
+        ("pid_memory_usage/usage.pxl", 40, 51902479772.0),
+        ("pod_memory_usage/pod.pxl", 70, 87023296421.0),
+    ],
+)
+def test_memory_usage_streamed_equals_golden(spark, ctx, tmp_path, rel, n_rows, vm_sum):
+    """pid/pod memory views over streamed process_stats under the
+    mid-fixture now: exact row counts and virtual-memory mass."""
+    px.set_now(T390)
+    try:
+        run = _stream_run(
+            spark, ctx, _read(rel),
+            streamed=["process_stats"],
+            work_dir=str(tmp_path / rel.split("/")[0]),
+        )
+    finally:
+        px.set_now(BASE_NS + HOUR_NS)
+    assert run.refresh_count >= 3
+    rows = run.results["output"]
+    assert len(rows) == n_rows
+    assert sum(r["Virtual Memory"] for r in rows) == approx(vm_sum, rel=1e-9)
+
+
+def test_pod_lifetime_resource_streamed_equals_golden(spark, ctx, tmp_path):
+    """Whole-lifetime per-pod rollup over streamed process_stats: exact
+    statuses, mean virtual memory, total characters read."""
+    px.set_now(T390)
+    try:
+        run = _stream_run(
+            spark, ctx, _read("pod_lifetime_resource/resource.pxl"),
+            streamed=["process_stats"], work_dir=str(tmp_path / "plr"),
+        )
+    finally:
+        px.set_now(BASE_NS + HOUR_NS)
+    assert run.refresh_count >= 3
+    rows = _dicts(run.results["output"], "pod_name")
+    expected = [
+        ("prod/api-0001", "Running", 1301689740.2857144, 26680432),
+        ("prod/api-0004", "Running", 1208281097.7142856, 23879078),
+        ("prod/api-0007", "Pending", 1507565029.7142856, 23217672),
+        ("prod/frontend-0000", "Pending", 1455694749.142857, 18630608),
+        ("prod/frontend-0003", "Running", 1171135923.5714285, 21526857),
+        ("prod/frontend-0006", "Running", 965605739.4285715, 20824613),
+        ("prod/frontend-0009", "Running", 1005070415.2857143, 21874491),
+        ("staging/db-0002", "Running", 1171235279.5714285, 21831417),
+        ("staging/db-0005", "Running", 1146921376.0, 22746618),
+        ("staging/db-0008", "Running", 1498700138.0, 20174014),
+    ]
+    assert [(r["pod_name"], r["status"], r["Characters Read"]) for r in rows] == [
+        (e[0], e[1], e[3]) for e in expected
+    ]
+    assert [r["Virtual Memory"] for r in rows] == approx(
+        [e[2] for e in expected], rel=1e-9
+    )
+
+
+def test_service_resource_usage_streamed_equals_golden(spark, ctx, tmp_path):
+    """Per-service rollup over streamed http_events + process_stats:
+    pod counts, cpu/rss averages, and the latency-quantile STRUCT."""
+    run = _stream_run(
+        spark, ctx, _read("service_resource_usage/usage.pxl"),
+        streamed=["http_events", "process_stats"],
+        work_dir=str(tmp_path / "sru"),
+        calls=[("services_for_cluster", {"start_time": "-1h"})],
+    )
+    assert run.refresh_count >= 3
+    rows = {r["service"]: r for r in run.results["services_for_cluster"]}
+    assert {s: rows[s]["pod_count"] for s in rows} == {
+        "prod/api": 3, "prod/frontend": 4, "staging/db": 3}
+    assert rows["prod/api"]["avg_pod_cpu"] == approx(0.030953263205128204, rel=1e-9)
+    assert rows["prod/frontend"]["avg_pod_rss"] == approx(296695321.875, rel=1e-9)
+    assert rows["staging/db"]["http_latency"]["p50"] == 1886023
+    assert rows["prod/frontend"]["http_latency"]["p99"] == 24848896
+
+
+def test_upids_streamed_equals_golden(spark, ctx, tmp_path):
+    """upids.pxl over streamed process_stats: exact pod/container/
+    cmdline triples."""
+    run = _stream_run(
+        spark, ctx, _read("upids/upids.pxl"),
+        streamed=["process_stats"], work_dir=str(tmp_path / "upids"),
+        calls=[("upids_for_namespace", {"start_time": "-1h", "namespace": "prod"})],
+    )
+    assert run.refresh_count >= 3
+    rows = _dicts(run.results["upids_for_namespace"], "pod", "container", "cmdline")
+    assert [(r["pod"], r["container"], r["cmdline"]) for r in rows] == [
+        ("prod/api-0001", "app-1", "/bin/server --port=8081"),
+        ("prod/api-0004", "app-1", "/bin/server --port=8084"),
+        ("prod/api-0007", "app-1", "/bin/server --port=8087"),
+        ("prod/frontend-0000", "app-0", "/bin/server --port=8080"),
+        ("prod/frontend-0003", "app-0", "/bin/server --port=8083"),
+        ("prod/frontend-0006", "app-0", "/bin/server --port=8086"),
+        ("prod/frontend-0009", "app-0", "/bin/server --port=8089"),
+    ]
+
+
+def test_ip_streamed_equals_golden(spark, ctx, tmp_path):
+    """ip.pxl (four views) over streamed conn_stats: resolution, byte
+    rates, and cross-view byte symmetry from the batch golden."""
+    args = {"start_time": "-1h", "ip": "10.0.0.2"}
+    run = _stream_run(
+        spark, ctx, _read("ip/ip.pxl"),
+        streamed=["conn_stats"], work_dir=str(tmp_path / "ip"),
+        calls=[("ip_info", args), ("pod_traffic_to_ip", args),
+               ("net_flow_graph", args), ("traffic_involving_ip", args)],
+    )
+    assert run.refresh_count >= 3
+    (info,) = run.results["ip_info"]
+    assert (info["ip_pod"], info["ip_service"], info["ip_node"]) == (
+        "prod/api-0001", "prod/api", "node-2")
+    assert info["bytes_per_s_from_ip"] == approx(1.5676932203389832e-06, rel=1e-9)
+    assert info["bytes_per_s_to_ip"] == approx(7.223372881355932e-07, rel=1e-9)
+    inv = sorted(
+        (r["pod"], r["node"], r["service"], r["trace_role"],
+         r["bytes_sent_by_pod"], r["bytes_recv_by_pod"], r["total_bytes"])
+        for r in run.results["traffic_involving_ip"]
+    )
+    assert inv == [
+        ("prod/api-0001", "node-2", "prod/api", 2, 284368, 664279, 948647),
+        ("prod/frontend-0000", "node-1", "prod/frontend", 1, 141811, 260660, 402471),
+    ]
+
+
+def test_stirling_errors_streamed_equals_golden(spark, ctx, tmp_path):
+    """stirling_errors.pxl over BOTH streamed diagnostics feeds
+    (stirling_error + probe_status): exact per-connector/status
+    breakdowns."""
+    run = _stream_run(
+        spark, ctx, _read("stirling_errors/stirling_errors.pxl"),
+        streamed=["stirling_error", "probe_status"],
+        work_dir=str(tmp_path / "stirling"),
+        calls=[("stirling_error",
+                {"start_time": "-1h", "source_connector_filter": "", "num_head": 100}),
+               ("probe_status",
+                {"start_time": "-1h", "tracepoint_filter": "", "num_head": 100})],
+    )
+    assert run.refresh_count >= 3
+    err = run.results["stirling_error"]
+    assert len(err) == 60
+    from collections import Counter
+
+    breakdown = sorted(Counter(
+        (r["source_connector"], r["status"]) for r in err
+    ).items())
+    assert breakdown == [
+        (("jvm_stats", 0), 15), (("jvm_stats", 13), 3),
+        (("perf_profiler", 0), 15), (("perf_profiler", 13), 3),
+        (("process_stats", 0), 8), (("process_stats", 13), 2),
+        (("socket_tracer", 0), 12), (("socket_tracer", 13), 2),
+    ]
+    probe = run.results["probe_status"]
+    assert len(probe) == 60
+    assert sorted(Counter(r["status"] for r in probe).items()) == [(0, 50), (2, 10)]

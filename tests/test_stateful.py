@@ -660,3 +660,50 @@ def test_stateful_checkpoint_restart_anomalies(spark, tmp_path):
     assert got == expected
     # the planted spike (state built pre-kill) still flagged post-resume
     assert got[("svc-a", 100)][2] and got[("svc-b", 100)][2]
+
+
+def test_ingest_batch_issues_no_guard_actions(spark, tmp_path, monkeypatch):
+    """Round-5 review #7: the per-trigger ``take(1)`` empty-guard fired
+    an extra job per micro-batch before build_index re-read the batch.
+    The guard is gone — driver actions during one ingest step are now
+    EXACTLY the two localCheckpoint materializations (entries +
+    signatures) plus the three writes; no take/first/collect/count
+    probes. Mirrors the action-count assert of tests/test_graph.py."""
+    from pyspark.sql import types as T
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from pixie_spark.streaming.ingest import ingest_dedup_batch, line_dedup_batch
+
+    calls = {"take": 0, "first": 0, "collect": 0, "count": 0, "ckpt": 0}
+    orig = {
+        "take": DataFrame.take, "first": DataFrame.first,
+        "collect": DataFrame.collect, "count": DataFrame.count,
+        "ckpt": DataFrame.localCheckpoint,
+    }
+
+    def wrap(name):
+        def inner(self, *a, **k):
+            calls[name] += 1
+            return orig[name](self, *a, **k)
+        return inner
+
+    for name in ("take", "first", "collect", "count"):
+        monkeypatch.setattr(DataFrame, name, wrap(name))
+    monkeypatch.setattr(DataFrame, "localCheckpoint", wrap("ckpt"))
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    b = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], schema
+    )
+    ingest_dedup_batch(b, 0, str(tmp_path / "idx"), str(tmp_path / "pairs"), n=3)
+    assert calls["take"] == calls["first"] == calls["collect"] == calls["count"] == 0
+    # entries + signatures (eager, each feeding 2 consumers) plus the
+    # LAZY plan-pinning checkpoint inside build_index (no job at call)
+    assert calls["ckpt"] == 3
+
+    calls.update({k: 0 for k in calls})
+    line_dedup_batch(b, 0, str(tmp_path / "lidx"), str(tmp_path / "lout"))
+    assert calls["take"] == calls["first"] == calls["collect"] == calls["count"] == 0
+    assert calls["ckpt"] == 2  # occurrence rows + newly-owned lids
