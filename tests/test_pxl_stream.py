@@ -1341,3 +1341,133 @@ def test_stirling_errors_streamed_equals_golden(spark, ctx, tmp_path):
     probe = run.results["probe_status"]
     assert len(probe) == 60
     assert sorted(Counter(r["status"] for r in probe).items()) == [(0, 50), (2, 10)]
+
+
+def test_pixie_quality_metrics_streamed_four_source_streams(spark, ctx, tmp_path):
+    """pixie_quality_metrics.pxl — self-monitoring across FOUR
+    simultaneously streamed feeds (http_events, mysql_events, jvm_stats,
+    process_stats) under the mid-fixture now: exact latency-sanity
+    breakdowns and the empty java tables."""
+    px.set_now(T390)
+    try:
+        run = _stream_run(
+            spark, ctx, _read("pixie_quality_metrics/pixie_quality_metrics.pxl"),
+            streamed=["http_events", "mysql_events", "jvm_stats", "process_stats"],
+            work_dir=str(tmp_path / "pqm"),
+        )
+    finally:
+        px.set_now(BASE_NS + HOUR_NS)
+    assert run.refresh_count >= 3
+    http = sorted(tuple(r) for r in run.results["http_latencies"])
+    assert http == [(False, False, 1734), (True, False, 178)]
+    mysql = sorted(tuple(r) for r in run.results["mysql_latencies"])
+    assert mysql == [(False, False, 285), (True, False, 5)]
+    assert run.results["java_processes"] == []
+    assert run.results["jvm_stats"] == []
+
+
+def test_perf_flamegraph_streamed_equals_golden(spark, ctx, tmp_path):
+    """perf_flamegraph over streamed stack_traces.beta: exact folded-
+    stack count and sample mass once the profile stream drains."""
+    run = _stream_run(
+        spark, ctx, _read("perf_flamegraph/flamegraph.pxl"),
+        streamed=["stack_traces.beta"], work_dir=str(tmp_path / "perfflame"),
+        calls=[("stacktraces",
+                {"start_time": "-1h", "node": "", "namespace": "", "pod": "",
+                 "pct_basis_entity": "node"})],
+    )
+    assert run.refresh_count >= 3
+    rows = run.results["stacktraces"]
+    assert len(rows) == 389
+    assert sum(r["count"] for r in rows) == 9928
+    assert len({r["node"] for r in rows}) == 1
+
+
+def test_differential_flamegraph_streamed_equals_golden(spark, ctx, tmp_path):
+    """Differential profile over streamed stack_traces.beta: both pods'
+    sample masses accrete across micro-batches before the delta —
+    exact stack count, totals, and the hottest shared stack."""
+    run = _stream_run(
+        spark, ctx, _read("differential_flamegraph/differential.pxl"),
+        streamed=["stack_traces.beta"], work_dir=str(tmp_path / "diffflame"),
+        calls=[("differential_flamegraph",
+                {"start_time": "-1h", "namespace": "prod",
+                 "pod": "prod/frontend-0000", "baseline_pod": "prod/api-0001"})],
+    )
+    assert run.refresh_count >= 3
+    rows = run.results["differential_flamegraph"]
+    assert len(rows) == 48
+    assert sum(r["count"] for r in rows) == 1170
+    # F.sum skips nulls (stacks absent from the baseline pod) — mirror it
+    assert sum(r["delta"] for r in rows if r["delta"] is not None) == 32
+    top = {r["stack_trace"]: (r["count"], r["delta"]) for r in rows}
+    assert top["runtime.schedule;runtime.schedule;runtime.schedule"][0] == 49
+    assert top["runtime.schedule;db.query"] == (48, 32)
+
+
+@pytest.mark.parametrize(
+    "rel,fn,table,args",
+    [
+        ("http_data/data.pxl", "http_data", "http_events",
+         {"start_time": "-1h", "source_filter": "", "destination_filter": "",
+          "num_head": 100}),
+        ("http_data_filtered/data.pxl", "http_data", "http_events",
+         {"start_time": "-1h", "svc": "", "pod": "", "req_path": "",
+          "status_code": 200}),
+        ("mux_data/data.pxl", "mux_data", "mux_events",
+         {"start_time": "-1h", "num_head": 100}),
+    ],
+)
+def test_data_head_scripts_streamed_head_contract(
+    spark, ctx, tmp_path, rel, fn, table, args
+):
+    """http_data / http_data_filtered / mux_data: head(100) without an
+    order is layout-dependent by definition, so golden SET equality
+    does not apply under a stream snapshot — the stable contract does:
+    exactly num_head rows, inside the window, and (for the filtered
+    variant) the predicate binds on every row."""
+    run = _stream_run(
+        spark, ctx, _read(rel), streamed=[table],
+        work_dir=str(tmp_path / fn.replace("/", "_")),
+        calls=[(fn, args)],
+    )
+    assert run.refresh_count >= 3
+    rows = run.results[fn]
+    assert len(rows) == 100
+    lo = 1704067200000000000
+    hi = lo + 3600 * 1_000_000_000
+    assert all(lo <= r["time_"] <= hi for r in rows)
+    if "status_code" in args:
+        assert {r["resp_status"] for r in rows} == {200}
+
+
+def test_streaming_corpus_coverage_complete():
+    """The streaming-tier ledger: every corpus script is either
+    stream-verified in this file (golden-pinned, or under the head
+    contract for order-dependent head() slices) or on the documented
+    NON-STREAMABLE list below — UDTF/metadata point-in-time sources
+    (GetAgentStatus/GetTables/GetUDFList/GetTracepointStatus) with no
+    event-time table to stream; the reference's stream() applies to
+    memory-source scans (stream_ir.h:44), not metadata UDTFs. A new
+    batch-only script must join one list or the other."""
+    import re
+
+    here = open(__file__).read()
+    streamed = set(re.findall(r'"([a-z_0-9]+/[a-z_0-9.]+\.pxl)"', here))
+    golden_files = [
+        "tests/test_pxl_golden.py", "tests/test_pxl_golden2.py",
+        "tests/test_pxl_corpus.py",
+    ]
+    corpus = set()
+    for f in golden_files:
+        corpus |= set(re.findall(r'"([a-z_0-9]+/[a-z_0-9.]+\.pxl)"', open(f).read()))
+    non_streamable = {
+        "agent_status/agent_status.pxl",
+        "agent_status_diagnostics/agent_status.pxl",
+        "collect_agent_heaps/collect_agent_heaps.pxl",
+        "schemas/schemas.pxl",
+        "funcs/funcs.pxl",
+        "tracepoint_status/tracepoint_status.pxl",
+    }
+    missing = corpus - streamed - non_streamable
+    assert not missing, f"batch-only scripts not ledgered: {sorted(missing)}"
