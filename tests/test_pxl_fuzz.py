@@ -111,23 +111,55 @@ class _Gen:
     def add_assign(self) -> None:
         r = self.rng
         a = r.choice(self.int_cols)
-        op = r.choice(["+", "-", "*"])
-        if r.random() < 0.5:
+        op = r.choice(["+", "-", "*", "%"])
+        if op != "%" and r.random() < 0.5:
             b = r.choice(self.int_cols)
             rhs_px, rhs_sql = f"df['{a}'] {op} df['{b}']", f"{a} {op} {b}"
         else:
-            lit = r.randint(1, 7)
+            # % gets a positive literal; Spark and DuckDB both use
+            # C-style sign-of-dividend semantics so negatives are safe
+            lit = r.randint(2, 7) if op == "%" else r.randint(1, 7)
             rhs_px, rhs_sql = f"df['{a}'] {op} {lit}", f"{a} {op} {lit}"
         name = f"v{self.step}"
         self.lines.append(f"df['{name}'] = {rhs_px}")
         self._next_cte(f"*, CAST({rhs_sql} AS BIGINT) AS {name}")
         self.int_cols.append(name)
 
+    def add_merge(self) -> None:
+        """Self-aggregate merge: an aggregate built over a FILTERED copy
+        of the current frame joined back on event_type. The filter makes
+        some keys vanish from the right side, so how='left' genuinely
+        produces null merge columns (and 'inner' genuinely drops rows)."""
+        r = self.rng
+        how = r.choice(["inner", "left"])
+        thresh = r.randint(0, 12)
+        c = r.choice(self.int_cols)
+        m = f"m{self.step}"
+        self.lines.append(f"sub = df[(df['user_id'] > {thresh})]")
+        self.lines.append(
+            f"agg = sub.groupby('event_type').agg({m}=('{c}', 'px.sum'))"
+        )
+        self.lines.append(
+            f"df = df.merge(agg, how='{how}', left_on='event_type', "
+            f"right_on='event_type', suffixes=('', '_r'))"
+        )
+        prev = f"q{self.step}"
+        self.step += 1
+        jt = "JOIN" if how == "inner" else "LEFT JOIN"
+        self.ctes.append(
+            f"q{self.step} AS (SELECT l.*, r.event_type AS event_type_r, r.{m} "
+            f"FROM {prev} l {jt} (SELECT event_type, CAST(sum({c}) AS BIGINT) "
+            f"AS {m} FROM {prev} WHERE user_id > {thresh} GROUP BY event_type) r "
+            f"ON l.event_type = r.event_type)"
+        )
+        self.int_cols.append(m)
+
     def finish(self) -> tuple[str, str]:
         r = self.rng
         if r.random() < 0.5:
-            # groupby-aggregate tail
-            by = r.choice([None, "event_type"])
+            # groupby-aggregate tail: none, one string key, or a
+            # composite (string, derived-int) key
+            by = r.choice([None, "event_type", "multi"])
             n_aggs = r.randint(1, 3)
             specs, sqls = [], []
             for i in range(n_aggs):
@@ -139,14 +171,20 @@ class _Gen:
                 self.lines.append(f"df = df.agg({', '.join(specs)})")
                 self._next_cte(", ".join(sqls))
             else:
+                if by == "multi":
+                    k2 = r.choice(self.int_cols)
+                    by_px = f"['event_type', '{k2}']"
+                    by_sql = f"event_type, {k2}"
+                else:
+                    by_px, by_sql = f"'{by}'", by
                 self.lines.append(
-                    f"df = df.groupby('{by}').agg({', '.join(specs)})"
+                    f"df = df.groupby({by_px}).agg({', '.join(specs)})"
                 )
                 prev = f"q{self.step}"
                 self.step += 1
                 self.ctes.append(
-                    f"q{self.step} AS (SELECT {by}, {', '.join(sqls)} "
-                    f"FROM {prev} GROUP BY {by})"
+                    f"q{self.step} AS (SELECT {by_sql}, {', '.join(sqls)} "
+                    f"FROM {prev} GROUP BY {by_sql})"
                 )
         self.lines.append("px.display(df, 'out')")
         sql = "WITH " + ",\n".join(self.ctes) + f"\nSELECT * FROM q{self.step}"
@@ -155,20 +193,27 @@ class _Gen:
 
 def _variant(rng: random.Random) -> tuple[str, str]:
     g = _Gen(rng)
+    merged = False
     for _ in range(rng.randint(1, 4)):
-        if rng.random() < 0.55:
+        roll = rng.random()
+        if roll < 0.45:
             g.add_filter()
-        else:
+        elif roll < 0.8 or merged:
             g.add_assign()
+        else:
+            g.add_merge()
+            merged = True
     return g.finish()
 
 
 def test_pxl_facade_fuzz_200_variants(spark, fuzz_ctx):
     rng = random.Random(2026)
     failures = []
-    zero_rows = 0
+    zero_rows = n_merges = n_multi = 0
     for i in range(N_VARIANTS):
         script, sql = _variant(rng)
+        n_merges += ".merge(" in script
+        n_multi += ".groupby(['" in script
         sdf = px.run_script(script)["out"].toPandas()
         odf = fuzz_ctx.execute(sql).fetchdf()
         if len(sdf) == 0 and len(odf) == 0:
@@ -186,5 +231,8 @@ def test_pxl_facade_fuzz_200_variants(spark, fuzz_ctx):
         for i, s, q, p in failures[:3]
     ) + f"\n({len(failures)} of {N_VARIANTS} variants failed)"
     # the generator must actually exercise non-trivial shapes: most
-    # variants return rows (an all-empty sweep would vacuously pass)
+    # variants return rows (an all-empty sweep would vacuously pass),
+    # and the merge / composite-groupby paths genuinely fire
     assert zero_rows < N_VARIANTS * 0.5, f"{zero_rows} empty variants"
+    assert n_merges >= 10, f"only {n_merges} merge variants generated"
+    assert n_multi >= 5, f"only {n_multi} composite-groupby variants"

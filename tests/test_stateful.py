@@ -707,3 +707,65 @@ def test_ingest_batch_issues_no_guard_actions(spark, tmp_path, monkeypatch):
     line_dedup_batch(b, 0, str(tmp_path / "lidx"), str(tmp_path / "lout"))
     assert calls["take"] == calls["first"] == calls["collect"] == calls["count"] == 0
     assert calls["ckpt"] == 2  # occurrence rows + newly-owned lids
+
+
+def test_streaming_ingest_dedup_kill_resume(spark, tmp_path):
+    """Kill the ingestion-dedup stream after its first committed pairs
+    partition, restart from the checkpoint, drain: the accumulated pair
+    set must STILL equal a from-scratch rebuild over the whole prefix —
+    the batch_id-partitioned writes make the replayed in-flight batch
+    replace its partial output, and the batch_id < current read filter
+    keeps the failed attempt out of the retry's index view."""
+    from pyspark.sql import types as T
+
+    import pixie_spark.streaming as S
+    from pixie_spark.operators.dedup import minhash_lsh_pairs
+    from pixie_spark.streaming.ingest import read_accumulated, streaming_ingest_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    mk = lambda i, extra: (i, f"{base} {extra} doc{i % 3}")  # noqa: E731
+    rows = [mk(i, ["one", "two", "three", "four"][i % 4]) for i in range(1, 13)]
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    src = str(tmp_path / "kr_src")
+    chunks = [rows[i:i + 2] for i in range(0, len(rows), 2)]  # 6 micro-batches
+    for idx, chunk in enumerate(chunks):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append" if idx else "overwrite"
+        ).parquet(src)
+
+    idx_dir, pairs_dir = str(tmp_path / "kr_index"), str(tmp_path / "kr_pairs")
+    ckpt = str(tmp_path / "kr_ckpt")
+
+    def start():
+        stream = S.stream_table(spark, src, schema, max_files_per_trigger=1)
+        return streaming_ingest_dedup(
+            stream, idx_dir, pairs_dir, n=3, num_hashes=64, bands=64, threshold=0.5,
+        ).option("checkpointLocation", ckpt).start()
+
+    q1 = start()
+    n_before = _kill_after_first_output(q1, pairs_dir)
+    assert n_before < 6, "kill landed after the stream already drained"
+    q2 = start()  # resume from the same checkpoint
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = {
+        frozenset((r["doc_a"], r["doc_b"])): round(r["est_jaccard"], 9)
+        for r in read_accumulated(spark, pairs_dir).collect()
+    }
+    full = {
+        frozenset((r["doc_a"], r["doc_b"])): round(r["est_jaccard"], 9)
+        for r in minhash_lsh_pairs(
+            spark.createDataFrame(rows, schema), "doc_id", "text",
+            n=3, num_hashes=64, bands=64, threshold=0.5,
+        ).collect()
+    }
+    assert got == full
+    # index holds exactly one signature per ingested doc — no replay dups
+    sigs = read_accumulated(spark, os.path.join(idx_dir, "signatures"))
+    assert sigs.count() == len(rows)
+    assert sigs.select("doc").distinct().count() == len(rows)
