@@ -2681,7 +2681,8 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT level_width_s, event_type, bucket_ts, n,
            floor(sum_raw * 1e4 + 0.5) / 1e4 AS sum_v,
            min_v, max_v,
-           floor((sum_raw / n) * 1e6 + 0.5) / 1e6 AS avg_v,
+           floor(((floor(sum_raw * 1e4 + 0.5) / 1e4) / n) * 1e6 + 0.5) / 1e6
+               AS avg_v,
            approx_distinct
     FROM agg
     ORDER BY level_width_s, event_type, bucket_ts
@@ -2703,12 +2704,19 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "ts", "value", ["event_type"], widths,
         distinct_col="user_id", exact_distinct=True,
     )
+    # avg_v is derived from the ROUNDED sum (not the raw partials): the
+    # cascaded sum and DuckDB's direct sum can differ in the last bit,
+    # and a true mean sitting exactly on a .5e-6 boundary (measured at
+    # sf0.1: 1461.11/32 = 45.6596875) flips the rounded digit. Dividing
+    # the already-hash-matched rounded sum makes the quotient bits
+    # identical in both engines, so the final rounding can't diverge.
     return (
         cascade_long(levels, ["event_type"])
         .select(
             "level_width_s", "event_type", "bucket_ts", "n",
             dround("sum_v", 4).alias("sum_v"), "min_v", "max_v",
-            dround("avg_v", 6).alias("avg_v"), "approx_distinct",
+            dround(dround("sum_v", 4) / F.col("n"), 6).alias("avg_v"),
+            "approx_distinct",
         )
         .orderBy("level_width_s", "event_type", "bucket_ts")
     )

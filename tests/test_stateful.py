@@ -769,3 +769,60 @@ def test_streaming_ingest_dedup_kill_resume(spark, tmp_path):
     sigs = read_accumulated(spark, os.path.join(idx_dir, "signatures"))
     assert sigs.count() == len(rows)
     assert sigs.select("doc").distinct().count() == len(rows)
+
+
+def test_streaming_line_dedup_kill_resume(spark, tmp_path):
+    """Symmetric restart proof for the line-dedup loop: kill after the
+    first committed output partition, resume from the checkpoint, and
+    the accumulated output still equals the batch operator on the
+    concatenation — with the lid index holding each line exactly once."""
+    from pyspark.sql import types as T
+
+    import pixie_spark.streaming as S
+    from pixie_spark.operators.dedup import line_level_dedup
+    from pixie_spark.streaming.ingest import read_accumulated, streaming_line_dedup
+
+    rows = [
+        (i, f"shared boilerplate line\nbody of document {i}\ncommon tail {i % 2}")
+        for i in range(1, 13)
+    ]
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    src = str(tmp_path / "lkr_src")
+    chunks = [rows[i:i + 2] for i in range(0, len(rows), 2)]  # 6 micro-batches
+    for idx, chunk in enumerate(chunks):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append" if idx else "overwrite"
+        ).parquet(src)
+
+    idx_dir, out_dir = str(tmp_path / "lkr_index"), str(tmp_path / "lkr_out")
+    ckpt = str(tmp_path / "lkr_ckpt")
+
+    def start():
+        stream = S.stream_table(spark, src, schema, max_files_per_trigger=1)
+        return streaming_line_dedup(stream, idx_dir, out_dir).option(
+            "checkpointLocation", ckpt
+        ).start()
+
+    q1 = start()
+    n_before = _kill_after_first_output(q1, out_dir)
+    assert n_before < 6, "kill landed after the stream already drained"
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in read_accumulated(spark, out_dir).collect()
+    }
+    exp = {
+        r["doc_id"]: r.asDict()
+        for r in line_level_dedup(spark.createDataFrame(rows, schema)).collect()
+    }
+    assert got == exp
+    lids = read_accumulated(spark, os.path.join(idx_dir, "lids"))
+    distinct_lines = {ln for _, t in rows for ln in t.split("\n")}
+    assert lids.count() == len(distinct_lines)
