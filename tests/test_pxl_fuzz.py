@@ -236,3 +236,48 @@ def test_pxl_facade_fuzz_200_variants(spark, fuzz_ctx):
     assert zero_rows < N_VARIANTS * 0.5, f"{zero_rows} empty variants"
     assert n_merges >= 10, f"only {n_merges} merge variants generated"
     assert n_multi >= 5, f"only {n_multi} composite-groupby variants"
+
+
+def test_pxl_facade_fuzz_streaming_duality(spark, fuzz_ctx, tmp_path):
+    """Generative stream≡batch: a sample of random facade scripts run
+    TWICE — batch over the events table, then through
+    StreamingScriptRun with events arriving as a 4-chunk file stream —
+    and the final streaming refresh must equal the batch rows exactly.
+    The fixed-script streaming tier pins 62 corpus scripts; this is its
+    generative complement over the same machinery."""
+    from pixie_spark.sources import load_table
+    from pixie_spark.streaming.script_stream import StreamingScriptRun
+
+    ev = load_table(spark, SF_DIR, "events").select(*BASE_COLS)
+    rng = random.Random(77)
+    n_checked = 0
+    failures = []
+    for i in range(40):
+        script, _ = _variant(rng)
+        px.set_context(spark, tables={"events": ev})
+        batch_rows = sorted(
+            map(str, px.run_script(script)["out"].collect())
+        )
+        if not batch_rows:
+            continue  # empty batch result: nothing to pin
+        if n_checked >= 12:
+            break
+        run = StreamingScriptRun(
+            spark, script,
+            stream_tables={"events": ev}, static_tables={},
+            work_dir=str(tmp_path / f"fz{i}"),
+            time_col="event_id",  # chunk arrival keyed on the pk
+        )
+        try:
+            run.await_drained()
+        finally:
+            run.stop()
+        got = sorted(map(str, run.results["out"]))
+        if got != batch_rows:
+            failures.append((i, script, len(got), len(batch_rows)))
+        n_checked += 1
+    px.set_context(spark, tables={"events": ev})
+    assert not failures, "\n\n".join(
+        f"variant {i} ({ng} vs {nb} rows):\n{s}" for i, s, ng, nb in failures[:3]
+    )
+    assert n_checked >= 12, f"only {n_checked} non-empty streaming variants"
