@@ -256,3 +256,47 @@ def streaming_line_dedup(
         )
 
     return stream.writeStream.foreachBatch(sink).outputMode("update")
+
+
+def compact_batches(
+    spark: SparkSession, path: str, upto_batch_id: int, target_files: int = 1
+) -> int:
+    """Fold the many small ``batch_id=`` partitions a long-running
+    ingest loop accumulates into ONE consolidated partition — the
+    streaming-index twin of sources/sink.compact_partitions (the
+    small-files problem: one trigger = one partition directory = a few
+    tiny files; a month of 1-minute triggers is 43k directories the
+    per-trigger index read must list).
+
+    Only partitions with ``batch_id <= upto_batch_id`` are folded, and
+    the fold keeps the partition id ``upto_batch_id``; correctness of
+    the replay contract is preserved because those batches are already
+    COMMITTED in the streaming checkpoint (pick upto = the last batch id
+    of a stopped/committed epoch): a future batch N > upto still reads
+    the consolidated rows (batch_id <= upto < N), and no batch <= upto
+    can ever be replayed once its offset is committed. Returns the
+    number of partitions folded. The read side is materialized via an
+    eager localCheckpoint before the overwrite so the rewrite never
+    reads the files it is deleting (the compact_partitions discipline).
+    """
+    import glob as _glob
+
+    dirs = [
+        d for d in _glob.glob(os.path.join(path, f"{BATCH_COL}=*"))
+        if int(d.rsplit("=", 1)[1]) <= upto_batch_id
+    ]
+    if len(dirs) <= 1:
+        return len(dirs)
+    folded = (
+        spark.read.parquet(path)
+        .where(F.col(BATCH_COL) <= int(upto_batch_id))
+        .drop(BATCH_COL)
+        .coalesce(max(1, int(target_files)))
+        .localCheckpoint()
+    )
+    import shutil
+
+    for d in dirs:
+        shutil.rmtree(d)
+    _write_batch(folded, path, upto_batch_id)
+    return len(dirs)

@@ -826,3 +826,63 @@ def test_streaming_line_dedup_kill_resume(spark, tmp_path):
     lids = read_accumulated(spark, os.path.join(idx_dir, "lids"))
     distinct_lines = {ln for _, t in rows for ln in t.split("\n")}
     assert lids.count() == len(distinct_lines)
+
+
+def test_compact_batches_preserves_contract(spark, tmp_path):
+    """compact_batches folds committed batch_id partitions into one
+    without changing a row: (a) read_accumulated is identical before
+    and after, (b) the directory count collapses, (c) ingestion CONTINUES
+    against the compacted index — later batches still find cross-epoch
+    near-dups and the accumulated pair set still equals a full rebuild."""
+    import glob
+
+    from pyspark.sql import types as T
+
+    from pixie_spark.operators.dedup import minhash_lsh_pairs
+    from pixie_spark.streaming.ingest import (
+        compact_batches,
+        ingest_dedup_batch,
+        read_accumulated,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    mk = lambda i, extra: (i, f"{base} {extra} doc{i % 3}")  # noqa: E731
+    rows = [mk(i, ["one", "two", "three", "four"][i % 4]) for i in range(1, 11)]
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    idx, pairs = str(tmp_path / "c_index"), str(tmp_path / "c_pairs")
+    kw = dict(n=3, num_hashes=64, bands=64, threshold=0.5)
+    for b in range(4):  # batches 0..3, committed epoch
+        df = spark.createDataFrame(rows[b * 2:(b + 1) * 2], schema)
+        ingest_dedup_batch(df, b, idx, pairs, **kw)
+
+    sig_path = os.path.join(idx, "signatures")
+    before = sorted(map(str, read_accumulated(spark, sig_path).collect()))
+    assert len(glob.glob(os.path.join(sig_path, "batch_id=*"))) == 4
+    for sub in ("entries", "signatures"):
+        folded = compact_batches(spark, os.path.join(idx, sub), upto_batch_id=3)
+        assert folded == 4
+    folded_pairs = compact_batches(spark, pairs, upto_batch_id=3)
+    assert folded_pairs >= 1
+    assert len(glob.glob(os.path.join(sig_path, "batch_id=*"))) == 1
+    assert sorted(map(str, read_accumulated(spark, sig_path).collect())) == before
+
+    # the loop continues against the compacted index: batches 4..5
+    for b in range(4, 5):
+        df = spark.createDataFrame(rows[b * 2:(b + 1) * 2], schema)
+        ingest_dedup_batch(df, b, idx, pairs, **kw)
+    got = {
+        frozenset((r["doc_a"], r["doc_b"])): round(r["est_jaccard"], 9)
+        for r in read_accumulated(spark, pairs).collect()
+    }
+    full = {
+        frozenset((r["doc_a"], r["doc_b"])): round(r["est_jaccard"], 9)
+        for r in minhash_lsh_pairs(
+            spark.createDataFrame(rows, schema), "doc_id", "text",
+            n=3, num_hashes=64, bands=64, threshold=0.5,
+        ).collect()
+    }
+    assert got == full
+    # a cross-epoch pair exists: doc 9/10's twin lives before the compaction
+    assert any(max(k) >= 9 and min(k) <= 8 for k in got)
