@@ -62,6 +62,7 @@ class _Gen:
     def __init__(self, rng: random.Random):
         self.rng = rng
         self.int_cols = list(INT_COLS)  # grows with derived columns
+        self.str_cols = list(STR_COLS)
         self.lines = ["import px", "df = px.DataFrame('events')"]
         self.ctes = [
             f"q0 AS (SELECT {', '.join(BASE_COLS)} FROM events)"
@@ -75,7 +76,7 @@ class _Gen:
 
     def _predicate(self) -> tuple[str, str]:
         r = self.rng
-        kind = r.choice(["int", "int", "float", "str"])
+        kind = r.choice(["int", "int", "float", "str", "contains"])
         if kind == "int":
             c = r.choice(self.int_cols)
             op = r.choice([">", ">=", "<", "<=", "==", "!="])
@@ -86,6 +87,13 @@ class _Gen:
             op = r.choice([">", "<", ">=", "<="])
             lit = round(r.uniform(0.0, 350.0), 2)
             return f"(df['{c}'] {op} {lit})", f"({c} {op} {lit})"
+        if kind == "contains":
+            c = r.choice(self.str_cols)
+            sub = r.choice(["e", "a", "ck", "or", "x", "UP"])
+            return (
+                f"(px.contains(df['{c}'], '{sub}'))",
+                f"contains({c}, '{sub}')",
+            )
         c = r.choice(STR_COLS)
         op = r.choice(["==", "!="])
         lit = r.choice(EVENT_TYPES)
@@ -124,6 +132,36 @@ class _Gen:
         self.lines.append(f"df['{name}'] = {rhs_px}")
         self._next_cte(f"*, CAST({rhs_sql} AS BIGINT) AS {name}")
         self.int_cols.append(name)
+
+    def add_str_assign(self) -> None:
+        """Derived columns through the px string-function family
+        (functions/string_ops.py): case mapping and substring yield new
+        string columns (usable by later contains predicates), length
+        and 0-based find yield new int columns (usable by later
+        arithmetic / group keys)."""
+        r = self.rng
+        c = r.choice(self.str_cols)
+        name = f"s{self.step}"
+        kind = r.choice(["upper", "lower", "substr", "length", "find"])
+        if kind in ("upper", "lower"):
+            fn = "toupper" if kind == "upper" else "tolower"
+            self.lines.append(f"df['{name}'] = px.{fn}(df['{c}'])")
+            self._next_cte(f"*, {'upper' if kind == 'upper' else 'lower'}({c}) AS {name}")
+            self.str_cols.append(name)
+        elif kind == "substr":
+            a, n = r.randint(0, 2), r.randint(1, 4)
+            self.lines.append(f"df['{name}'] = px.substring(df['{c}'], {a}, {n})")
+            self._next_cte(f"*, substring({c}, {a + 1}, {n}) AS {name}")
+            self.str_cols.append(name)
+        elif kind == "length":
+            self.lines.append(f"df['{name}'] = px.length(df['{c}'])")
+            self._next_cte(f"*, length({c}) AS {name}")
+            self.int_cols.append(name)
+        else:  # find: 0-based index, -1 if absent (C++ string::find)
+            sub = r.choice(["e", "a", "ck", "or"])
+            self.lines.append(f"df['{name}'] = px.find(df['{c}'], '{sub}')")
+            self._next_cte(f"*, CAST(strpos({c}, '{sub}') - 1 AS BIGINT) AS {name}")
+            self.int_cols.append(name)
 
     def add_merge(self) -> None:
         """Self-aggregate merge: an aggregate built over a FILTERED copy
@@ -196,24 +234,32 @@ def _variant(rng: random.Random) -> tuple[str, str]:
     merged = False
     for _ in range(rng.randint(1, 4)):
         roll = rng.random()
-        if roll < 0.45:
+        if roll < 0.4:
             g.add_filter()
-        elif roll < 0.8 or merged:
+        elif roll < 0.65:
             g.add_assign()
-        else:
+        elif roll < 0.85:
+            g.add_str_assign()
+        elif not merged:
             g.add_merge()
             merged = True
+        else:
+            g.add_assign()
     return g.finish()
 
 
 def test_pxl_facade_fuzz_200_variants(spark, fuzz_ctx):
     rng = random.Random(2026)
     failures = []
-    zero_rows = n_merges = n_multi = 0
+    zero_rows = n_merges = n_multi = n_strfn = 0
     for i in range(N_VARIANTS):
         script, sql = _variant(rng)
         n_merges += ".merge(" in script
         n_multi += ".groupby(['" in script
+        n_strfn += any(
+            f"px.{fn}(" in script
+            for fn in ("toupper", "tolower", "length", "find", "substring")
+        )
         sdf = px.run_script(script)["out"].toPandas()
         odf = fuzz_ctx.execute(sql).fetchdf()
         if len(sdf) == 0 and len(odf) == 0:
@@ -236,6 +282,7 @@ def test_pxl_facade_fuzz_200_variants(spark, fuzz_ctx):
     assert zero_rows < N_VARIANTS * 0.5, f"{zero_rows} empty variants"
     assert n_merges >= 10, f"only {n_merges} merge variants generated"
     assert n_multi >= 5, f"only {n_multi} composite-groupby variants"
+    assert n_strfn >= 20, f"only {n_strfn} string-function variants"
 
 
 def test_pxl_facade_fuzz_streaming_duality(spark, fuzz_ctx, tmp_path):
