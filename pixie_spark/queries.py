@@ -2403,23 +2403,37 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _waterfill_ctes(target: float, rounds: int = 6) -> str:
+def _waterfill_ctes(target: float, rounds: int = 8) -> str:
     """DuckDB CTE chain replicating operators/sampling.temperature_weights
     (T=2) over documents.lang: ``rounds`` unrolled saturation rounds
     (each round saturates >=1 domain or reaches the fixed point, so
-    rounds >= |domains|+1 suffices); every CTE is MATERIALIZED because
-    inlining would re-expand the chain exponentially. Ends with CTE
-    ``p`` = (lang, keep probability)."""
+    rounds >= |domains|+1 suffices — the ``chk`` CTE raises a NAMED
+    error if a fixture ever grows past that, instead of silently
+    under-iterating); every CTE is MATERIALIZED because inlining would
+    re-expand the chain exponentially. Ends with CTE ``p`` = (lang,
+    keep probability).
+
+    Float parity with the Python fold: the ``z`` sums carry ``ORDER BY
+    lang`` so the pow() terms accumulate in exactly the sorted-domain
+    order temperature_weights uses (unordered summation could differ by
+    ULPs and flip a hash-draw sitting on a keep boundary). The budget
+    ``b`` needs no ordering: counts are integer-valued doubles, so its
+    sums/subtractions are exact in any order."""
     out = [
         "cnt AS MATERIALIZED (SELECT lang, CAST(count(*) AS DOUBLE) AS c "
         "FROM documents GROUP BY lang)",
-        "r0 AS MATERIALIZED (SELECT lang, c, FALSE AS sat FROM cnt)",
+        f"chk AS MATERIALIZED (SELECT CASE WHEN count(*) + 1 > {rounds} "
+        f"THEN error('_waterfill_ctes: rounds={rounds} < |domains|+1 = ' "
+        f"|| CAST(count(*) + 1 AS VARCHAR) || ' — raise rounds') "
+        f"ELSE 1 END AS ok FROM cnt)",
+        "r0 AS MATERIALIZED (SELECT lang, c, FALSE AS sat FROM cnt "
+        "WHERE (SELECT ok FROM chk) = 1)",
     ]
     for k in range(rounds):
         out.append(
             f"s{k} AS MATERIALIZED (SELECT {target} - coalesce(sum(c) "
-            f"FILTER (WHERE sat), 0.0) AS b, coalesce(sum(pow(c, 0.5)) "
-            f"FILTER (WHERE NOT sat), 0.0) AS z FROM r{k})"
+            f"FILTER (WHERE sat), 0.0) AS b, coalesce(sum(pow(c, 0.5) "
+            f"ORDER BY lang) FILTER (WHERE NOT sat), 0.0) AS z FROM r{k})"
         )
         out.append(
             f"r{k + 1} AS MATERIALIZED (SELECT lang, c, sat OR "
@@ -2428,8 +2442,8 @@ def _waterfill_ctes(target: float, rounds: int = 6) -> str:
         )
     out.append(
         f"s{rounds} AS MATERIALIZED (SELECT {target} - coalesce(sum(c) "
-        f"FILTER (WHERE sat), 0.0) AS b, coalesce(sum(pow(c, 0.5)) "
-        f"FILTER (WHERE NOT sat), 0.0) AS z FROM r{rounds})"
+        f"FILTER (WHERE sat), 0.0) AS b, coalesce(sum(pow(c, 0.5) "
+        f"ORDER BY lang) FILTER (WHERE NOT sat), 0.0) AS z FROM r{rounds})"
     )
     out.append(
         f"p AS MATERIALIZED (SELECT lang, CASE WHEN sat THEN 1.0 "

@@ -37,11 +37,15 @@ operation here is per-bucket parallel and restart-safe.
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from pixie_spark.fsutil import (
+    active_session,
+    delete_dir,
+    list_files,
+    partition_dirs,
+)
 
 HOUR_NS = 3_600 * 10**9
 DAY_NS = 24 * HOUR_NS
@@ -111,27 +115,19 @@ def read_time_partitioned(
     return df
 
 
-def _bucket_dirs(path: str) -> dict[int, str]:
-    out = {}
-    if not os.path.isdir(path):
-        return out
-    for name in os.listdir(path):
-        if name.startswith(f"{BUCKET_COL}="):
-            try:
-                out[int(name.split("=", 1)[1])] = os.path.join(path, name)
-            except ValueError:
-                continue
-    return out
+def _bucket_dirs(path: str, spark: SparkSession | None = None) -> dict[int, str]:
+    # Hadoop FileSystem listing (pixie_spark.fsutil): works against any
+    # Spark-supported filesystem, not just file: (round-6 verdict #3)
+    return partition_dirs(spark or active_session(), path, BUCKET_COL)
 
 
 def partition_stats(spark: SparkSession, path: str) -> DataFrame:
     """(time_bucket, n_files, bytes) per bucket directory — the
     observability feed for compaction/retention (cf. table_metrics.h)."""
     rows = []
-    for bucket, d in sorted(_bucket_dirs(path).items()):
-        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
-        size = sum(os.path.getsize(os.path.join(d, f)) for f in files)
-        rows.append((bucket, len(files), size))
+    for bucket, d in sorted(_bucket_dirs(path, spark).items()):
+        files = list_files(spark, d, suffix=".parquet")
+        rows.append((bucket, len(files), sum(sz for _, sz in files)))
     return spark.createDataFrame(rows, "time_bucket long, n_files long, bytes long")
 
 
@@ -150,12 +146,12 @@ def compact_partitions(
     never reads the directories it replaces. Returns the compacted
     bucket ids.
     """
-    dirs = _bucket_dirs(path)
+    dirs = _bucket_dirs(path, spark)
     if buckets is None:
         buckets = [
             b
             for b, d in dirs.items()
-            if len([f for f in os.listdir(d) if f.endswith(".parquet")]) > min_files
+            if len(list_files(spark, d, suffix=".parquet")) > min_files
         ]
     done = []
     for b in sorted(buckets):
@@ -181,9 +177,10 @@ def expire_before(
     untouched; a bucket straddling the cutoff is KEPT — retention is
     bucket-granular by design, exactly like the reference's batch-
     granular expiration. Returns the expired bucket ids."""
+    spark = active_session()
     expired = []
-    for bucket, d in sorted(_bucket_dirs(path).items()):
+    for bucket, d in sorted(_bucket_dirs(path, spark).items()):
         if (bucket + 1) * bucket_ns <= cutoff_ns:
-            shutil.rmtree(d)
+            delete_dir(spark, d)
             expired.append(bucket)
     return expired

@@ -27,13 +27,31 @@ and the index/old-pairs read side filters ``batch_id < current`` so a
 partial write from the failed attempt is never an input to the retry.
 tests/test_stateful.py invokes each sink twice with the same batch_id
 and asserts the accumulated outputs equal a single run.
+
+Compaction (:func:`compact_batches`) folds the per-trigger partition
+directories into a single consolidated GENERATION partition with a
+negative sentinel id, ``batch_id = -(upto + 1)``. The swap is
+crash-atomic: the consolidated rows stream through a dot-prefixed temp
+directory (invisible to parquet readers) and become visible via ONE
+filesystem rename; the folded source directories are deleted only
+after that commit point, and every read in this module resolves the
+newest (most negative) generation first, so no committed row is ever
+unreadable at any intermediate state (injected-failure test in
+tests/test_stateful.py). The reference contract being matched: the
+table store's compaction never loses hot-store rows
+(src/table_store/table/table.h:85-104).
+
+All directory listing / deletion / renaming goes through the Hadoop
+FileSystem API (via the session JVM), so the module works against any
+Spark-supported filesystem whose connector is on the classpath — not
+just ``file:``. Caveat for object stores: the commit-point rename is
+atomic on file:/hdfs: but only best-effort (copy+delete) on s3a:-style
+stores; on those, prefer compacting while the ingest stream is stopped.
 """
 
 from __future__ import annotations
 
-import glob
 import os
-import re as _re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -43,11 +61,35 @@ from pixie_spark.operators.incremental import build_index, incremental_pairs
 BATCH_COL = "batch_id"
 
 
+# Hadoop-FileSystem I/O (object-store safe — no glob/shutil/os.path I/O)
+from pixie_spark.fsutil import (  # noqa: E402
+    delete_dir as _delete_dir,
+    fs_for as _fs_for,
+    jpath as _jpath,
+    rename as _rename,
+)
+from pixie_spark.fsutil import partition_dirs as _partition_dirs  # noqa: E402
+
+
+def _list_batch_ids(spark: SparkSession, path: str) -> list[int]:
+    """Sorted ids of the ``batch_id=`` partition directories under
+    ``path`` ([] if the path does not exist yet). Negative ids are
+    consolidated generations written by :func:`compact_batches`."""
+    return sorted(_partition_dirs(spark, path, BATCH_COL))
+
+
 def _write_batch(df: DataFrame, path: str, batch_id: int) -> None:
     """Idempotent micro-batch write: the batch owns exactly its own
     ``batch_id=`` partition; dynamic overwrite makes a foreachBatch
     retry replace that partition byte-for-byte (sources/sink.py
     pattern). An empty batch writes no partitions and deletes none."""
+    if BATCH_COL in df.columns:
+        raise ValueError(
+            f"input already has a '{BATCH_COL}' column — the ingest sinks "
+            f"reserve it as the replay partition key and read_accumulated "
+            f"drops it, so user data under that name would be silently "
+            f"replaced then removed. Rename the column before ingesting."
+        )
     (
         df.withColumn(BATCH_COL, F.lit(int(batch_id)))
         .write.mode("overwrite")
@@ -57,28 +99,69 @@ def _write_batch(df: DataFrame, path: str, batch_id: int) -> None:
     )
 
 
-def _has_batches(path: str) -> bool:
-    return bool(glob.glob(os.path.join(path, f"{BATCH_COL}=*")))
+def _has_batches(spark: SparkSession, path: str) -> bool:
+    return bool(_list_batch_ids(spark, path))
+
+
+def _generation(ids: list[int]):
+    """(sentinel_id, covered_upto) of the newest consolidated
+    generation among ``ids``, or (None, -1) if never compacted. The
+    newest generation is the MOST NEGATIVE sentinel (it covers the
+    longest prefix); its id encodes what it folded: -(covered + 1)."""
+    sentinels = [i for i in ids if i < 0]
+    if not sentinels:
+        return None, -1
+    latest = min(sentinels)
+    return latest, -latest - 1
+
+
+def _visible_cond(ids: list[int], before: int | None = None):
+    """Partition-prunable predicate selecting exactly the committed,
+    non-superseded rows: the newest consolidated generation plus every
+    per-batch partition it does not cover (and, for index reads,
+    only batches EARLIER than ``before``)."""
+    latest, covered = _generation(ids)
+    cond = F.col(BATCH_COL) > covered
+    if before is not None:
+        if covered >= before:
+            raise RuntimeError(
+                f"index was compacted through batch {covered}, but batch "
+                f"{before} is being (re)processed — compact_batches must "
+                f"only fold batches the streaming checkpoint has committed "
+                f"(pass checkpoint_dir to enforce this)."
+            )
+        cond = cond & (F.col(BATCH_COL) < int(before))
+    if latest is not None:
+        cond = cond | (F.col(BATCH_COL) == latest)
+    return cond
 
 
 def read_accumulated(spark: SparkSession, path: str) -> DataFrame:
     """The accumulated output of an ingest loop, partition column
     dropped — what a plain append sink would have produced, minus the
-    duplicate rows a retry would have left behind."""
-    return spark.read.parquet(path).drop(BATCH_COL)
+    duplicate rows a retry would have left behind and the per-batch
+    partitions a compaction superseded."""
+    ids = _list_batch_ids(spark, path)
+    return (
+        spark.read.parquet(path)
+        .where(_visible_cond(ids))
+        .drop(BATCH_COL)
+    )
 
 
 def _read_before(
     spark: SparkSession, path: str, batch_id: int, like: DataFrame
 ) -> DataFrame:
     """Index state visible to ``batch_id``: partitions written by
-    EARLIER batches only. A partial write from a failed attempt of this
-    very batch is excluded (partition-pruned, not scanned), so the
-    retry recomputes from exactly the inputs the first attempt saw."""
-    if _has_batches(path):
+    EARLIER batches only (directly, or through a consolidated
+    generation). A partial write from a failed attempt of this very
+    batch is excluded (partition-pruned, not scanned), so the retry
+    recomputes from exactly the inputs the first attempt saw."""
+    ids = _list_batch_ids(spark, path)
+    if ids:
         return (
             spark.read.parquet(path)
-            .where(F.col(BATCH_COL) < int(batch_id))
+            .where(_visible_cond(ids, before=int(batch_id)))
             .drop(BATCH_COL)
         )
     return spark.createDataFrame([], like.schema)
@@ -167,6 +250,8 @@ def line_dedup_batch(
     same ``batch_id``. Null text coalesces to '' exactly as the batch
     operator (operators/dedup.py line_level_dedup) does, preserving
     the stream≡batch duality for null-text docs."""
+    import re as _re
+
     spark = batch_df.sparkSession
     lid_path = os.path.join(index_dir, "lids")
     pat = _re.escape(sep)
@@ -258,45 +343,124 @@ def streaming_line_dedup(
     return stream.writeStream.foreachBatch(sink).outputMode("update")
 
 
+def _last_committed_batch(spark: SparkSession, checkpoint_dir: str):
+    """Largest batch id in the streaming checkpoint's ``commits/`` log
+    (one numerically-named file per fully-committed micro-batch), or
+    None if nothing committed. A batch present here can never be
+    replayed: on restart Spark resumes AFTER the latest commit."""
+    fs, jroot = _fs_for(spark, os.path.join(checkpoint_dir, "commits"))
+    if not fs.exists(jroot):
+        return None
+    ids = []
+    for st in fs.listStatus(jroot):
+        try:
+            ids.append(int(st.getPath().getName()))
+        except ValueError:
+            pass  # .tmp / metadata files
+    return max(ids) if ids else None
+
+
 def compact_batches(
-    spark: SparkSession, path: str, upto_batch_id: int, target_files: int = 1
+    spark: SparkSession,
+    path: str,
+    upto_batch_id: int,
+    target_files: int = 1,
+    checkpoint_dir: str | None = None,
+    _failpoint=None,
 ) -> int:
     """Fold the many small ``batch_id=`` partitions a long-running
-    ingest loop accumulates into ONE consolidated partition — the
+    ingest loop accumulates into ONE consolidated generation — the
     streaming-index twin of sources/sink.compact_partitions (the
     small-files problem: one trigger = one partition directory = a few
     tiny files; a month of 1-minute triggers is 43k directories the
     per-trigger index read must list).
 
-    Only partitions with ``batch_id <= upto_batch_id`` are folded, and
-    the fold keeps the partition id ``upto_batch_id``; correctness of
-    the replay contract is preserved because those batches are already
-    COMMITTED in the streaming checkpoint (pick upto = the last batch id
-    of a stopped/committed epoch): a future batch N > upto still reads
-    the consolidated rows (batch_id <= upto < N), and no batch <= upto
-    can ever be replayed once its offset is committed. Returns the
-    number of partitions folded. The read side is materialized via an
-    eager localCheckpoint before the overwrite so the rewrite never
-    reads the files it is deleting (the compact_partitions discipline).
+    Partitions with ``0 <= batch_id <= upto_batch_id`` — plus any older
+    consolidated generation — are folded into the sentinel partition
+    ``batch_id = -(upto_batch_id + 1)``. Sentinel ids live outside the
+    replayable range, so a retried micro-batch's dynamic overwrite can
+    never clobber consolidated history, and the read side
+    (:func:`read_accumulated` / the per-batch index view) resolves the
+    most negative sentinel as the newest generation and skips every
+    per-batch partition it covers.
+
+    Crash-atomicity: the consolidated rows are WRITTEN TO A TEMP
+    DIRECTORY first (dot-prefixed — parquet readers ignore it), then
+    made visible by a single filesystem rename; only after that commit
+    point are the superseded directories deleted. A crash at any
+    instant leaves every committed row readable: before the rename the
+    old layout is untouched, after it the new generation already
+    supersedes whatever cleanup did not finish (re-running
+    compact_batches completes the cleanup). The fold streams through
+    the filesystem — no driver/executor-memory materialization of the
+    whole index (the old localCheckpoint approach capped the index at
+    executor storage).
+
+    ``upto_batch_id`` must only cover batches the streaming checkpoint
+    has COMMITTED — a batch whose offsets are logged but uncommitted
+    will be replayed on restart, and the retry must not see its own
+    first attempt through the consolidated generation. Pass
+    ``checkpoint_dir`` (the stream's checkpointLocation) to enforce
+    this against the commits log: folding past the last committed batch
+    raises. Without it, the caller owns the guarantee (pick upto = the
+    last batch id of a stopped epoch); the per-batch read path also
+    fails loudly if it ever observes a compaction past its own batch.
+
+    Returns the number of directories folded (0/1 = nothing to do).
     """
-    import glob as _glob
+    if upto_batch_id < 0:
+        raise ValueError("upto_batch_id must be a real (non-negative) batch id")
+    if checkpoint_dir is not None:
+        last = _last_committed_batch(spark, checkpoint_dir)
+        if last is None or upto_batch_id > last:
+            raise ValueError(
+                f"compact_batches(upto_batch_id={upto_batch_id}) exceeds the "
+                f"checkpoint's last committed batch "
+                f"({'none' if last is None else last}) — an uncommitted "
+                f"batch can be replayed, and folding it would feed the "
+                f"retry its own first attempt. Compact only committed ids."
+            )
+    ids = _list_batch_ids(spark, path)
+    old_sentinel, covered = _generation(ids)
+    if upto_batch_id < covered:
+        raise ValueError(
+            f"already compacted through batch {covered}; upto_batch_id="
+            f"{upto_batch_id} cannot fold a shorter prefix"
+        )
+    fold_ids = [i for i in ids if (0 <= i <= upto_batch_id) or i < 0]
+    if len(fold_ids) <= 1:
+        return len(fold_ids)
 
-    dirs = [
-        d for d in _glob.glob(os.path.join(path, f"{BATCH_COL}=*"))
-        if int(d.rsplit("=", 1)[1]) <= upto_batch_id
-    ]
-    if len(dirs) <= 1:
-        return len(dirs)
-    folded = (
-        spark.read.parquet(path)
-        .where(F.col(BATCH_COL) <= int(upto_batch_id))
-        .drop(BATCH_COL)
-        .coalesce(max(1, int(target_files)))
-        .localCheckpoint()
-    )
-    import shutil
-
-    for d in dirs:
-        shutil.rmtree(d)
-    _write_batch(folded, path, upto_batch_id)
-    return len(dirs)
+    new_sentinel = -(int(upto_batch_id) + 1)
+    sentinel_dir = os.path.join(path, f"{BATCH_COL}={new_sentinel}")
+    fs, _ = _fs_for(spark, path)
+    if not fs.exists(_jpath(spark, sentinel_dir)):
+        # the commit point does not exist yet: build it in a hidden temp
+        tmp = os.path.join(path, f".{BATCH_COL}-compact-{upto_batch_id}.tmp")
+        _delete_dir(spark, tmp)  # stale temp from a previous crash
+        cond = (F.col(BATCH_COL) > covered) & (
+            F.col(BATCH_COL) <= int(upto_batch_id)
+        )
+        if old_sentinel is not None:
+            cond = cond | (F.col(BATCH_COL) == old_sentinel)
+        (
+            spark.read.parquet(path)
+            .where(cond)
+            .drop(BATCH_COL)
+            .coalesce(max(1, int(target_files)))
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        if _failpoint is not None:
+            _failpoint("pre-swap")
+        _rename(spark, tmp, sentinel_dir)  # THE commit point (atomic)
+    if _failpoint is not None:
+        _failpoint("post-swap")
+    # cleanup: everything the new generation supersedes. Interruptible —
+    # leftovers are invisible to readers and removed by a re-run.
+    for i in fold_ids:
+        if i != new_sentinel:
+            _delete_dir(spark, os.path.join(path, f"{BATCH_COL}={i}"))
+            if _failpoint is not None:
+                _failpoint("mid-cleanup")
+    return len(fold_ids)

@@ -92,10 +92,11 @@ class StreamingScriptRun:
             # RESTART (same work_dir, checkpoint present) the existing
             # files are reused — re-laying them would mint new file
             # names the checkpointed file source treats as unseen,
-            # double-ingesting everything.
-            import glob as _glob
-
-            if not _glob.glob(os.path.join(src, "part-*")):
+            # double-ingesting everything. Reuse is keyed on _SUCCESS
+            # (written at JOB commit): a crash mid-layout leaves part
+            # files but no marker, and must re-lay rather than stream a
+            # truncated source.
+            if not os.path.exists(os.path.join(src, "_SUCCESS")):
                 (
                     df.repartitionByRange(chunks, time_col)
                     .sortWithinPartitions(time_col)
@@ -169,7 +170,7 @@ class StreamingScriptRun:
 
         tables = dict(self._static)
         for name in self._schemas:
-            if _has_batches(os.path.join(self._work, "accum", name)):
+            if _has_batches(self._spark, os.path.join(self._work, "accum", name)):
                 tables[name] = self._snapshot(name)
         for name, df in tables.items():
             px.register_table(name, df)

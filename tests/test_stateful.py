@@ -886,3 +886,323 @@ def test_compact_batches_preserves_contract(spark, tmp_path):
     assert got == full
     # a cross-epoch pair exists: doc 9/10's twin lives before the compaction
     assert any(max(k) >= 9 and min(k) <= 8 for k in got)
+
+
+def _ingest_four_batches(spark, tmp_path, tag):
+    """Shared fixture logic: 4 committed ingest batches → (idx, pairs,
+    rows, kw) with batch_id= partitions under idx/{entries,signatures}."""
+    from pyspark.sql import types as T
+
+    from pixie_spark.streaming.ingest import ingest_dedup_batch
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    mk = lambda i, extra: (i, f"{base} {extra} doc{i % 3}")  # noqa: E731
+    rows = [mk(i, ["one", "two", "three", "four"][i % 4]) for i in range(1, 11)]
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    idx, pairs = str(tmp_path / f"{tag}_index"), str(tmp_path / f"{tag}_pairs")
+    kw = dict(n=3, num_hashes=64, bands=64, threshold=0.5)
+    for b in range(4):
+        df = spark.createDataFrame(rows[b * 2:(b + 1) * 2], schema)
+        ingest_dedup_batch(df, b, idx, pairs, **kw)
+    return idx, pairs, rows, schema, kw
+
+
+def test_compact_batches_crash_atomic(spark, tmp_path):
+    """Round-6 verdict #1: kill compaction at EVERY intermediate point
+    (after the consolidated fold, after the atomic swap, mid-cleanup)
+    and prove no committed row is ever unreadable — then prove a plain
+    re-run completes the interrupted compaction and the ingest loop
+    continues correctly against the result."""
+    import glob
+
+    from pixie_spark.streaming.ingest import (
+        compact_batches,
+        ingest_dedup_batch,
+        read_accumulated,
+    )
+    from pixie_spark.operators.dedup import minhash_lsh_pairs
+
+    idx, pairs, rows, schema, kw = _ingest_four_batches(spark, tmp_path, "ca")
+    sig_path = os.path.join(idx, "signatures")
+    before = sorted(map(str, read_accumulated(spark, sig_path).collect()))
+
+    class Boom(Exception):
+        pass
+
+    def failer(stage):
+        calls = {"n": 0}
+
+        def f(s):
+            if s == stage and calls["n"] == 0:
+                calls["n"] += 1
+                raise Boom(stage)
+
+        return f
+
+    # crash BEFORE the swap: old layout untouched, temp invisible
+    with pytest.raises(Boom):
+        compact_batches(spark, sig_path, upto_batch_id=3, _failpoint=failer("pre-swap"))
+    assert sorted(map(str, read_accumulated(spark, sig_path).collect())) == before
+    assert len(glob.glob(os.path.join(sig_path, "batch_id=*"))) == 4
+
+    # crash AFTER the swap, before any cleanup: new generation already
+    # supersedes the still-present per-batch dirs — no dup, no loss
+    with pytest.raises(Boom):
+        compact_batches(spark, sig_path, upto_batch_id=3, _failpoint=failer("post-swap"))
+    assert sorted(map(str, read_accumulated(spark, sig_path).collect())) == before
+
+    # crash MID-cleanup: some superseded dirs deleted, some not
+    with pytest.raises(Boom):
+        compact_batches(spark, sig_path, upto_batch_id=3, _failpoint=failer("mid-cleanup"))
+    assert sorted(map(str, read_accumulated(spark, sig_path).collect())) == before
+
+    # plain re-run completes the interrupted compaction
+    compact_batches(spark, sig_path, upto_batch_id=3)
+    assert len(glob.glob(os.path.join(sig_path, "batch_id=*"))) == 1
+    assert sorted(map(str, read_accumulated(spark, sig_path).collect())) == before
+    # no temp residue
+    assert not glob.glob(os.path.join(sig_path, ".batch_id-compact-*"))
+
+    # the loop continues against a generation produced through a crash
+    for sub in ("entries",):
+        compact_batches(spark, os.path.join(idx, sub), upto_batch_id=3)
+    df = spark.createDataFrame(rows[8:10], schema)
+    ingest_dedup_batch(df, 4, idx, pairs, **kw)
+    got = {
+        frozenset((r["doc_a"], r["doc_b"])): round(r["est_jaccard"], 9)
+        for r in read_accumulated(spark, pairs).collect()
+    }
+    full = {
+        frozenset((r["doc_a"], r["doc_b"])): round(r["est_jaccard"], 9)
+        for r in minhash_lsh_pairs(
+            spark.createDataFrame(rows, schema), "doc_id", "text", **kw
+        ).collect()
+    }
+    assert got == full
+
+
+def test_compact_batches_recompaction_generations(spark, tmp_path):
+    """Compacting an ALREADY-compacted index folds the old generation
+    plus the new per-batch dirs into the next generation — and a crash
+    between the two generations being on disk simultaneously still
+    reads exactly one copy of every row (newest generation wins)."""
+    import glob
+
+    from pixie_spark.streaming.ingest import (
+        compact_batches,
+        ingest_dedup_batch,
+        read_accumulated,
+    )
+
+    idx, pairs, rows, schema, kw = _ingest_four_batches(spark, tmp_path, "gen")
+    sig_path = os.path.join(idx, "signatures")
+    compact_batches(spark, sig_path, upto_batch_id=1)  # gen 1 covers 0..1
+    df = spark.createDataFrame(rows[8:10], schema)
+    ingest_dedup_batch(df, 4, idx, pairs, **kw)
+    before = sorted(map(str, read_accumulated(spark, sig_path).collect()))
+
+    class Boom(Exception):
+        pass
+
+    def post_swap(stage):
+        if stage == "post-swap":
+            raise Boom(stage)
+
+    with pytest.raises(Boom):
+        compact_batches(spark, sig_path, upto_batch_id=4, _failpoint=post_swap)
+    # both generations + superseded dirs on disk: still exactly-once
+    assert sorted(map(str, read_accumulated(spark, sig_path).collect())) == before
+    compact_batches(spark, sig_path, upto_batch_id=4)
+    assert len(glob.glob(os.path.join(sig_path, "batch_id=*"))) == 1
+    assert sorted(map(str, read_accumulated(spark, sig_path).collect())) == before
+    # folding a SHORTER prefix than already covered refuses loudly
+    with pytest.raises(ValueError, match="already compacted"):
+        compact_batches(spark, sig_path, upto_batch_id=2)
+
+
+def test_compact_batches_replay_guard_fails_loud(spark, tmp_path):
+    """If compaction ever folds a batch that is then replayed (the
+    offsets-logged-but-uncommitted case), the per-batch index read must
+    FAIL LOUDLY instead of silently feeding the retry its own first
+    attempt — the round-6 medium-severity advice item."""
+    from pyspark.sql import types as T
+
+    from pixie_spark.streaming.ingest import (
+        _read_before,
+        compact_batches,
+        ingest_dedup_batch,
+    )
+
+    idx, pairs, rows, schema, kw = _ingest_four_batches(spark, tmp_path, "rg")
+    sig_path = os.path.join(idx, "signatures")
+    compact_batches(spark, sig_path, upto_batch_id=3)
+    like = spark.createDataFrame([], "doc long")
+    # batches 0..3 folded; a replay of batch 3 must not see generation -4
+    with pytest.raises(RuntimeError, match="compacted"):
+        _read_before(spark, sig_path, 3, like)
+    # ...and the full ingest step surfaces the same error
+    with pytest.raises(RuntimeError, match="compacted"):
+        ingest_dedup_batch(
+            spark.createDataFrame(rows[6:8], schema), 3, idx, pairs, **kw
+        )
+    # batch 4 (first un-folded id) reads cleanly
+    assert _read_before(spark, sig_path, 4, like).count() == 8
+
+
+def test_compact_batches_commit_log_guard_live_stream(spark, tmp_path):
+    """checkpoint_dir-guarded compaction against a REAL streaming
+    checkpoint: folding past the commits log raises; compaction invoked
+    BETWEEN two live micro-batches (from inside the foreachBatch of the
+    later one, guarded by the commit log) is safe and the accumulated
+    output still equals the input."""
+    import glob
+
+    from pyspark.sql import types as T
+
+    from pixie_spark.streaming.ingest import (
+        _last_committed_batch,
+        _write_batch,
+        compact_batches,
+        read_accumulated,
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    rows = [(i, f"document body {i}") for i in range(12)]
+    src = str(tmp_path / "clg_src")
+    for i in range(6):
+        spark.createDataFrame(rows[i * 2:(i + 1) * 2], schema).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+    out, ckpt = str(tmp_path / "clg_out"), str(tmp_path / "clg_ckpt")
+    compactions = []
+
+    def sink(batch_df, batch_id):
+        _write_batch(batch_df, out, batch_id)
+        last = _last_committed_batch(spark, ckpt)
+        if batch_id == 4 and last is not None:
+            # live compaction between micro-batches, commit-log guarded
+            compactions.append(compact_batches(
+                spark, out, upto_batch_id=last, checkpoint_dir=ckpt
+            ))
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert compactions and compactions[0] >= 2
+    got = sorted((r["doc_id"], r["text"]) for r in read_accumulated(spark, out).collect())
+    assert got == sorted(rows)
+
+    last = _last_committed_batch(spark, ckpt)
+    assert last == 5
+    # folding PAST the commits log refuses loudly
+    with pytest.raises(ValueError, match="last committed"):
+        compact_batches(spark, out, upto_batch_id=last + 1, checkpoint_dir=ckpt)
+    # folding a committed prefix is accepted and preserves every row
+    compact_batches(spark, out, upto_batch_id=last, checkpoint_dir=ckpt)
+    assert len(glob.glob(os.path.join(out, "batch_id=*"))) == 1
+    got2 = sorted((r["doc_id"], r["text"]) for r in read_accumulated(spark, out).collect())
+    assert got2 == sorted(rows)
+    # an empty/fresh checkpoint commits nothing — guard refuses any fold
+    with pytest.raises(ValueError, match="last committed"):
+        compact_batches(
+            spark, out, upto_batch_id=0, checkpoint_dir=str(tmp_path / "clg_none")
+        )
+
+
+def test_write_batch_rejects_reserved_column(spark, tmp_path):
+    """A stream whose data legitimately carries a batch_id column must
+    be rejected, not silently overwritten-then-dropped (round-6 advice,
+    ingest.py _write_batch)."""
+    from pixie_spark.streaming.ingest import _write_batch
+
+    df = spark.range(3).select(F.col("id"), F.lit(7).alias("batch_id"))
+    with pytest.raises(ValueError, match="batch_id"):
+        _write_batch(df, str(tmp_path / "rsv"), 0)
+
+
+def test_ingest_fs_helpers_are_object_store_shaped(spark, tmp_path):
+    """The ingest module's directory I/O goes through the Hadoop
+    FileSystem API: scheme-qualified file: URIs work end-to-end
+    (proving no glob/shutil/os.path dependence), and an object-store
+    scheme without its connector refuses with an actionable error
+    instead of silently no-op'ing."""
+    import glob
+
+    from pixie_spark.streaming.ingest import (
+        _fs_for,
+        _list_batch_ids,
+        compact_batches,
+        read_accumulated,
+    )
+
+    idx, pairs, rows, schema, kw = _ingest_four_batches(spark, tmp_path, "fs")
+    sig_path = os.path.join(idx, "signatures")
+    uri = "file:" + sig_path
+    assert _list_batch_ids(spark, uri) == [0, 1, 2, 3]
+    before = sorted(map(str, read_accumulated(spark, uri).collect()))
+    # full compaction cycle through the scheme-qualified URI
+    assert compact_batches(spark, uri, upto_batch_id=3) == 4
+    assert _list_batch_ids(spark, uri) == [-4]
+    assert len(glob.glob(os.path.join(sig_path, "batch_id=*"))) == 1
+    assert sorted(map(str, read_accumulated(spark, uri).collect())) == before
+    # missing path → empty listing, not an exception
+    assert _list_batch_ids(spark, "file:" + str(tmp_path / "nope")) == []
+    # s3a without hadoop-aws on the classpath: actionable refusal
+    with pytest.raises(RuntimeError, match="connector"):
+        _fs_for(spark, "s3a://bucket/prefix")
+
+
+def test_script_stream_relays_source_on_missing_success_marker(spark, tmp_path):
+    """Round-6 advice (script_stream.py): source-layout reuse on
+    restart is keyed on the _SUCCESS job-commit marker. A partial
+    layout (part files present, no _SUCCESS — the crash-mid-layout
+    state) must be RE-LAID, not streamed truncated."""
+    from pyspark.sql import types as T
+
+    import pixie_spark.api as px
+    from pixie_spark.streaming.script_stream import StreamingScriptRun
+
+    schema = T.StructType(
+        [
+            T.StructField("time_", T.LongType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    df = spark.createDataFrame([(i * 1_000_000, i) for i in range(20)], schema)
+    work = str(tmp_path / "ssw")
+    src = os.path.join(work, "src", "t")
+    # fake a crash-mid-layout: ONE truncated part file, no _SUCCESS
+    os.makedirs(src)
+    df.limit(3).coalesce(1).write.mode("overwrite").parquet(src + ".tmp")
+    import shutil
+
+    part = [f for f in os.listdir(src + ".tmp") if f.startswith("part-")][0]
+    shutil.copy(os.path.join(src + ".tmp", part), os.path.join(src, part))
+    assert not os.path.exists(os.path.join(src, "_SUCCESS"))
+
+    px.set_context(spark)
+    script = "import px\ndf = px.DataFrame('t')\npx.display(df, 'out')\n"
+    run = StreamingScriptRun(
+        spark, script, stream_tables={"t": df}, static_tables={},
+        work_dir=work, chunks=2,
+    )
+    try:
+        run.await_drained()
+    finally:
+        run.stop()
+    # all 20 rows streamed — the truncated 3-row layout was replaced
+    assert len(run.results["out"]) == 20

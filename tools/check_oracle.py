@@ -131,7 +131,11 @@ def oracle_connection(sf_dir: str):
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
+        if os.path.isdir(path):
+            # Spark-written layout (a directory of part files, e.g. the
+            # .benchdata/sf1 tier) — register the part-file glob instead.
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}/*.parquet'")
+        elif os.path.exists(path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     con.create_function(
         "spark_xxhash64", lambda v: xxhash64_long(v), ["BIGINT"], "BIGINT"
