@@ -5,6 +5,20 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced with a noop sink (full computation, no driver
 collect). Timings include Catalyst planning but not session startup.
+
+Noise control (round-6 verdict #5): every headline query runs
+$SPARK_GRAFT_BENCH_REPEATS times (default 3); ``queries`` carries the
+per-query MEDIAN, ``queries_stats`` the {median,min,max,runs} spread,
+and ``value`` is the sum of medians — so round-over-round regressions
+are judged against measured spread, not single-shot wobble (the repo's
+own measured single-shot variance is ±15% on sub-second queries).
+
+Output-proportional scaling (round-6 verdict #6): ``rows_out`` carries
+every query's result-set cardinality (counted AFTER the timed runs, so
+the count job never pollutes a timing), letting cross-tier outliers be
+adjudicated by rows-per-second instead of prose — e.g. the sf1 tier's
+dedup_embedding_cosine_lsh emits 327x the pairs of sf0.1, and only
+rows_out makes that machine-checkable.
 """
 
 from __future__ import annotations
@@ -154,18 +168,41 @@ def main() -> None:
                 "noop"
             ).mode("overwrite").save()
 
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else round((s[mid - 1] + s[mid]) / 2, 3)
+
     timings: dict[str, float] = {}
+    stats: dict[str, dict] = {}
     extra_timings: dict[str, float] = {}
+    rows_out: dict[str, int] = {}
     errors: dict[str, str] = {}
     extra_errors: dict[str, str] = {}
-    for name, sink, err_sink in [(n, timings, errors) for n in HEADLINE] + [
-        (n, extra_timings, extra_errors) for n in EXTRA
-    ]:
+    # extras are visibility-only: single-shot keeps the bench wall time
+    # bounded; the noise-controlled medians cover the headline total
+    for name, sink, err_sink, n_runs in [
+        (n, timings, errors, repeats) for n in HEADLINE
+    ] + [(n, extra_timings, extra_errors, 1) for n in EXTRA]:
         fn = BENCH_OVERRIDES.get(name, QUERIES[name].fn)
-        t0 = time.time()
+        runs: list[float] = []
         try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            sink[name] = round(time.time() - t0, 3)
+            for _ in range(n_runs):
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(round(time.time() - t0, 3))
+            sink[name] = median(runs)
+            if n_runs > 1:
+                stats[name] = {
+                    "median": median(runs),
+                    "min": min(runs),
+                    "max": max(runs),
+                    "runs": len(runs),
+                }
+            # result-set cardinality, counted outside the timed runs
+            rows_out[name] = fn(spark, sf_dir).count()
         except Exception as e:  # skip-and-continue: one broken query must
             # not zero out the whole bench signal (round-2 lesson).
             err_sink[name] = f"{type(e).__name__}: {e}"[:300]
@@ -177,6 +214,13 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # per-query repeat spread — judge regressions against this, not
+        # single-shot deltas (round-6 verdict #5)
+        "queries_stats": stats,
+        "bench_repeats": repeats,
+        # result-set cardinality per query (headline + extra): the
+        # denominator for output-proportional scaling claims (verdict #6)
+        "rows_out": rows_out,
         # Entries timed under a production config that differs from the
         # correctness-gate config (see BENCH_OVERRIDES) — flagged so a
         # consumer knows the benched path is not the oracle-checked one.
