@@ -15,25 +15,34 @@ Domain discipline keeps every variant exactly comparable:
 - float columns appear only in comparisons against literals (same
   parquet doubles on both sides),
 - sums cast to BIGINT on the DuckDB side (sum(BIGINT) is HUGEINT),
-- no head()/limit (order-dependent by definition).
+- the epoch-µs time column feeds only rolling()/group keys/min/max,
+  never sum/mean (a 60k-row sum of ~1.7e15 µs epochs overflows int64
+  on the Spark side where DuckDB would widen to HUGEINT),
+- head()/limit only in the dedicated tier below, compared by ROW COUNT
+  alone (the head contract: which rows is order-dependent by design).
 
-200 variants, fixed seed — failures reproduce byte-for-byte and the
-assert message carries the full script + SQL.
+300 variants + a 60-variant head tier, fixed seeds — failures reproduce
+byte-for-byte and the assert message carries the full script + SQL.
+Round-6 verdict #4 families: rolling() time-bins (rolling_ir.h:44-57
+semantics via the px facade), two-table merges (events x docs on a
+synthetic fk), and the head tier — each asserted to fire >=20 times.
 """
 
 import random
 
 import pixie_spark.api as px
 import pytest
+from pyspark.sql import functions as F
 from pixie_spark.sources import load_table
 from tools.check_oracle import compare_frames, oracle_connection
 
 SF_DIR = "/root/testdata/sf0.001"
-N_VARIANTS = 200
+N_VARIANTS = 300
 
 INT_COLS = ["event_id", "user_id"]
 FLOAT_COLS = ["value"]
 STR_COLS = ["event_type"]
+TIME_COL = "ts_us"  # epoch µs — rolling()/keys/min/max only (no sums)
 BASE_COLS = INT_COLS + FLOAT_COLS + STR_COLS
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view", "no_such_type"]
 
@@ -47,11 +56,22 @@ AGG_FNS = [
 ]
 
 
+def _fuzz_tables(spark):
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .withColumn(TIME_COL, F.expr("ts DIV 1000"))
+        .select(*BASE_COLS, TIME_COL)
+    )
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    return ev, docs
+
+
 @pytest.fixture(scope="module")
 def fuzz_ctx(spark):
-    ev = load_table(spark, SF_DIR, "events").select(*BASE_COLS)
-    px.set_context(spark, tables={"events": ev})
+    ev, docs = _fuzz_tables(spark)
+    px.set_context(spark, tables={"events": ev, "docs": docs})
     con = oracle_connection(SF_DIR)
+    con.execute("CREATE VIEW docs AS SELECT doc_id, lang FROM documents")
     yield con
     con.close()
 
@@ -63,9 +83,11 @@ class _Gen:
         self.rng = rng
         self.int_cols = list(INT_COLS)  # grows with derived columns
         self.str_cols = list(STR_COLS)
+        self.rolled = False  # ts_us has been binned at least once
         self.lines = ["import px", "df = px.DataFrame('events')"]
         self.ctes = [
-            f"q0 AS (SELECT {', '.join(BASE_COLS)} FROM events)"
+            f"q0 AS (SELECT {', '.join(BASE_COLS)}, "
+            f"epoch_us(ts) AS {TIME_COL} FROM events)"
         ]
         self.step = 0
 
@@ -121,7 +143,11 @@ class _Gen:
         a = r.choice(self.int_cols)
         op = r.choice(["+", "-", "*", "%"])
         if op != "%" and r.random() < 0.5:
-            b = r.choice(self.int_cols)
+            # '*' pairs only with the small user_id column (<=14):
+            # chained products of derived columns could pass 2^63, where
+            # Spark wraps silently and DuckDB widens to HUGEINT — an
+            # engine-semantics divergence, not a bug we want to fuzz
+            b = "user_id" if op == "*" else r.choice(self.int_cols)
             rhs_px, rhs_sql = f"df['{a}'] {op} df['{b}']", f"{a} {op} {b}"
         else:
             # % gets a positive literal; Spark and DuckDB both use
@@ -167,7 +193,11 @@ class _Gen:
         """Self-aggregate merge: an aggregate built over a FILTERED copy
         of the current frame joined back on event_type. The filter makes
         some keys vanish from the right side, so how='left' genuinely
-        produces null merge columns (and 'inner' genuinely drops rows)."""
+        produces null merge columns (and 'inner' genuinely drops rows).
+        Never generated after rolling(): the window is sticky on derived
+        frames, so the INNER aggregate would group per-window too and
+        the joined-back frame's shape stops being SQL-replicable with a
+        plain GROUP BY event_type."""
         r = self.rng
         how = r.choice(["inner", "left"])
         thresh = r.randint(0, 12)
@@ -192,12 +222,60 @@ class _Gen:
         )
         self.int_cols.append(m)
 
-    def finish(self) -> tuple[str, str]:
+    def add_rolling(self) -> None:
+        """Tumbling time-bin via the px rolling() facade (dataframe.h:381
+        / rolling_ir.h:44-57): bins the epoch-µs time column in place —
+        exactly what the reference's RollingIR lowers to — so a later
+        groupby over it aggregates per window. Re-rolling at a coarser
+        width is legal and both engines re-bin identically."""
+        w = self.rng.choice([60, 300, 600, 1800]) * 1_000_000  # µs
+        self.lines.append(f"df = df.rolling({w}, on='{TIME_COL}')")
+        self._next_cte(f"* REPLACE (({TIME_COL} // {w}) * {w} AS {TIME_COL})")
+        self.rolled = True
+
+    def add_merge_docs(self) -> None:
+        """TWO-TABLE merge: events joined to the docs dimension on a
+        synthetic fk (event_id % K). K > max(doc_id)=499 leaves genuine
+        non-matches, so how='left' produces null lang/doc_id rows and
+        'inner' genuinely drops. Derived columns join the pools only on
+        inner merges (null-free)."""
         r = self.rng
-        if r.random() < 0.5:
-            # groupby-aggregate tail: none, one string key, or a
-            # composite (string, derived-int) key
-            by = r.choice([None, "event_type", "multi"])
+        how = r.choice(["inner", "left"])
+        k = r.choice([200, 450, 700])
+        fk = f"fk{self.step}"
+        self.lines.append(f"df['{fk}'] = df['event_id'] % {k}")
+        self._next_cte(f"*, CAST(event_id % {k} AS BIGINT) AS {fk}")
+        self.int_cols.append(fk)
+        self.lines.append("d = px.DataFrame('docs')")
+        self.lines.append(
+            f"df = df.merge(d, how='{how}', left_on='{fk}', "
+            f"right_on='doc_id', suffixes=('', '_d'))"
+        )
+        prev = f"q{self.step}"
+        self.step += 1
+        jt = "JOIN" if how == "inner" else "LEFT JOIN"
+        self.ctes.append(
+            f"q{self.step} AS (SELECT l.*, r.doc_id, r.lang "
+            f"FROM {prev} l {jt} docs r ON l.{fk} = r.doc_id)"
+        )
+        if how == "inner":
+            self.int_cols.append("doc_id")
+            self.str_cols.append("lang")
+
+    def finish(self, head: int | None = None) -> tuple[str, str]:
+        r = self.rng
+        if head is None and r.random() < 0.5:
+            # groupby-aggregate tail: none, one string key, a composite
+            # (string, derived-int) key — or the binned time column when
+            # rolling() fired. RollingIR semantics (rolling_ir.h:44-57 /
+            # PxGroupedFrame.agg): after rolling(), the binned time col
+            # joins the group keys of the next agg AUTOMATICALLY — the
+            # SQL side must replicate that even when the px script never
+            # names it.
+            by = r.choice(
+                [None, "event_type", "multi"]
+                + (["window", "window"] if self.rolled else [])
+            )
             n_aggs = r.randint(1, 3)
             specs, sqls = [], []
             for i in range(n_aggs):
@@ -205,56 +283,83 @@ class _Gen:
                 c = r.choice(self.int_cols)
                 specs.append(f"a{i}=('{c}', '{fn}')")
                 sqls.append(sql_t.format(c=c) + f" AS a{i}")
-            if by is None:
+            keys: list[str] = []
+            if by == "event_type":
+                keys = ["event_type"]
+            elif by == "multi":
+                keys = ["event_type", r.choice(self.int_cols)]
+            elif by == "window":
+                keys = (
+                    [TIME_COL, "event_type"] if r.random() < 0.5 else [TIME_COL]
+                )
+            if not keys:
                 self.lines.append(f"df = df.agg({', '.join(specs)})")
-                self._next_cte(", ".join(sqls))
-            else:
-                if by == "multi":
-                    k2 = r.choice(self.int_cols)
-                    by_px = f"['event_type', '{k2}']"
-                    by_sql = f"event_type, {k2}"
-                else:
-                    by_px, by_sql = f"'{by}'", by
+            elif len(keys) == 1:
                 self.lines.append(
-                    f"df = df.groupby({by_px}).agg({', '.join(specs)})"
+                    f"df = df.groupby('{keys[0]}').agg({', '.join(specs)})"
                 )
-                prev = f"q{self.step}"
-                self.step += 1
-                self.ctes.append(
-                    f"q{self.step} AS (SELECT {by_sql}, {', '.join(sqls)} "
-                    f"FROM {prev} GROUP BY {by_sql})"
+            else:
+                quoted = ", ".join(f"'{k}'" for k in keys)
+                self.lines.append(
+                    f"df = df.groupby([{quoted}]).agg({', '.join(specs)})"
                 )
+            # the implicit rolling key, exactly as the facade injects it
+            sql_keys = keys if not self.rolled or TIME_COL in keys else (
+                [TIME_COL] + keys
+            )
+            prev = f"q{self.step}"
+            self.step += 1
+            sel = ", ".join(sql_keys + sqls)
+            group = f" GROUP BY {', '.join(sql_keys)}" if sql_keys else ""
+            self.ctes.append(
+                f"q{self.step} AS (SELECT {sel} FROM {prev}{group})"
+            )
+        if head is not None:
+            self.lines.append(f"df = df.head({head})")
+            self.lines.append("px.display(df, 'out')")
+            sql = (
+                "WITH " + ",\n".join(self.ctes)
+                + f"\nSELECT * FROM q{self.step} LIMIT {head}"
+            )
+            return "\n".join(self.lines), sql
         self.lines.append("px.display(df, 'out')")
         sql = "WITH " + ",\n".join(self.ctes) + f"\nSELECT * FROM q{self.step}"
         return "\n".join(self.lines), sql
 
 
-def _variant(rng: random.Random) -> tuple[str, str]:
+def _variant(rng: random.Random, head: int | None = None) -> tuple[str, str]:
     g = _Gen(rng)
-    merged = False
+    merged = merged2 = False
     for _ in range(rng.randint(1, 4)):
         roll = rng.random()
-        if roll < 0.4:
+        if roll < 0.32:
             g.add_filter()
-        elif roll < 0.65:
+        elif roll < 0.52:
             g.add_assign()
-        elif roll < 0.85:
+        elif roll < 0.68:
             g.add_str_assign()
-        elif not merged:
+        elif roll < 0.78:
+            g.add_rolling()
+        elif roll < 0.89 and not merged2:
+            g.add_merge_docs()
+            merged2 = True
+        elif not merged and not g.rolled:
             g.add_merge()
             merged = True
         else:
             g.add_assign()
-    return g.finish()
+    return g.finish(head=head)
 
 
-def test_pxl_facade_fuzz_200_variants(spark, fuzz_ctx):
+def test_pxl_facade_fuzz_300_variants(spark, fuzz_ctx):
     rng = random.Random(2026)
     failures = []
-    zero_rows = n_merges = n_multi = n_strfn = 0
+    zero_rows = n_merges = n_multi = n_strfn = n_roll = n_merge2 = 0
     for i in range(N_VARIANTS):
         script, sql = _variant(rng)
-        n_merges += ".merge(" in script
+        n_merges += ".merge(agg" in script
+        n_merge2 += ".merge(d" in script
+        n_roll += ".rolling(" in script
         n_multi += ".groupby(['" in script
         n_strfn += any(
             f"px.{fn}(" in script
@@ -278,11 +383,39 @@ def test_pxl_facade_fuzz_200_variants(spark, fuzz_ctx):
     ) + f"\n({len(failures)} of {N_VARIANTS} variants failed)"
     # the generator must actually exercise non-trivial shapes: most
     # variants return rows (an all-empty sweep would vacuously pass),
-    # and the merge / composite-groupby paths genuinely fire
+    # and every op family genuinely fires — a path that silently stops
+    # firing fails here, not in a code review
     assert zero_rows < N_VARIANTS * 0.5, f"{zero_rows} empty variants"
-    assert n_merges >= 10, f"only {n_merges} merge variants generated"
+    assert n_merges >= 10, f"only {n_merges} self-merge variants generated"
+    assert n_merge2 >= 20, f"only {n_merge2} two-table merge variants"
+    assert n_roll >= 20, f"only {n_roll} rolling variants"
     assert n_multi >= 5, f"only {n_multi} composite-groupby variants"
     assert n_strfn >= 20, f"only {n_strfn} string-function variants"
+
+
+def test_pxl_facade_fuzz_head_contract(spark, fuzz_ctx):
+    """head() tier under the head contract's weaker comparator: head(n)
+    picks SOME n rows (which ones is order-dependent by definition, same
+    as the reference's Limit — dataframe.h:263), so the checkable
+    cross-engine invariant is the ROW COUNT: min(n, |result|), never
+    more, and zero only when the underlying result is empty."""
+    rng = random.Random(4711)
+    failures = []
+    n_nontrivial = 0
+    for i in range(60):
+        n = rng.choice([1, 3, 10, 100])
+        script, sql = _variant(rng, head=n)
+        assert ".head(" in script
+        got = px.run_script(script)["out"].count()
+        exp = len(fuzz_ctx.execute(sql).fetchdf())
+        if got != exp:
+            failures.append((i, script, sql, f"rows: spark={got} duckdb={exp}"))
+        n_nontrivial += got > 0
+    assert not failures, "\n\n".join(
+        f"variant {i}:\n--- script ---\n{s}\n--- sql ---\n{q}\n--- {p}"
+        for i, s, q, p in failures[:3]
+    ) + f"\n({len(failures)} of 60 head variants failed)"
+    assert n_nontrivial >= 30, f"only {n_nontrivial} non-empty head variants"
 
 
 def test_pxl_facade_fuzz_streaming_duality(spark, fuzz_ctx, tmp_path):
@@ -292,16 +425,15 @@ def test_pxl_facade_fuzz_streaming_duality(spark, fuzz_ctx, tmp_path):
     and the final streaming refresh must equal the batch rows exactly.
     The fixed-script streaming tier pins 62 corpus scripts; this is its
     generative complement over the same machinery."""
-    from pixie_spark.sources import load_table
     from pixie_spark.streaming.script_stream import StreamingScriptRun
 
-    ev = load_table(spark, SF_DIR, "events").select(*BASE_COLS)
+    ev, docs = _fuzz_tables(spark)
     rng = random.Random(77)
     n_checked = 0
     failures = []
     for i in range(40):
         script, _ = _variant(rng)
-        px.set_context(spark, tables={"events": ev})
+        px.set_context(spark, tables={"events": ev, "docs": docs})
         batch_rows = sorted(
             map(str, px.run_script(script)["out"].collect())
         )
@@ -311,7 +443,7 @@ def test_pxl_facade_fuzz_streaming_duality(spark, fuzz_ctx, tmp_path):
             break
         run = StreamingScriptRun(
             spark, script,
-            stream_tables={"events": ev}, static_tables={},
+            stream_tables={"events": ev}, static_tables={"docs": docs},
             work_dir=str(tmp_path / f"fz{i}"),
             time_col="event_id",  # chunk arrival keyed on the pk
         )
@@ -323,7 +455,7 @@ def test_pxl_facade_fuzz_streaming_duality(spark, fuzz_ctx, tmp_path):
         if got != batch_rows:
             failures.append((i, script, len(got), len(batch_rows)))
         n_checked += 1
-    px.set_context(spark, tables={"events": ev})
+    px.set_context(spark, tables={"events": ev, "docs": docs})
     assert not failures, "\n\n".join(
         f"variant {i} ({ng} vs {nb} rows):\n{s}" for i, s, ng, nb in failures[:3]
     )
