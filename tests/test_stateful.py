@@ -1206,3 +1206,39 @@ def test_script_stream_relays_source_on_missing_success_marker(spark, tmp_path):
         run.stop()
     # all 20 rows streamed — the truncated 3-row layout was replaced
     assert len(run.results["out"]) == 20
+
+
+def test_ingest_read_paths_partition_prune(spark, tmp_path):
+    """The compaction-aware read predicates stay PARTITION filters: a
+    month of 1-minute triggers is 43k batch_id= directories, and both
+    the per-batch index view and read_accumulated must prune them at
+    the FileIndex (never scan-and-filter) — including the sentinel-
+    generation disjunct. Asserted on the executed plan's
+    PartitionFilters, the same contract tests/test_layout.py pins for
+    the time-partitioned sink."""
+    import re
+
+    from pixie_spark.streaming.ingest import (
+        _read_before,
+        _write_batch,
+        compact_batches,
+        read_accumulated,
+    )
+
+    d = str(tmp_path / "prune_idx")
+    for b in range(4):
+        _write_batch(spark.range(b * 10, b * 10 + 10).selectExpr("id AS doc"), d, b)
+    compact_batches(spark, d, upto_batch_id=1)
+
+    def pfilters(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+        return m.group(0) if m else ""
+
+    like = spark.createDataFrame([], "doc long")
+    pf = pfilters(_read_before(spark, d, 3, like))
+    assert "batch_id" in pf and "> 1" in pf and "< 3" in pf and "= -2" in pf, pf
+    pf2 = pfilters(read_accumulated(spark, d))
+    assert "batch_id" in pf2 and "> 1" in pf2 and "= -2" in pf2, pf2
+    # and the pruned read is still exactly the committed prefix
+    assert sorted(r.doc for r in _read_before(spark, d, 3, like).collect()) == list(range(30))
