@@ -678,18 +678,37 @@ def test_amqp_data_golden(spark, ctx):
 
 
 def test_mux_data_golden(spark, ctx):
-    """Mux trace head: exact row count and time extent."""
+    """Mux trace head: EXACT golden. head() without an order is
+    layout-dependent in general, but the fixture carries a unique,
+    strictly-increasing ``time_`` per event and the batch plan is
+    narrow (broadcast metadata joins, no shuffle before the limit), so
+    the selected 100 rows are deterministic — pinned column-complete:
+    every output column is covered by an exact aggregate, and the md5
+    over the time_-sorted full row set pins SET equality (regenerate
+    with the same sorted-tuple repr if the fixture recipe changes)."""
+    import hashlib
+
     from pyspark.sql import functions as F
 
     out = _run("mux_data/data.pxl",
                calls=[("mux_data", {"start_time": "-1h", "num_head": 100})])
-    agg = out["mux_data"].agg(
+    df = out["mux_data"]
+    agg = df.agg(
         F.count(F.lit(1)).alias("n"),
         F.min("time_").alias("t0"),
         F.max("time_").alias("t1"),
+        F.sum("latency").alias("lat"),
+        F.countDistinct("source").alias("nsrc"),
+        F.countDistinct("destination").alias("ndst"),
     ).collect()[0]
-    assert agg["n"] == 100
-    assert (agg["t0"], agg["t1"]) == (1704067200000000000, 1704068091000000000)
+    assert tuple(agg) == (
+        100, 1704067200000000000, 1704068091000000000, 144087134, 10, 32,
+    )
+    assert _rows(df.groupBy("req_name").count()) == [
+        {"req_name": "Tdispatch", "count": 100}]
+    rows = sorted([tuple(r) for r in df.collect()], key=lambda t: t[0])
+    assert hashlib.md5(repr(rows).encode()).hexdigest() == (
+        "f0cf0a7e8deb949566449e3350fc4019")
 
 
 DATA_SCRIPT_GOLDENS = {
@@ -702,6 +721,46 @@ DATA_SCRIPT_GOLDENS = {
     "cql_data/data.pxl": ("cql_data", 100, 1704068091000000000, 133265250),
     "pgsql_data/pgsql_data.pxl": ("pgsql_data", 100, 1704068091000000000, 130173998),
 }
+
+
+def test_nats_data_exact_golden(spark, ctx):
+    """NATS trace head promoted to an EXACT golden (it has no latency
+    column, so the parametrized mass check below cannot cover it).
+    Deterministic for the same reason as test_mux_data_golden: unique
+    monotone fixture ``time_`` + a narrow no-shuffle plan before the
+    limit. Column-complete: cmd breakdown, body payload mass, resp
+    domain, pid/source/destination cardinalities, and an md5 over the
+    time_-sorted full row set for SET equality."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    out = _run("nats_data/nats_data.pxl",
+               calls=[("nats_data", {"start_time": "-1h", "source_filter": "",
+                                     "destination_filter": "", "num_head": 100})])
+    df = out["nats_data"]
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("time_").alias("t0"),
+        F.max("time_").alias("t1"),
+        F.countDistinct("source").alias("nsrc"),
+        F.countDistinct("destination").alias("ndst"),
+        F.countDistinct("pid").alias("npid"),
+        F.sum(F.get_json_object("body", "$.payload_size").cast("long")
+              ).alias("payload"),
+    ).collect()[0]
+    assert tuple(agg) == (
+        100, 1704067200000000000, 1704068091000000000, 10, 28, 10, 25361,
+    )
+    assert _rows(df.groupBy("cmd").count()) == [
+        {"cmd": "MSG", "count": 36},
+        {"cmd": "PUB", "count": 27},
+        {"cmd": "SUB", "count": 37},
+    ]
+    assert _rows(df.select("resp").distinct()) == [{"resp": "+OK"}]
+    rows = sorted([tuple(r) for r in df.collect()], key=lambda t: t[0])
+    assert hashlib.md5(repr(rows).encode()).hexdigest() == (
+        "97e326e09b2412afb5aaa6366081df3a")
 
 
 @pytest.mark.parametrize("rel", sorted(DATA_SCRIPT_GOLDENS))
