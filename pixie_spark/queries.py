@@ -1344,7 +1344,7 @@ def q_dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multi_join_star",
     """
     SELECT n.n_name, r.r_name,
-           floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 1e2 + 0.5) / 1e2 AS revenue,
+           floor(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5) AS BIGINT)) / 1e4 * 1e2 + 0.5) / 1e2 AS revenue,
            count(*) AS n_items
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -1375,7 +1375,23 @@ def q_multi_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
         .groupBy("n_name", "r_name")
         .agg(
-            dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            # Revenue summed in EXACT integer space: price and discount
+            # are 2-decimal, so each term price*(1-disc) is an exact
+            # multiple of 1e-4 — floor(term*1e4+0.5) recovers the exact
+            # decimal product and the BIGINT sum is order-independent
+            # (the sf1 sweep caught a float-reassociation sum landing
+            # exactly on a .005 cent boundary; both engines now divide
+            # the SAME integer, so the final rounding is bit-identical).
+            dround(
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1e4)
+                        + F.lit(0.5)
+                    )
+                )
+                / F.lit(1e4),
+                2,
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
