@@ -890,15 +890,19 @@ def contamination_matrix(
     if slice_cols:
         slices = corpus.select(F.col(id_col).alias("doc"), *slice_cols)
         c_idx = c_idx.join(slices, "doc")
-    # internal probe-row id must only be unique per row for the shingle
-    # window; a content hash keeps it deterministic across runs and
-    # partitionings (monotonically_increasing_id is neither) — two
-    # byte-identical probe rows merging is harmless (same shingles)
+    # internal probe-row id must be unique PER REMAINING ROW for the
+    # shingle window; a content hash keeps it deterministic across runs
+    # and partitionings (monotonically_increasing_id is neither), and
+    # byte-identical probe rows must COLLAPSE before shingling: left as
+    # duplicates they share a window partition, every word position
+    # appears once per copy, and lead() walks the copies instead of the
+    # sentence — corrupting every probe shingle (caught by the sf1
+    # sweep, where the twin recipe duplicates each probe row 10x).
     p_idx = probes.select(
         F.col(probe_suite_col).alias("suite"),
         F.col(probe_text_col).alias("text"),
         F.xxhash64(probe_suite_col, probe_text_col).alias("doc"),
-    )
+    ).distinct()
     p_sh = (
         _hashed_shingle_rows(p_idx, "doc", "text", n)
         .join(p_idx.select("doc", "suite"), "doc")

@@ -3494,7 +3494,14 @@ def q_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tests/test_timeseries.py. zq literals = znorm([0,1,3,1,0]).
     local_oracle="""
     WITH ev AS (
-        SELECT event_type AS entity, epoch_ns(ts) AS ts, value FROM events
+        -- one value per (entity, ts): a time series is a FUNCTION of
+        -- time, and lead()-window subsequences are ill-defined over
+        -- duplicate timestamps (the interleave of equal-ts rows is
+        -- arbitrary, so window contents diverge per engine — caught by
+        -- the sf1 sweep, whose twin recipe duplicates every point 10x).
+        -- min() is the deterministic, bit-exact-in-both-engines collapse.
+        SELECT event_type AS entity, epoch_ns(ts) AS ts, min(value) AS value
+        FROM events GROUP BY 1, 2
     ),
     led AS (
         SELECT entity, ts,
@@ -3544,8 +3551,14 @@ def q_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ts_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pixie_spark.operators.timeseries import pattern_search
 
-    ev = load_table(spark, sf_dir, "events").select(
-        F.col("event_type").alias("entity"), "ts", "value"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("event_type").alias("entity"), "ts", "value")
+        # one value per (entity, ts) — duplicate-timestamp ingest rows
+        # make lead()-window subsequences ill-defined (see local_oracle
+        # note); min() collapses them deterministically in both engines
+        .groupBy("entity", "ts")
+        .agg(F.min("value").alias("value"))
     )
     spike = [0.0, 1.0, 3.0, 1.0, 0.0]
     out = pattern_search(ev, spike, k=15)
