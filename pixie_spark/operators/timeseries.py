@@ -105,6 +105,14 @@ def pattern_search(
     entity's series. Output: (entity_col, ts_col of the window start,
     dist, rank) — dist = Σ (zw_i - zq_i)², lower is a better match.
 
+    CONTRACT: (entity, ts) must be unique — a time series is a function
+    of time. Subsequences come from lead() windows ordered by ts, and
+    over duplicate timestamps the equal-ts interleave is arbitrary, so
+    window contents (hence distances and the top-k set) become
+    partitioning-dependent. Collapse duplicate ingest rows first
+    (e.g. ``groupBy(entity, ts).agg(F.min(value))``, the registry
+    convention — min is bit-exact under any execution order).
+
     pattern_scores does the distributed scoring; the global top-k is
     orderBy+limit → TakeOrderedAndProject (k rows to the driver, never
     the full window set).

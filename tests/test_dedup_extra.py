@@ -517,3 +517,41 @@ def test_line_level_dedup_null_text_is_empty_doc(spark):
     assert got[1]["text"] == "" and got[1]["n_lines"] == 1
     assert got[1]["n_lines_dropped"] == 0
     assert got[0]["text"] == "real line."
+
+
+def test_contamination_matrix_duplicate_probe_rows_collapse(spark):
+    """Byte-identical probe rows must contribute exactly once: left as
+    duplicates they would share one content-hash id and one shingle-
+    window partition, where lead() walks the copies instead of the
+    sentence and corrupts every probe shingle (the defect the sf1 gate
+    sweep caught, where the twin recipe duplicates each probe row 10x).
+    10x-duplicated probes must reproduce the unique-probe matrix
+    cell-for-cell."""
+    from pixie_spark.operators.dedup import contamination_matrix
+
+    n = 3
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "en"),
+            (2, "one two three four five six seven", "en"),
+            (3, "uno dos tres cuatro cinco seis", "es"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    probes = spark.createDataFrame(
+        [("suiteA", "beta gamma delta"), ("suiteB", "dos tres cuatro cinco")],
+        "suite string, text string",
+    )
+    dup10 = probes
+    for _ in range(9):
+        dup10 = dup10.union(probes)
+
+    def cells(p):
+        return {
+            (r["suite"], r["lang"]): (r["n_contaminated_docs"], r["n_shared_ngrams"])
+            for r in contamination_matrix(corpus, p, n=n, corpus_slice_col="lang").collect()
+        }
+
+    base = cells(probes)
+    assert base == {("suiteA", "en"): (1, 1), ("suiteB", "es"): (1, 2)}
+    assert cells(dup10) == base

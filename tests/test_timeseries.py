@@ -204,3 +204,31 @@ def test_resample_ffill_ns_epoch_exact_boundaries(spark):
     df2 = spark.createDataFrame(rows2, "entity string, ts long, value double")
     got2 = sorted(r["ts"] for r in resample_ffill(df2, step=step).collect())
     assert got2[0] == lo_grid  # first grid point not dropped
+
+
+def test_pattern_search_duplicate_ts_collapse_convention(spark):
+    """lead()-window subsequences are only well-defined over UNIQUE
+    (entity, ts) points — the equal-ts interleave is arbitrary, so
+    duplicate ingest rows make window contents engine/order-dependent
+    (the defect the sf1 gate sweep caught). The registry convention
+    (q_ts_pattern_search) collapses duplicates with min() first; this
+    pins that the collapsed 10x-duplicated series reproduces the
+    unique series' top-k exactly."""
+    rng = np.random.RandomState(7)
+    series = {"click": list(rng.rand(60)), "view": list(rng.rand(60))}
+    uniq = _series_df(spark, series)
+    dup10 = uniq
+    for _ in range(9):
+        dup10 = dup10.union(uniq)
+    collapsed = dup10.groupBy("entity", "ts").agg(
+        F.min("value").alias("value")
+    )
+    pattern = [0.0, 1.0, 3.0, 1.0, 0.0]
+
+    def rows(df):
+        return [
+            (r["entity"], r["ts"], round(r["dist"], 9), r["rank"])
+            for r in pattern_search(df, pattern, k=10).collect()
+        ]
+
+    assert rows(collapsed) == rows(uniq)
