@@ -3561,7 +3561,12 @@ def q_ts_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("event_type").alias("entity"), "ts", "value")
         # one value per (entity, ts) — duplicate-timestamp ingest rows
         # make lead()-window subsequences ill-defined (see local_oracle
-        # note); min() collapses them deterministically in both engines
+        # note); min() collapses them deterministically in both engines.
+        # repartition by entity ALONE first: hash(entity) clusters
+        # (entity, ts) too, so the collapse's final aggregate AND the
+        # downstream lead-window both reuse it — ONE exchange total
+        # instead of groupBy(entity, ts)'s own shuffle plus the window's
+        .repartition("entity")
         .groupBy("entity", "ts")
         .agg(F.min("value").alias("value"))
     )
