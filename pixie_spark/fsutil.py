@@ -92,3 +92,12 @@ def rename(spark: SparkSession, src: str, dst: str) -> None:
     fs, jsrc = fs_for(spark, src)
     if not fs.rename(jsrc, jpath(spark, dst)):
         raise RuntimeError(f"filesystem rename failed: {src} -> {dst}")
+
+
+def touch(spark: SparkSession, path: str) -> None:
+    """Create an empty marker file (overwriting any stale one). A
+    single-object PUT — atomic on every Spark-supported filesystem,
+    which is what makes it usable as a commit record where a directory
+    rename is only copy+delete (object stores)."""
+    fs, p = fs_for(spark, path)
+    fs.create(p, True).close()

@@ -31,22 +31,23 @@ and asserts the accumulated outputs equal a single run.
 Compaction (:func:`compact_batches`) folds the per-trigger partition
 directories into a single consolidated GENERATION partition with a
 negative sentinel id, ``batch_id = -(upto + 1)``. The swap is
-crash-atomic: the consolidated rows stream through a dot-prefixed temp
-directory (invisible to parquet readers) and become visible via ONE
-filesystem rename; the folded source directories are deleted only
-after that commit point, and every read in this module resolves the
-newest (most negative) generation first, so no committed row is ever
-unreadable at any intermediate state (injected-failure test in
-tests/test_stateful.py). The reference contract being matched: the
-table store's compaction never loses hot-store rows
-(src/table_store/table/table.h:85-104).
+crash-atomic on EVERY Spark-supported filesystem: the consolidated
+rows stream through a dot-prefixed temp directory (invisible to
+parquet readers), move into place via a filesystem rename, and COMMIT
+via a single-object GEN_MARKER put inside the generation directory —
+readers only honor marked generations, so even where the rename is a
+non-atomic copy+delete (object stores) a crashed partial generation
+stays invisible while its per-batch sources remain readable; the
+folded sources are deleted only after the marker lands, and a re-run
+sweeps unmarked debris and completes any interrupted cleanup
+(injected-failure tests at every window in tests/test_stateful.py).
+The reference contract being matched: the table store's compaction
+never loses hot-store rows (src/table_store/table/table.h:85-104).
 
 All directory listing / deletion / renaming goes through the Hadoop
 FileSystem API (via the session JVM), so the module works against any
 Spark-supported filesystem whose connector is on the classpath — not
-just ``file:``. Caveat for object stores: the commit-point rename is
-atomic on file:/hdfs: but only best-effort (copy+delete) on s3a:-style
-stores; on those, prefer compacting while the ingest stream is stopped.
+just ``file:``.
 """
 
 from __future__ import annotations
@@ -67,15 +68,39 @@ from pixie_spark.fsutil import (  # noqa: E402
     fs_for as _fs_for,
     jpath as _jpath,
     rename as _rename,
+    touch as _touch,
 )
 from pixie_spark.fsutil import partition_dirs as _partition_dirs  # noqa: E402
+
+# Generation commit record (see compact_batches). A consolidated
+# generation COUNTS only once this marker exists inside its directory:
+# on object stores the commit "rename" is a copy+delete, so a crash
+# mid-copy can leave a PARTIAL generation directory visible — without
+# the marker gate, readers would prefer it (most-negative id wins) and
+# skip the per-batch directories it claims to cover. The marker is a
+# single-object PUT written only after the rename returns, so it is
+# atomic everywhere; unmarked generation directories are invisible to
+# every read and swept by the next compact_batches run.
+GEN_MARKER = "_PX_GEN_COMMITTED"
+
+
+def _gen_marked(spark: SparkSession, gen_dir: str) -> bool:
+    fs, jp = _fs_for(spark, gen_dir + "/" + GEN_MARKER)
+    return bool(fs.exists(jp))
 
 
 def _list_batch_ids(spark: SparkSession, path: str) -> list[int]:
     """Sorted ids of the ``batch_id=`` partition directories under
     ``path`` ([] if the path does not exist yet). Negative ids are
-    consolidated generations written by :func:`compact_batches`."""
-    return sorted(_partition_dirs(spark, path, BATCH_COL))
+    consolidated generations written by :func:`compact_batches` and are
+    included only when COMMITTED (their directory carries GEN_MARKER) —
+    an unmarked generation is an in-flight or crashed copy and must
+    stay invisible (its per-batch sources are still on disk)."""
+    out = []
+    for i, d in _partition_dirs(spark, path, BATCH_COL).items():
+        if i >= 0 or _gen_marked(spark, d):
+            out.append(i)
+    return sorted(out)
 
 
 def _write_batch(df: DataFrame, path: str, batch_id: int) -> None:
@@ -385,16 +410,19 @@ def compact_batches(
     per-batch partition it covers.
 
     Crash-atomicity: the consolidated rows are WRITTEN TO A TEMP
-    DIRECTORY first (dot-prefixed — parquet readers ignore it), then
-    made visible by a single filesystem rename; only after that commit
-    point are the superseded directories deleted. A crash at any
-    instant leaves every committed row readable: before the rename the
-    old layout is untouched, after it the new generation already
-    supersedes whatever cleanup did not finish (re-running
-    compact_batches completes the cleanup). The fold streams through
-    the filesystem — no driver/executor-memory materialization of the
-    whole index (the old localCheckpoint approach capped the index at
-    executor storage).
+    DIRECTORY first (dot-prefixed — parquet readers ignore it), renamed
+    into place, then COMMITTED by putting GEN_MARKER inside the
+    generation directory — a single-object write, atomic even where
+    the rename is a copy+delete (object stores); only after the marker
+    lands are the superseded directories deleted. A crash at any
+    instant leaves every committed row readable: before the marker the
+    generation is invisible (readers only honor marked generations)
+    and the old layout is untouched; after it the new generation
+    already supersedes whatever cleanup did not finish (re-running
+    compact_batches sweeps unmarked debris and completes the cleanup).
+    The fold streams through the filesystem — no driver/executor-memory
+    materialization of the whole index (the old localCheckpoint
+    approach capped the index at executor storage).
 
     ``upto_batch_id`` must only cover batches the streaming checkpoint
     has COMMITTED — a batch whose offsets are logged but uncommitted
@@ -420,6 +448,13 @@ def compact_batches(
                 f"batch can be replayed, and folding it would feed the "
                 f"retry its own first attempt. Compact only committed ids."
             )
+    # sweep generation directories a crashed copy left UNCOMMITTED
+    # (no GEN_MARKER): they are invisible to every read, their source
+    # directories are still intact, and rebuilding is the only way to
+    # know they are whole
+    for i, d in _partition_dirs(spark, path, BATCH_COL).items():
+        if i < 0 and not _gen_marked(spark, d):
+            _delete_dir(spark, d)
     ids = _list_batch_ids(spark, path)
     old_sentinel, covered = _generation(ids)
     if upto_batch_id < covered:
@@ -453,7 +488,13 @@ def compact_batches(
         )
         if _failpoint is not None:
             _failpoint("pre-swap")
-        _rename(spark, tmp, sentinel_dir)  # THE commit point (atomic)
+        _rename(spark, tmp, sentinel_dir)
+        if _failpoint is not None:
+            _failpoint("pre-mark")
+        # THE commit point: a single-object PUT, atomic even where the
+        # rename above was a copy+delete (object stores). Before this
+        # line the generation is invisible and its sources intact.
+        _touch(spark, sentinel_dir + "/" + GEN_MARKER)
     if _failpoint is not None:
         _failpoint("post-swap")
     # cleanup: everything the new generation supersedes. Interruptible —

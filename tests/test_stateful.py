@@ -947,8 +947,18 @@ def test_compact_batches_crash_atomic(spark, tmp_path):
     assert sorted(map(str, read_accumulated(spark, sig_path).collect())) == before
     assert len(glob.glob(os.path.join(sig_path, "batch_id=*"))) == 4
 
-    # crash AFTER the swap, before any cleanup: new generation already
-    # supersedes the still-present per-batch dirs — no dup, no loss
+    # crash AFTER the rename but BEFORE the commit marker: the
+    # generation directory exists but is UNMARKED — invisible to every
+    # read (this is the window where an object-store copy+delete
+    # "rename" can also leave a PARTIAL directory), sources intact
+    with pytest.raises(Boom):
+        compact_batches(spark, sig_path, upto_batch_id=3, _failpoint=failer("pre-mark"))
+    assert len(glob.glob(os.path.join(sig_path, "batch_id=-*"))) == 1
+    assert sorted(map(str, read_accumulated(spark, sig_path).collect())) == before
+
+    # crash AFTER the commit marker, before any cleanup: new generation
+    # already supersedes the still-present per-batch dirs — no dup, no
+    # loss (the re-run below starts from this marked-generation state)
     with pytest.raises(Boom):
         compact_batches(spark, sig_path, upto_batch_id=3, _failpoint=failer("post-swap"))
     assert sorted(map(str, read_accumulated(spark, sig_path).collect())) == before
@@ -981,6 +991,50 @@ def test_compact_batches_crash_atomic(spark, tmp_path):
         ).collect()
     }
     assert got == full
+
+
+def test_compact_batches_partial_object_store_copy_invisible(spark, tmp_path):
+    """On object stores the commit 'rename' is a per-object copy+delete:
+    a crash mid-copy leaves a PARTIAL generation directory visible to
+    directory listings. Such a directory carries no GEN_MARKER, so every
+    read must ignore it (most-negative-id preference must NOT apply) and
+    the next compact_batches run must sweep and rebuild it."""
+    import glob
+
+    from pixie_spark.streaming.ingest import (
+        GEN_MARKER,
+        compact_batches,
+        read_accumulated,
+    )
+
+    idx, pairs, rows, schema, kw = _ingest_four_batches(spark, tmp_path, "po")
+    sig_path = os.path.join(idx, "signatures")
+    before = sorted(map(str, read_accumulated(spark, sig_path).collect()))
+
+    # simulate the crashed copy: a generation dir holding only a SUBSET
+    # of the consolidated rows (individual objects land whole) — no marker
+    partial = os.path.join(sig_path, "batch_id=-4")
+    (
+        spark.read.parquet(sig_path)
+        .where("batch_id = 0")
+        .drop("batch_id")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(partial)
+    )
+    for m in glob.glob(os.path.join(partial, "_SUCCESS")):
+        os.remove(m)
+    assert not os.path.exists(os.path.join(partial, GEN_MARKER))
+
+    # invisible to reads: still the full pre-compaction content
+    assert sorted(map(str, read_accumulated(spark, sig_path).collect())) == before
+
+    # the next run sweeps the debris and commits a real generation
+    compact_batches(spark, sig_path, upto_batch_id=3)
+    gens = glob.glob(os.path.join(sig_path, "batch_id=-*"))
+    assert [os.path.basename(g) for g in gens] == ["batch_id=-4"]
+    assert os.path.exists(os.path.join(gens[0], GEN_MARKER))
+    assert sorted(map(str, read_accumulated(spark, sig_path).collect())) == before
 
 
 def test_compact_batches_recompaction_generations(spark, tmp_path):
