@@ -83,6 +83,21 @@ def list_files(spark: SparkSession, path: str, suffix: str = "") -> list[tuple[s
     ]
 
 
+def child_dirs(spark: SparkSession, path: str, prefix: str = "") -> list[str]:
+    """Full URIs of the directories directly under ``path`` whose NAME
+    starts with ``prefix`` ([] if the path does not exist). Complements
+    partition_dirs for non-partition directories (e.g. the dot-prefixed
+    compaction temp dirs a crashed run can strand)."""
+    fs, p = fs_for(spark, path)
+    if not fs.exists(p):
+        return []
+    return [
+        str(st.getPath().toString())
+        for st in fs.listStatus(p)
+        if st.isDirectory() and st.getPath().getName().startswith(prefix)
+    ]
+
+
 def delete_dir(spark: SparkSession, path: str) -> None:
     fs, p = fs_for(spark, path)
     fs.delete(p, True)

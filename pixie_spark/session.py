@@ -44,6 +44,12 @@ def get_spark(app_name: str = "pixie_spark", cpus: int | None = None) -> SparkSe
         # long-session case.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        # Console progress bars write \r-frames to stderr/stdout that
+        # pollute line-oriented captures — the round-7 driver bench
+        # record lost its headline medians to them (BENCH_r07.json
+        # "parsed": null). bench.py's contract is ONE parseable JSON
+        # line on stdout; nothing in this repo wants the progress bar.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     spark = builder.getOrCreate()

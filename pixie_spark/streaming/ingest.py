@@ -43,6 +43,11 @@ sweeps unmarked debris and completes any interrupted cleanup
 (injected-failure tests at every window in tests/test_stateful.py).
 The reference contract being matched: the table store's compaction
 never loses hot-store rows (src/table_store/table/table.h:85-104).
+Indexes compacted by the pre-marker code migrate transparently: a
+marker-less generation whose sources are gone is recognized as
+legacy-committed (its rows are the only copy) and adopted — see
+:func:`_legacy_committed` for the recognition rule and its one
+documented residual ambiguity.
 
 All directory listing / deletion / renaming goes through the Hadoop
 FileSystem API (via the session JVM), so the module works against any
@@ -64,6 +69,7 @@ BATCH_COL = "batch_id"
 
 # Hadoop-FileSystem I/O (object-store safe — no glob/shutil/os.path I/O)
 from pixie_spark.fsutil import (  # noqa: E402
+    child_dirs as _child_dirs,
     delete_dir as _delete_dir,
     fs_for as _fs_for,
     jpath as _jpath,
@@ -89,18 +95,65 @@ def _gen_marked(spark: SparkSession, gen_dir: str) -> bool:
     return bool(fs.exists(jp))
 
 
+def _legacy_committed(dirs: dict[int, str], gen_id: int, marked: set[int]) -> bool:
+    """Migration guard for indexes compacted by the pre-GEN_MARKER code
+    (its commit point was the rename itself, so its generations carry no
+    marker). A marker-less generation is recognized as LEGACY-COMMITTED
+    exactly when nothing that could have built it remains on disk: the
+    marker-era code deletes a generation's sources only AFTER the marker
+    lands, so a marker-era pre-mark crash always leaves every source
+    intact — if no per-batch partition the generation covers and no
+    older generation exist, only the legacy code (which deleted sources
+    on commit) can have produced this layout, and the rows it holds are
+    the ONLY copy. Treating it as uncommitted would silently drop them
+    from reads and let the sweep delete them irreversibly (round-7
+    advice, ingest.py:456).
+
+    Residual ambiguity (documented, not resolvable from the layout): a
+    legacy run that crashed MID-CLEANUP — generation committed by its
+    rename, some sources already deleted — is indistinguishable from a
+    marker-era pre-mark crash and is treated as the latter (swept). The
+    legacy code ran its cleanup immediately after the rename in the
+    same call, so surviving pre-upgrade indexes are overwhelmingly in
+    the fully-cleaned state this guard recognizes."""
+    covered = -gen_id - 1
+    for i in dirs:
+        if i == gen_id:
+            continue
+        if 0 <= i <= covered:
+            return False  # a covered per-batch source survives
+        if gen_id < i < 0:
+            # an older (less negative) generation — committed or not —
+            # is exactly what a marker-era fold would have consumed
+            return False
+    return True
+
+
+def _committed_generations(spark: SparkSession, path: str) -> tuple[dict[int, str], set[int]]:
+    """(all ``batch_id=`` partition dirs, ids of COMMITTED generations).
+    Committed = carries GEN_MARKER, or recognized as a legacy-committed
+    generation (see :func:`_legacy_committed`)."""
+    dirs = _partition_dirs(spark, path, BATCH_COL)
+    marked = {i for i, d in dirs.items() if i < 0 and _gen_marked(spark, d)}
+    committed = set(marked)
+    for i in dirs:
+        if i < 0 and i not in marked and _legacy_committed(dirs, i, marked):
+            committed.add(i)
+    return dirs, committed
+
+
 def _list_batch_ids(spark: SparkSession, path: str) -> list[int]:
     """Sorted ids of the ``batch_id=`` partition directories under
     ``path`` ([] if the path does not exist yet). Negative ids are
     consolidated generations written by :func:`compact_batches` and are
-    included only when COMMITTED (their directory carries GEN_MARKER) —
-    an unmarked generation is an in-flight or crashed copy and must
-    stay invisible (its per-batch sources are still on disk)."""
-    out = []
-    for i, d in _partition_dirs(spark, path, BATCH_COL).items():
-        if i >= 0 or _gen_marked(spark, d):
-            out.append(i)
-    return sorted(out)
+    included only when COMMITTED — their directory carries GEN_MARKER,
+    or they pass the legacy-layout recognition of
+    :func:`_legacy_committed` (pre-marker compactions whose sources are
+    gone). Any other unmarked generation is an in-flight or crashed
+    copy and must stay invisible (its per-batch sources are still on
+    disk)."""
+    dirs, committed = _committed_generations(spark, path)
+    return sorted(i for i in dirs if i >= 0 or i in committed)
 
 
 def _write_batch(df: DataFrame, path: str, batch_id: int) -> None:
@@ -448,12 +501,29 @@ def compact_batches(
                 f"batch can be replayed, and folding it would feed the "
                 f"retry its own first attempt. Compact only committed ids."
             )
-    # sweep generation directories a crashed copy left UNCOMMITTED
-    # (no GEN_MARKER): they are invisible to every read, their source
-    # directories are still intact, and rebuilding is the only way to
-    # know they are whole
-    for i, d in _partition_dirs(spark, path, BATCH_COL).items():
-        if i < 0 and not _gen_marked(spark, d):
+    # sweep debris from crashed runs, and fix up legacy layouts:
+    # - an UNCOMMITTED generation (no GEN_MARKER, sources still intact)
+    #   is an in-flight or crashed copy — invisible to every read, and
+    #   rebuilding is the only way to know it is whole: delete it;
+    # - a LEGACY-COMMITTED generation (pre-marker code: no marker, but
+    #   its sources are gone — see _legacy_committed) gets the marker
+    #   touched in, a one-time idempotent migration so later sweeps and
+    #   readers never re-adjudicate it;
+    # - any stranded ``.batch_id-compact-*.tmp`` directory is by
+    #   construction uncommitted (the commit path renames it away
+    #   before the marker), including tmps from a crashed run with a
+    #   DIFFERENT upto_batch_id that the per-upto delete below would
+    #   never touch (round-7 advice, ingest.py:474).
+    dirs, committed = _committed_generations(spark, path)
+    for i, d in dirs.items():
+        if i >= 0:
+            continue
+        if i not in committed:
+            _delete_dir(spark, d)
+        elif not _gen_marked(spark, d):
+            _touch(spark, d + "/" + GEN_MARKER)
+    for d in _child_dirs(spark, path, f".{BATCH_COL}-compact-"):
+        if d.endswith(".tmp"):
             _delete_dir(spark, d)
     ids = _list_batch_ids(spark, path)
     old_sentinel, covered = _generation(ids)

@@ -1037,6 +1037,113 @@ def test_compact_batches_partial_object_store_copy_invisible(spark, tmp_path):
     assert sorted(map(str, read_accumulated(spark, sig_path).collect())) == before
 
 
+def test_compact_batches_legacy_generation_migration(spark, tmp_path):
+    """Round-7 advice (medium): indexes compacted by the pre-GEN_MARKER
+    code carry marker-less generations whose per-batch sources were
+    already deleted — the marker-era reader must still see their rows
+    (they are the only copy), and the next compact_batches run must
+    ADOPT them (touch the marker in) instead of sweeping them."""
+    import glob
+
+    from pixie_spark.streaming.ingest import (
+        GEN_MARKER,
+        compact_batches,
+        ingest_dedup_batch,
+        read_accumulated,
+    )
+
+    idx, pairs, rows, schema, kw = _ingest_four_batches(spark, tmp_path, "lg")
+    sig_path = os.path.join(idx, "signatures")
+    before = sorted(map(str, read_accumulated(spark, sig_path).collect()))
+    compact_batches(spark, sig_path, upto_batch_id=3)
+    # simulate the legacy layout: committed generation, no marker,
+    # sources already gone (exactly what the rename-only code left)
+    marker = os.path.join(sig_path, "batch_id=-4", GEN_MARKER)
+    os.remove(marker)
+
+    # read side: the legacy generation is recognized as committed —
+    # its rows (the only copy) stay visible
+    assert sorted(map(str, read_accumulated(spark, sig_path).collect())) == before
+
+    # the ingest loop continues against the legacy layout
+    df = spark.createDataFrame(rows[8:10], schema)
+    ingest_dedup_batch(df, 4, idx, pairs, **kw)
+    assert len(read_accumulated(spark, sig_path).collect()) > len(before)
+
+    # the next compaction ADOPTS the legacy generation (marker touched,
+    # nothing deleted) and folds it forward like any committed one
+    compact_batches(spark, os.path.join(idx, "entries"), upto_batch_id=4)
+    compact_batches(spark, sig_path, upto_batch_id=4)
+    gens = glob.glob(os.path.join(sig_path, "batch_id=-*"))
+    assert [os.path.basename(g) for g in gens] == ["batch_id=-5"]
+    assert os.path.exists(os.path.join(gens[0], GEN_MARKER))
+    got = sorted(map(str, read_accumulated(spark, sig_path).collect()))
+    assert set(before) <= set(got)
+
+
+def test_compact_batches_unmarked_gen_with_sources_still_swept(spark, tmp_path):
+    """The legacy recognition must NOT weaken crash safety: a marker-less
+    generation whose covered sources (per-batch dirs or an older
+    generation) still exist is a marker-era pre-mark crash — possibly a
+    partial object-store copy — and must stay invisible and be swept,
+    exactly as before the migration guard."""
+    import glob
+
+    from pixie_spark.streaming.ingest import (
+        GEN_MARKER,
+        compact_batches,
+        read_accumulated,
+    )
+
+    idx, pairs, rows, schema, kw = _ingest_four_batches(spark, tmp_path, "lc")
+    sig_path = os.path.join(idx, "signatures")
+    compact_batches(spark, sig_path, upto_batch_id=1)  # marked gen -2
+    before = sorted(map(str, read_accumulated(spark, sig_path).collect()))
+
+    # fake a crashed recompaction: unmarked gen -5 (covers 0..4) while
+    # batches 2..3 and the marked gen -2 are still on disk
+    partial = os.path.join(sig_path, "batch_id=-5")
+    (
+        spark.read.parquet(sig_path).where("batch_id = 2").drop("batch_id")
+        .coalesce(1).write.mode("overwrite").parquet(partial)
+    )
+    for m in glob.glob(os.path.join(partial, "_SUCCESS")):
+        os.remove(m)
+    assert not os.path.exists(os.path.join(partial, GEN_MARKER))
+
+    # invisible to reads (NOT adopted: its sources are still present)
+    assert sorted(map(str, read_accumulated(spark, sig_path).collect())) == before
+    # swept and rebuilt by the next run
+    compact_batches(spark, sig_path, upto_batch_id=3)
+    gens = sorted(
+        os.path.basename(g) for g in glob.glob(os.path.join(sig_path, "batch_id=-*"))
+    )
+    assert gens == ["batch_id=-4"]
+    assert os.path.exists(os.path.join(sig_path, "batch_id=-4", GEN_MARKER))
+    assert sorted(map(str, read_accumulated(spark, sig_path).collect())) == before
+
+
+def test_compact_batches_stale_foreign_tmp_swept(spark, tmp_path):
+    """Round-7 advice (low): a tmp directory stranded by a crashed run
+    with a DIFFERENT upto_batch_id must be deleted by any later run's
+    sweep — tmps are by construction uncommitted."""
+    import glob
+
+    from pixie_spark.streaming.ingest import compact_batches, read_accumulated
+
+    idx, pairs, rows, schema, kw = _ingest_four_batches(spark, tmp_path, "tm")
+    sig_path = os.path.join(idx, "signatures")
+    before = sorted(map(str, read_accumulated(spark, sig_path).collect()))
+    stale = os.path.join(sig_path, ".batch_id-compact-1.tmp")
+    (
+        spark.read.parquet(sig_path).where("batch_id = 0").drop("batch_id")
+        .coalesce(1).write.mode("overwrite").parquet(stale)
+    )
+    compact_batches(spark, sig_path, upto_batch_id=3)  # different upto
+    assert not glob.glob(os.path.join(sig_path, ".batch_id-compact-*"))
+    assert sorted(map(str, read_accumulated(spark, sig_path).collect())) == before
+
+
 def test_compact_batches_recompaction_generations(spark, tmp_path):
     """Compacting an ALREADY-compacted index folds the old generation
     plus the new per-batch dirs into the next generation — and a crash
