@@ -56,18 +56,34 @@ def pattern_scores(
     dist-threshold filter — no top-k, so nothing is ever collected to
     the driver for an unbounded frame).
 
-    Plan: the length-m windows come from m-1 ``lead``s over the
-    per-entity time order (ONE shuffle on the entity key, identical to
-    the shingle construction); the window mean/std and the distance are
-    a fixed-size native arithmetic expression assembled as one SQL
-    string (m terms — the kmeans_fit py4j lesson). Flat windows (zero
-    variance) cannot match a non-flat pattern and are scored +inf via a
-    guarded division.
+    A time series is a FUNCTION of time, so duplicate (entity, ts)
+    ingest rows are collapsed HERE — ``min(value)`` per (entity, ts),
+    bit-exact under any execution order and idempotent on
+    already-unique input — rather than left as a docstring contract
+    for each caller (round-7 advice): over duplicate timestamps the
+    equal-ts interleave is arbitrary and lead() window contents would
+    be partitioning-dependent.
+
+    Plan: ONE shuffle total — an explicit repartition on the entity
+    key alone satisfies BOTH the collapse aggregate (hash(entity)
+    clusters (entity, ts) too) and the per-entity lead window; the
+    length-m windows come from m-1 ``lead``s over the per-entity time
+    order (identical to the shingle construction); the window mean/std
+    and the distance are a fixed-size native arithmetic expression
+    assembled as one SQL string (m terms — the kmeans_fit py4j
+    lesson). Flat windows (zero variance) cannot match a non-flat
+    pattern and are scored +inf via a guarded division.
     """
     m = len(pattern)
     if m < 2:
         raise ValueError("pattern must have at least 2 points")
     zq = _znorm_pattern(pattern)
+    df = (
+        df.select(entity_col, ts_col, value_col)
+        .repartition(entity_col)
+        .groupBy(entity_col, ts_col)
+        .agg(F.min(value_col).alias(value_col))
+    )
     win = Window.partitionBy(entity_col).orderBy(ts_col)
     vals = [F.col(value_col).cast("double").alias("v0")] + [
         F.lead(F.col(value_col).cast("double"), j).over(win).alias(f"v{j}")
@@ -105,13 +121,10 @@ def pattern_search(
     entity's series. Output: (entity_col, ts_col of the window start,
     dist, rank) — dist = Σ (zw_i - zq_i)², lower is a better match.
 
-    CONTRACT: (entity, ts) must be unique — a time series is a function
-    of time. Subsequences come from lead() windows ordered by ts, and
-    over duplicate timestamps the equal-ts interleave is arbitrary, so
-    window contents (hence distances and the top-k set) become
-    partitioning-dependent. Collapse duplicate ingest rows first
-    (e.g. ``groupBy(entity, ts).agg(F.min(value))``, the registry
-    convention — min is bit-exact under any execution order).
+    Duplicate (entity, ts) ingest rows are collapsed inside
+    pattern_scores (min(value) per point — deterministic, idempotent),
+    so the result never depends on the equal-ts interleave regardless
+    of caller discipline (round-7 advice).
 
     pattern_scores does the distributed scoring; the global top-k is
     orderBy+limit → TakeOrderedAndProject (k rows to the driver, never

@@ -3556,19 +3556,12 @@ def q_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ts_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pixie_spark.operators.timeseries import pattern_search
 
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .select(F.col("event_type").alias("entity"), "ts", "value")
-        # one value per (entity, ts) — duplicate-timestamp ingest rows
-        # make lead()-window subsequences ill-defined (see local_oracle
-        # note); min() collapses them deterministically in both engines.
-        # repartition by entity ALONE first: hash(entity) clusters
-        # (entity, ts) too, so the collapse's final aggregate AND the
-        # downstream lead-window both reuse it — ONE exchange total
-        # instead of groupBy(entity, ts)'s own shuffle plus the window's
-        .repartition("entity")
-        .groupBy("entity", "ts")
-        .agg(F.min("value").alias("value"))
+    # duplicate-(entity, ts) collapse + single-exchange layout now live
+    # INSIDE pattern_scores (round-7 advice): the operator min-collapses
+    # per point and repartitions on entity alone, so the collapse agg
+    # and the lead window share ONE exchange whatever the caller passes.
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("entity"), "ts", "value"
     )
     spike = [0.0, 1.0, 3.0, 1.0, 0.0]
     out = pattern_search(ev, spike, k=15)

@@ -210,10 +210,11 @@ def test_pattern_search_duplicate_ts_collapse_convention(spark):
     """lead()-window subsequences are only well-defined over UNIQUE
     (entity, ts) points — the equal-ts interleave is arbitrary, so
     duplicate ingest rows make window contents engine/order-dependent
-    (the defect the sf1 gate sweep caught). The registry convention
-    (q_ts_pattern_search) collapses duplicates with min() first; this
-    pins that the collapsed 10x-duplicated series reproduces the
-    unique series' top-k exactly."""
+    (the defect the sf1 gate sweep caught). Since round 8 the operator
+    collapses duplicates itself — min(value) per (entity, ts), inside
+    pattern_scores (round-7 advice) — so a RAW 10x-duplicated series
+    must reproduce the unique series' top-k exactly, with no caller
+    discipline; an explicitly pre-collapsed frame stays a no-op."""
     rng = np.random.RandomState(7)
     series = {"click": list(rng.rand(60)), "view": list(rng.rand(60))}
     uniq = _series_df(spark, series)
@@ -232,3 +233,5 @@ def test_pattern_search_duplicate_ts_collapse_convention(spark):
         ]
 
     assert rows(collapsed) == rows(uniq)
+    # the operator-internal collapse: raw duplicated input, same answer
+    assert rows(dup10) == rows(uniq)
