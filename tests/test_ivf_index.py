@@ -80,6 +80,23 @@ def test_search_prunes_unprobed_list_directories(spark, vectors, queries, tmp_pa
     assert len(all_lists) > 2  # the index really has more lists than the probe set
 
 
+def test_search_probe_assignment_is_distributed(spark, vectors, queries, tmp_path_factory):
+    """Round-7 verdict #5: probe assignment must run as the Arrow-batched
+    pandas_udf (the ivf_topk path), never as a driver-side collect of the
+    query table — the 'query' side may itself be a corpus. The plan must
+    carry the ArrowEvalPython assignment stage feeding the scoring join
+    (a driver-collected probe table would plan as a LocalTableScan with
+    no Python stage anywhere)."""
+    path = str(tmp_path_factory.mktemp("ivf") / "idx")
+    ivf_index_build(vectors, path, n_lists=8, dim=DIM)
+    out = ivf_index_search(spark, path, queries, k=5, nprobe=3, dim=DIM)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan
+    # and the query side is not a driver-materialized literal table
+    assert "LocalTableScan" not in plan, plan[:2000]
+
+
 def test_rebuild_is_deterministic(spark, vectors, tmp_path_factory):
     a = str(tmp_path_factory.mktemp("ivf") / "a")
     b = str(tmp_path_factory.mktemp("ivf") / "b")
