@@ -56,6 +56,11 @@ def _np_kmeans(x: np.ndarray, k: int, max_iter: int = 20) -> np.ndarray:
     k ≥ len(x) every point is its own centroid — zero distortion, the
     lossless anchor the tests exploit."""
     k = min(k, len(x))
+    if k == len(x):
+        # saturation: every point is its own centroid — zero distortion
+        # by construction (the lossless-anchor regime); skip the O(n·k)
+        # iteration that would only confirm the fixed point
+        return x.copy()
     centroids = x[:k].copy()
     for _ in range(max_iter):
         d2 = (centroids**2).sum(axis=1)[None, :] - 2.0 * (x @ centroids.T)

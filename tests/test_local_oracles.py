@@ -83,9 +83,12 @@ def test_expected_local_oracle_coverage():
         "temperature_mix",
         "mixture_shards",
         "dedup_incremental",
+        # round-8: IVF-PQ graduated from rows-only via the lossless
+        # parity regime (capped corpus ⇒ codebook saturation ⇒ exact)
+        "ann_ivfpq_topk",
     }
     assert expected.issubset(set(LOCAL_ORACLE_NAMES))
-    assert len(LOCAL_ORACLE_NAMES) >= 35
+    assert len(LOCAL_ORACLE_NAMES) >= 36
 
 
 def test_local_oracles_never_reach_the_driver():
