@@ -1952,7 +1952,8 @@ def _clean_pipeline_oracle() -> str:
            ((5, 0.15), (6, 0.14), (7, 0.13), (8, 0.12), (9, 0.11), (10, 0.10))]
     )
     return f"""
-    WITH RECURSIVE d0 AS (SELECT doc_id AS doc, text FROM documents),
+    WITH RECURSIVE d0 AS (SELECT doc_id AS doc, text FROM documents
+                          WHERE doc_id % 10 = 0),
     b AS (
         SELECT doc, text, CAST(length(text) AS BIGINT) AS tc,
                list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws,
@@ -2063,23 +2064,34 @@ def _clean_pipeline_oracle() -> str:
     # via local_oracle below — the WHOLE funnel composed from the
     # stage-oracle patterns already proven individually — plus planted
     # per-stage offenders in tests/test_pipeline.py.
-    # Scale limit of the ORACLE (not the engine): the exact single-node
-    # replica materializes the n=2..10 string-gram CTEs for the whole
-    # corpus and spills >90 GB of DuckDB temp at the sf1 tier (10x) —
-    # the Spark side completes there; the replica is hash-checked in CI
-    # at sf0.01 and swept at sf0.1, and documented as sf1-excluded.
+    # Round-8 (verdict #5): BOTH engines run the funnel over the
+    # deterministic doc_id % 10 == 0 slice, so the composed pipeline is
+    # value-checkable at EVERY sweep tier — the exact single-node
+    # replica materializes the n=2..10 string-gram CTEs and spilled
+    # >90 GB of DuckDB temp at sf1 over the full corpus; the slice at
+    # sf1 is the same workload size as the full sf0.1 corpus, which
+    # completes. (At sf1 the slice keeps the adversarial twin structure:
+    # the id shift is a multiple of 10, so every copy of a selected doc
+    # is selected.) The bench times the FULL-corpus production funnel
+    # via BENCH_OVERRIDES, same split as dedup_minhash_lsh.
     None,
     local_oracle=_clean_pipeline_oracle(),
     doc="End-to-end corpus cleaning DAG: Gopher quality gate -> exact "
     "dedup -> minhash near-dup clusters -> canonical filter -> "
     "substring-span removal, reported as a one-row funnel "
     "(operators/pipeline.py:clean_corpus_report). Cheap per-doc "
-    "filters run first so cross-doc stages see a shrunk corpus.",
+    "filters run first so cross-doc stages see a shrunk corpus. Gate "
+    "runs the doc_id % 10 slice (oracle-tractable at 10x); bench runs "
+    "the full corpus.",
 )
 def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pixie_spark.operators.pipeline import STRUCTURAL_RULES, clean_corpus_report
 
-    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doc = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+    )
     return clean_corpus_report(doc, quality_rules=STRUCTURAL_RULES, min_words=5)
 
 

@@ -26,6 +26,13 @@ byte-for-byte and the assert message carries the full script + SQL.
 Round-6 verdict #4 families: rolling() time-bins (rolling_ir.h:44-57
 semantics via the px facade), two-table merges (events x docs on a
 synthetic fk), and the head tier — each asserted to fire >=20 times.
+Round-7 verdict #7 families: df.append(df2) with FILTERED + column-
+PERMUTED right sides (the reference Union's per-input column
+realignment, union_node.cc:172-287 — the SQL side models the
+semantics in canonical order, so any misalignment garbles values and
+fails the comparator) and ctx['service']-style metadata accessors over
+a synthetic two-hop dim chain with genuine misses at both hops — each
+asserted to fire >=20 times.
 """
 
 import random
@@ -33,11 +40,27 @@ import random
 import pixie_spark.api as px
 import pytest
 from pyspark.sql import functions as F
+from pixie_spark.functions.metadata import MetadataResolver
 from pixie_spark.sources import load_table
 from tools.check_oracle import compare_frames, oracle_connection
 
 SF_DIR = "/root/testdata/sf0.001"
 N_VARIANTS = 300
+
+# synthetic metadata dims for the ctx[...] family: pods 0..19 map to
+# service_id = pod_id % 8, services name only 0..5 — so pod_ids >= 20
+# miss hop 1 and service_ids 6..7 miss hop 2 (both misses must coalesce
+# to '' — reference metadata-UDF parity, metadata_ops.h:112)
+FUZZ_PODS = [(i, i % 8) for i in range(20)]
+FUZZ_SERVICES = [(i, f"svc-{i}") for i in range(6)]
+
+
+def _fuzz_resolver(spark) -> MetadataResolver:
+    pods = spark.createDataFrame(FUZZ_PODS, "pod_id long, service_id long")
+    services = spark.createDataFrame(
+        FUZZ_SERVICES, "service_id long, service_name string"
+    )
+    return MetadataResolver(pods, services)
 
 INT_COLS = ["event_id", "user_id"]
 FLOAT_COLS = ["value"]
@@ -69,9 +92,19 @@ def _fuzz_tables(spark):
 @pytest.fixture(scope="module")
 def fuzz_ctx(spark):
     ev, docs = _fuzz_tables(spark)
-    px.set_context(spark, tables={"events": ev, "docs": docs})
+    px.set_context(
+        spark, tables={"events": ev, "docs": docs}, metadata=_fuzz_resolver(spark)
+    )
     con = oracle_connection(SF_DIR)
     con.execute("CREATE VIEW docs AS SELECT doc_id, lang FROM documents")
+    con.execute(
+        "CREATE TABLE fuzz_pods(pod_id BIGINT, service_id BIGINT)"
+    )
+    con.executemany("INSERT INTO fuzz_pods VALUES (?, ?)", FUZZ_PODS)
+    con.execute(
+        "CREATE TABLE fuzz_services(service_id BIGINT, service_name VARCHAR)"
+    )
+    con.executemany("INSERT INTO fuzz_services VALUES (?, ?)", FUZZ_SERVICES)
     yield con
     con.close()
 
@@ -83,6 +116,9 @@ class _Gen:
         self.rng = rng
         self.int_cols = list(INT_COLS)  # grows with derived columns
         self.str_cols = list(STR_COLS)
+        # full column SET in frame order — append() permutes a copy of
+        # it and the SQL UNION ALL branch re-lists it canonically
+        self.cols = list(BASE_COLS) + [TIME_COL]
         self.rolled = False  # ts_us has been binned at least once
         self.lines = ["import px", "df = px.DataFrame('events')"]
         self.ctes = [
@@ -158,6 +194,7 @@ class _Gen:
         self.lines.append(f"df['{name}'] = {rhs_px}")
         self._next_cte(f"*, CAST({rhs_sql} AS BIGINT) AS {name}")
         self.int_cols.append(name)
+        self.cols.append(name)
 
     def add_str_assign(self) -> None:
         """Derived columns through the px string-function family
@@ -188,6 +225,7 @@ class _Gen:
             self.lines.append(f"df['{name}'] = px.find(df['{c}'], '{sub}')")
             self._next_cte(f"*, CAST(strpos({c}, '{sub}') - 1 AS BIGINT) AS {name}")
             self.int_cols.append(name)
+        self.cols.append(name)
 
     def add_merge(self) -> None:
         """Self-aggregate merge: an aggregate built over a FILTERED copy
@@ -221,6 +259,7 @@ class _Gen:
             f"ON l.event_type = r.event_type)"
         )
         self.int_cols.append(m)
+        self.cols.extend(["event_type_r", m])
 
     def add_rolling(self) -> None:
         """Tumbling time-bin via the px rolling() facade (dataframe.h:381
@@ -246,6 +285,7 @@ class _Gen:
         self.lines.append(f"df['{fk}'] = df['event_id'] % {k}")
         self._next_cte(f"*, CAST(event_id % {k} AS BIGINT) AS {fk}")
         self.int_cols.append(fk)
+        self.cols.append(fk)
         self.lines.append("d = px.DataFrame('docs')")
         self.lines.append(
             f"df = df.merge(d, how='{how}', left_on='{fk}', "
@@ -258,9 +298,61 @@ class _Gen:
             f"q{self.step} AS (SELECT l.*, r.doc_id, r.lang "
             f"FROM {prev} l {jt} docs r ON l.{fk} = r.doc_id)"
         )
+        self.cols.extend(["doc_id", "lang"])
         if how == "inner":
             self.int_cols.append("doc_id")
             self.str_cols.append("lang")
+
+    def add_append(self) -> None:
+        """df.append(df2) — the reference Union with per-input column
+        realignment (union_node.cc:172-287): the appended copy is
+        FILTERED and its columns PERMUTED, so a positional union would
+        garble values across columns; the SQL side models the append
+        SEMANTICS (UNION ALL with both branches in canonical column
+        order), which makes the comparator catch any misalignment."""
+        r = self.rng
+        p_px, p_sql = self._predicate()
+        shuffled = list(self.cols)
+        r.shuffle(shuffled)
+        quoted = ", ".join(f"'{c}'" for c in shuffled)
+        self.lines.append(f"sub = df[{p_px}]")
+        self.lines.append(f"sub = sub[[{quoted}]]")
+        self.lines.append("df = df.append(sub)")
+        prev = f"q{self.step}"
+        self.step += 1
+        cols_sql = ", ".join(self.cols)
+        self.ctes.append(
+            f"q{self.step} AS (SELECT {cols_sql} FROM {prev} UNION ALL "
+            f"SELECT {cols_sql} FROM {prev} WHERE {p_sql})"
+        )
+
+    def add_ctx(self) -> None:
+        """ctx['service'] over the synthetic metadata dims (FUZZ_PODS /
+        FUZZ_SERVICES): a pod_id fk derived from user_id keys the
+        two-hop broadcast lookup chain pods(pod_id→service_id) →
+        services(service_id→service_name), with genuine misses at both
+        hops coalescing to '' (reference metadata-UDF parity,
+        metadata_ops.h:112). The resolved name joins the string pool so
+        later predicates/keys/appends compose over it."""
+        r = self.rng
+        # mod 18: all hit hop 1; 25/40: pod_ids >= 20 miss hop 1
+        mod = r.choice([18, 25, 40])
+        name = f"svc{self.step}"
+        self.lines.append(f"df['pod_id'] = df['user_id'] % {mod}")
+        self._next_cte(f"*, CAST(user_id % {mod} AS BIGINT) AS pod_id")
+        self.int_cols.append("pod_id")
+        self.cols.append("pod_id")
+        self.lines.append(f"df['{name}'] = df.ctx['service']")
+        prev = f"q{self.step}"
+        self.step += 1
+        self.ctes.append(
+            f"q{self.step} AS (SELECT l.*, coalesce(s.service_name, '') AS {name} "
+            f"FROM {prev} l "
+            f"LEFT JOIN fuzz_pods p ON l.pod_id = p.pod_id "
+            f"LEFT JOIN fuzz_services s ON p.service_id = s.service_id)"
+        )
+        self.str_cols.append(name)
+        self.cols.append(name)
 
     def finish(self, head: int | None = None) -> tuple[str, str]:
         r = self.rng
@@ -329,18 +421,23 @@ class _Gen:
 
 def _variant(rng: random.Random, head: int | None = None) -> tuple[str, str]:
     g = _Gen(rng)
-    merged = merged2 = False
+    merged = merged2 = ctxed = False
     for _ in range(rng.randint(1, 4)):
         roll = rng.random()
-        if roll < 0.32:
+        if roll < 0.26:
             g.add_filter()
-        elif roll < 0.52:
+        elif roll < 0.42:
             g.add_assign()
-        elif roll < 0.68:
+        elif roll < 0.55:
             g.add_str_assign()
-        elif roll < 0.78:
+        elif roll < 0.64:
             g.add_rolling()
-        elif roll < 0.89 and not merged2:
+        elif roll < 0.73:
+            g.add_append()
+        elif roll < 0.82 and not ctxed:
+            g.add_ctx()
+            ctxed = True
+        elif roll < 0.91 and not merged2:
             g.add_merge_docs()
             merged2 = True
         elif not merged and not g.rolled:
@@ -355,12 +452,15 @@ def test_pxl_facade_fuzz_300_variants(spark, fuzz_ctx):
     rng = random.Random(2026)
     failures = []
     zero_rows = n_merges = n_multi = n_strfn = n_roll = n_merge2 = 0
+    n_append = n_ctx = 0
     for i in range(N_VARIANTS):
         script, sql = _variant(rng)
         n_merges += ".merge(agg" in script
         n_merge2 += ".merge(d" in script
         n_roll += ".rolling(" in script
         n_multi += ".groupby(['" in script
+        n_append += ".append(sub)" in script
+        n_ctx += ".ctx['service']" in script
         n_strfn += any(
             f"px.{fn}(" in script
             for fn in ("toupper", "tolower", "length", "find", "substring")
@@ -391,6 +491,8 @@ def test_pxl_facade_fuzz_300_variants(spark, fuzz_ctx):
     assert n_roll >= 20, f"only {n_roll} rolling variants"
     assert n_multi >= 5, f"only {n_multi} composite-groupby variants"
     assert n_strfn >= 20, f"only {n_strfn} string-function variants"
+    assert n_append >= 20, f"only {n_append} append/realignment variants"
+    assert n_ctx >= 20, f"only {n_ctx} ctx-metadata variants"
 
 
 def test_pxl_facade_fuzz_head_contract(spark, fuzz_ctx):
@@ -428,12 +530,15 @@ def test_pxl_facade_fuzz_streaming_duality(spark, fuzz_ctx, tmp_path):
     from pixie_spark.streaming.script_stream import StreamingScriptRun
 
     ev, docs = _fuzz_tables(spark)
+    resolver = _fuzz_resolver(spark)
     rng = random.Random(77)
     n_checked = 0
     failures = []
     for i in range(40):
         script, _ = _variant(rng)
-        px.set_context(spark, tables={"events": ev, "docs": docs})
+        px.set_context(
+            spark, tables={"events": ev, "docs": docs}, metadata=resolver
+        )
         batch_rows = sorted(
             map(str, px.run_script(script)["out"].collect())
         )
@@ -445,6 +550,7 @@ def test_pxl_facade_fuzz_streaming_duality(spark, fuzz_ctx, tmp_path):
             spark, script,
             stream_tables={"events": ev}, static_tables={"docs": docs},
             work_dir=str(tmp_path / f"fz{i}"),
+            metadata=resolver,
             time_col="event_id",  # chunk arrival keyed on the pk
         )
         try:
@@ -455,7 +561,9 @@ def test_pxl_facade_fuzz_streaming_duality(spark, fuzz_ctx, tmp_path):
         if got != batch_rows:
             failures.append((i, script, len(got), len(batch_rows)))
         n_checked += 1
-    px.set_context(spark, tables={"events": ev, "docs": docs})
+    px.set_context(
+        spark, tables={"events": ev, "docs": docs}, metadata=resolver
+    )
     assert not failures, "\n\n".join(
         f"variant {i} ({ng} vs {nb} rows):\n{s}" for i, s, ng, nb in failures[:3]
     )

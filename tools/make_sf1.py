@@ -18,12 +18,21 @@ bench.py can run the full headline/extras suite against it:
 - Time columns are untouched: every query's fixture-epoch window simply
   sees 10× the rows, which is the scan-scaling being measured.
 
+The build emits ``out_dir/manifest.json`` — per-table row counts,
+per-file sha256 content hashes, and one digest over the lot — and
+bench.py copies the digest into its JSON line when it runs against the
+tier (round-7 verdict #3): two bench records with the same digest ran
+on byte-identical data, so cross-round deltas are attributable to code,
+never to a silently different materialization.
+
 Usage:  python tools/make_sf1.py [out_dir]      (default .benchdata/sf1)
 Then:   SPARK_GRAFT_SF_DIR=.benchdata/sf1 python bench.py
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 import sys
 
@@ -51,16 +60,34 @@ FACT_SHIFT = {
 }
 
 
+def _table_file_hashes(table_dir: str) -> dict[str, str]:
+    """{part filename: sha256 hex} of the data files in a table dir
+    (commit markers / checksums excluded — only bytes queries read)."""
+    out = {}
+    for name in sorted(os.listdir(table_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        h = hashlib.sha256()
+        with open(os.path.join(table_dir, name), "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        out[name] = h.hexdigest()
+    return out
+
+
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".benchdata", "sf1",
     )
     spark = get_spark("make_sf1")
+    rows: dict[str, int] = {}
+    files: dict[str, dict[str, str]] = {}
     for t in DIMS:
         df = spark.read.parquet(os.path.join(SRC, f"{t}.parquet"))
         df.write.mode("overwrite").parquet(os.path.join(out, f"{t}.parquet"))
-        print(f"{t}: {df.count()} rows (1x)")
+        rows[t] = df.count()
+        print(f"{t}: {rows[t]} rows (1x)")
     for t, shift_cols in FACT_SHIFT.items():
         base = spark.read.parquet(os.path.join(SRC, f"{t}.parquet"))
         copies = None
@@ -77,8 +104,20 @@ def main() -> None:
             .parquet(os.path.join(out, f"{t}.parquet"))
         )
         n = spark.read.parquet(os.path.join(out, f"{t}.parquet")).count()
+        rows[t] = n
         print(f"{t}: {n} rows ({COPIES}x)")
-    print(f"sf1 tier written to {out}")
+    for t in list(DIMS) + list(FACT_SHIFT):
+        files[t] = _table_file_hashes(os.path.join(out, f"{t}.parquet"))
+    digest = hashlib.sha256(
+        json.dumps({"rows": rows, "files": files}, sort_keys=True).encode()
+    ).hexdigest()
+    with open(os.path.join(out, "manifest.json"), "w") as f:
+        json.dump(
+            {"src": SRC, "copies": COPIES, "offset": OFFSET,
+             "rows": rows, "files": files, "digest": digest},
+            f, indent=1, sort_keys=True,
+        )
+    print(f"sf1 tier written to {out} (manifest digest {digest[:16]}…)")
 
 
 if __name__ == "__main__":
