@@ -350,6 +350,7 @@ def leakage_safe_split(
     fractions: dict[str, float] | None = None,
     id_col: str = "doc_id",
     seed: int = 0,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Train/val/test assignment that near-duplicate clusters can never
     straddle — the split-leakage guard for evaluation hygiene (the same
@@ -368,13 +369,16 @@ def leakage_safe_split(
     (operators/clustering.py — two 8-byte shuffles per round, no
     adjacency lists); the membership join is an equijoin on the 8-byte
     ``id_col``; the split decision itself is an in-row expression.
+    Pass ``stats`` to observe the closure's round count (the scale-up
+    invariant: rounds stay flat in data size — Kiveris et al.; the sf1
+    adjudication in SCALE.md reads it through this hook).
     """
     from .clustering import connected_components
 
     if fractions is None:
         fractions = {"train": 0.9, "val": 0.05, "test": 0.05}
     total = sum(fractions.values())
-    comp = connected_components(pairs).withColumnRenamed("node", id_col)
+    comp = connected_components(pairs, stats=stats).withColumnRenamed("node", id_col)
     out = df.join(comp, id_col, "left").withColumn(
         "rep", F.coalesce(F.col("component"), F.col(id_col))
     )
