@@ -108,6 +108,32 @@ def test_embedding_dedup_lsh_subset_and_recall(spark, emb):
         assert v == e[k]
 
 
+def test_embedding_dedup_collapse_exact_identical(spark, emb):
+    """collapse_exact (round-8: exact-dup collapse before LSH candidate
+    generation — the dup-heavy-corpus scale cut) must be RESULT-
+    INVISIBLE: on a twin-heavy frame (every vector duplicated 3x under
+    shifted ids, the sf1 recipe in miniature) the collapsed run returns
+    exactly the uncollapsed run's pair set with bit-identical scores —
+    intra-twin pairs, cross-twin expansions, and ordinary pairs alike."""
+    twins = emb.select("vec_id", "embedding")
+    for i in (1, 2):
+        twins = twins.unionByName(
+            emb.select(
+                (F.col("vec_id") + 1_000_000 * i).alias("vec_id"), "embedding"
+            )
+        )
+    kw = dict(threshold=0.4, prefilter=True, n_planes=6, n_tables=8)
+    plain = sim.embedding_dedup_pairs(twins, collapse_exact=False, **kw)
+    fast = sim.embedding_dedup_pairs(twins, collapse_exact=True, **kw)
+    p = {(r["id_a"], r["id_b"]): r["score"] for r in plain.collect()}
+    f = {(r["id_a"], r["id_b"]): r["score"] for r in fast.collect()}
+    assert f == p
+    # and the twin structure actually exercised both expansion kinds
+    n = emb.count()
+    assert any(a + 1_000_000 == b or a + 2_000_000 == b for a, b in f), "intra missing"
+    assert len(f) > n  # more pairs than originals → expansions happened
+
+
 def test_cosine_self_is_one(spark, emb):
     row = emb.limit(1).select(
         sim.cosine(F.col("embedding"), F.col("embedding")).alias("c")
