@@ -118,10 +118,11 @@ def embedding_dedup_pairs(
     buckets of MEMBERS to Σk² over buckets of DISTINCT vectors, and the
     (output-proportional) twin pairs are emitted by expansion joins
     AFTER the threshold filter. Measured at the sf1 twin tier (20k
-    vectors = 2k distinct × 10): 105 s → a few seconds, same 129,700
-    pairs. With ``max_bucket_size`` set, the cap now reads DISTINCT
-    vectors per bucket — a more faithful skew measure than member
-    counts inflated by exact twins.
+    vectors = 2k distinct × 10): 87.4 s → 2.6 s median (34×), same
+    129,700 pairs; dup-free sf0.1 within run-to-run spread. With
+    ``max_bucket_size`` set, the cap now reads DISTINCT vectors per
+    bucket — a more faithful skew measure than member counts inflated
+    by exact twins.
     """
 
     def flat(side: str) -> DataFrame:
