@@ -199,6 +199,7 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_posting_list: int | None = MAX_POSTING_LIST,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard ≥ threshold pairs via prefix filtering.
 
@@ -228,7 +229,23 @@ def jaccard_pairs(
     merge-common-subplans rule (src/carnot/planner/compiler/optimizer/
     merge_nodes_rule.h:36-44); without it the self-join recomputes the
     whole shingle subtree once per side (measured 10× slowdown).
+
+    ``collapse_exact``: exact-dedup-first (see minhash_lsh_pairs).
+    PPJoin is lossless under ANY global shingle order, so re-deriving
+    document frequencies over DISTINCT texts instead of members changes
+    candidate composition but never the exact-Jaccard survivor set —
+    the collapsed output is identical (cap caveat as documented there).
     """
+    if collapse_exact:
+        g = _collapse_groups_by_text(df, id_col, text_col)
+        rep_pairs = jaccard_pairs(
+            g.select(F.col("rep").alias(id_col), F.col("text").alias(text_col)),
+            id_col, text_col, n, threshold, max_posting_list,
+            collapse_exact=False,
+        )
+        return _expand_collapsed_pairs(
+            g, rep_pairs, "jaccard", threshold, n, max_posting_list
+        )
     sh = _hashed_shingle_arrays(df, id_col, text_col, n).localCheckpoint()
     idx = sh.select("doc", F.explode("sh").alias("shingle"))
     dfreq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfreq"))
@@ -365,6 +382,79 @@ def _band_entries(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
+def _collapse_groups_by_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(text, rep = min member id, ids = member list) — one row per
+    DISTINCT text. The exact-dedup-first collapse shared by the MinHash
+    pair generators: byte-identical texts have identical shingle sets,
+    signatures, and band buckets, so every pair-level quantity is a pure
+    function of the (rep_a, rep_b) texts and member pairs expand from
+    rep pairs without recomputation. localCheckpoint'd: the membership
+    explode and the rep projection both read it."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        .groupBy("text")
+        .agg(F.min("id").alias("rep"), F.collect_list("id").alias("ids"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _expand_collapsed_pairs(
+    g: DataFrame,
+    rep_pairs: DataFrame,
+    score_col: str,
+    threshold: float,
+    n: int,
+    max_group: int | None,
+) -> DataFrame:
+    """Member-level (doc_a, doc_b, score) from rep-level pairs plus the
+    intra-group twin pairs.
+
+    - cross: each surviving rep pair expands to every member
+      combination, orientation-normalized; the score carries over
+      bit-exactly (members share the rep's text bytes).
+    - intra: byte-identical docs have Jaccard exactly 1.0 (s/(s+s-s) in
+      the verified variant, num_hashes/num_hashes in the estimated one —
+      both exact doubles), PROVIDED the text has at least one shingle:
+      a doc shorter than n words produces no shingles, no signature and
+      no band entries, so the uncollapsed path never pairs its twins —
+      the word-count gate reproduces that exactly. ``max_group``
+      carries the posting-list cap to the intra expansion: an exact-dup
+      cluster of k members is a k² pair emission exactly like a hot
+      posting list, so clusters past the cap are dropped as stop-keys
+      (the uncollapsed path dropped them through their >cap band
+      buckets; production routes such clusters through dedup_exact,
+      which handles them at O(k)).
+    """
+    mem = g.select("rep", F.explode("ids").alias("id"))
+    cross = (
+        rep_pairs
+        .join(mem.select(F.col("rep").alias("doc_a"), F.col("id").alias("__ma")), "doc_a")
+        .join(mem.select(F.col("rep").alias("doc_b"), F.col("id").alias("__mb")), "doc_b")
+        .select(
+            F.least("__ma", "__mb").alias("doc_a"),
+            F.greatest("__ma", "__mb").alias("doc_b"),
+            score_col,
+        )
+    )
+    if threshold > 1.0:
+        return cross
+    has_shingle = (
+        F.size(F.filter(F.split("text", r"\s+"), lambda x: x != "")) >= n
+    )
+    cond = (F.size("ids") > 1) & has_shingle
+    if max_group is not None:
+        cond = cond & (F.size("ids") <= max_group)
+    eligible = g.where(cond).select("rep")
+    emem = eligible.join(mem, "rep")
+    intra = (
+        emem.select("rep", F.col("id").alias("doc_a"))
+        .join(emem.select("rep", F.col("id").alias("doc_b")), "rep")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(1.0).alias(score_col))
+    )
+    return cross.unionByName(intra)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -374,6 +464,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     max_posting_list: int | None = MAX_POSTING_LIST,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash-LSH, verified by
     estimated Jaccard (fraction of agreeing minhashes).
@@ -381,7 +472,25 @@ def minhash_lsh_pairs(
     Scale path: docs only meet if a band hash collides → the self-join is
     per (band, bucket) and the full cross-product never materializes.
     Output: (doc_a, doc_b, est_jaccard).
+
+    ``collapse_exact``: byte-identical texts collapse to one
+    representative before signatures/banding (exact-dedup-first — the
+    decisive cut on dup-heavy corpora; see _expand_collapsed_pairs for
+    why results are identical). Note the posting-list cap then counts
+    DISTINCT texts per bucket — the more faithful skew measure; on a
+    corpus where the cap binds, member-level counting could drop pairs
+    the collapsed run keeps.
     """
+    if collapse_exact:
+        g = _collapse_groups_by_text(df, id_col, text_col)
+        rep_pairs = minhash_lsh_pairs(
+            g.select(F.col("rep").alias(id_col), F.col("text").alias(text_col)),
+            id_col, text_col, n, num_hashes, bands, threshold,
+            max_posting_list, collapse_exact=False,
+        )
+        return _expand_collapsed_pairs(
+            g, rep_pairs, "est_jaccard", threshold, n, max_posting_list
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes).localCheckpoint()
     band_entries = _band_entries(sig, bands, rows_per_band)
@@ -419,6 +528,7 @@ def minhash_lsh_verified_pairs(
     bands: int = 64,
     threshold: float = 0.5,
     max_posting_list: int | None = MAX_POSTING_LIST,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Banded MinHash-LSH candidates verified by EXACT Jaccard — the
     standard production shape (LSH recall stage + exact verify stage):
@@ -445,7 +555,21 @@ def minhash_lsh_verified_pairs(
     corpus; the cap is deliberately far above any real cluster size the
     gate fixtures contain, and posting_list_skew_stats makes the drop
     observable in production.
+
+    ``collapse_exact``: exact-dedup-first (see minhash_lsh_pairs) — at
+    the sf1 twin tier this turns the 100× band-bucket blow-up from
+    member-level k² into distinct-level k², with bit-identical output.
     """
+    if collapse_exact:
+        g = _collapse_groups_by_text(df, id_col, text_col)
+        rep_pairs = minhash_lsh_verified_pairs(
+            g.select(F.col("rep").alias(id_col), F.col("text").alias(text_col)),
+            id_col, text_col, n, num_hashes, bands, threshold,
+            max_posting_list, collapse_exact=False,
+        )
+        return _expand_collapsed_pairs(
+            g, rep_pairs, "jaccard", threshold, n, max_posting_list
+        )
     rows_per_band = num_hashes // bands
     sh = _hashed_shingle_arrays(df, id_col, text_col, n).localCheckpoint()
     sid_rows = sh.select("doc", F.explode("sh").alias("sid"))

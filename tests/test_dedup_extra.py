@@ -142,6 +142,58 @@ def test_production_banding_candidates_subset_of_full_recall(spark, sf_dir):
     assert prod_pairs == gate_pairs
 
 
+def test_minhash_collapse_exact_identical(spark, sf_dir):
+    """collapse_exact (round-8: exact-dedup-first before signatures and
+    banding) must be RESULT-INVISIBLE on twin-heavy input: the collapsed
+    run returns exactly the uncollapsed run's pair set with identical
+    scores, for BOTH the verified and the estimated variants — including
+    intra-twin pairs at jaccard exactly 1.0, a short (sub-n-words) twin
+    group that must produce NO pairs (no shingles → no signature), and
+    cross-group expansions."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    twins = docs
+    for i in (1, 2):
+        twins = twins.unionByName(
+            docs.select((F.col("doc_id") + 1_000_000 * i).alias("doc_id"), "text")
+        )
+    # a short twin group: < n words, so the uncollapsed path never pairs it
+    short = spark.createDataFrame(
+        [(9_000_001, "too short"), (9_000_002, "too short")], ["doc_id", "text"]
+    )
+    twins = twins.unionByName(short)
+    for fn, score in (
+        (dd.minhash_lsh_verified_pairs, "jaccard"),
+        (dd.minhash_lsh_pairs, "est_jaccard"),
+        (dd.jaccard_pairs, "jaccard"),
+    ):
+        kw = dict(n=5, threshold=0.5)
+        if fn is not dd.jaccard_pairs:
+            kw.update(num_hashes=64, bands=16)
+        plain = fn(twins, "doc_id", "text", collapse_exact=False, **kw)
+        fast = fn(twins, "doc_id", "text", collapse_exact=True, **kw)
+        p = {(r["doc_a"], r["doc_b"]): r[score] for r in plain.collect()}
+        f = {(r["doc_a"], r["doc_b"]): r[score] for r in fast.collect()}
+        assert f == p, f"{score}: {len(f)} vs {len(p)} pairs"
+        assert not any(a >= 9_000_001 for a, _ in f), "short twins paired"
+        assert any(a + 1_000_000 == b for a, b in f), "intra twins missing"
+
+
+def test_minhash_collapse_group_cap(spark):
+    """The posting-list cap carries to the intra expansion: an exact-dup
+    cluster larger than the cap is dropped (same stop-key call as a hot
+    bucket), smaller clusters emit their full pair set."""
+    rows = [(i, "identical boilerplate text repeated verbatim everywhere") for i in range(80)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = dd.minhash_lsh_verified_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_posting_list=40
+    )
+    assert capped.count() == 0
+    uncapped = dd.minhash_lsh_verified_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_posting_list=None
+    )
+    assert uncapped.count() == 80 * 79 // 2
+
+
 def test_full_recall_config_equals_exact_jaccard(spark, sf_dir):
     """The gate config (bands == num_hashes, independent per-i hashes)
     must EQUAL exact all-pairs Jaccard on the fixture corpus — this is
