@@ -244,7 +244,8 @@ def test_rows_only_tail_is_documented_irreducible():
         "semantic_dedup",       # tests/test_clustering.py (k=1 ≡ exact)
         "ann_ivf_persisted",    # tests/test_ivf_index.py (≡ live IVF,
                                 # full-probe ≡ brute force)
-        "ann_ivfpq_topk",       # tests/test_pq.py (lossless-config ≡ exact)
+        # (ann_ivfpq_topk graduated in round 8: gate runs the lossless
+        # parity config under a brute-force local oracle)
         "ann_lsh_topk",         # tests/test_operators.py (recall floor +
                                 # bucket-containment invariants)
         # pipeline-/IO-shaped: read external files (WARC/JSONL archives,

@@ -43,5 +43,9 @@ def test_ann_ivfpq_golden(spark, sf_dir):
     assert df.count() == 80  # 8 queries × k=10
     q0 = [(r["vec_id"], r["score"], r["rank"])
           for r in df.where("query_id = 0 AND rank <= 3").collect()]
-    assert [(v, rk) for v, _, rk in q0] == [(225, 1), (483, 2), (260, 3)]
-    assert [sc for _, sc, _ in q0] == approx([0.315127, 0.300451, 0.298669], abs=1e-6)
+    # round-8 gate config = the lossless parity regime, so the golden IS
+    # the exact inner-product top-3 — re-derived independently in DuckDB
+    # (brute-force list_reduce over the same parquet); the old golden
+    # pinned the lossy m=8/ksub=16/nprobe=4 shape's approximate ranking
+    assert [(v, rk) for v, _, rk in q0] == [(17, 1), (225, 2), (12, 3)]
+    assert [sc for _, sc, _ in q0] == approx([0.334456, 0.315127, 0.311027], abs=1e-6)
