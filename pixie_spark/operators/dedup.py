@@ -239,7 +239,8 @@ def jaccard_pairs(
     if collapse_exact:
         g = _collapse_groups_by_text(df, id_col, text_col)
         rep_pairs = jaccard_pairs(
-            g.select(F.col("rep").alias(id_col), F.col("text").alias(text_col)),
+            g.where(F.col("id") == F.col("rep"))
+            .select(F.col("rep").alias(id_col), F.col("text").alias(text_col)),
             id_col, text_col, n, threshold, max_posting_list,
             collapse_exact=False,
         )
@@ -383,17 +384,26 @@ def _band_entries(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
 
 
 def _collapse_groups_by_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(text, rep = min member id, ids = member list) — one row per
-    DISTINCT text. The exact-dedup-first collapse shared by the MinHash
-    pair generators: byte-identical texts have identical shingle sets,
-    signatures, and band buckets, so every pair-level quantity is a pure
-    function of the (rep_a, rep_b) texts and member pairs expand from
-    rep pairs without recomputation. localCheckpoint'd: the membership
-    explode and the rep projection both read it."""
+    """(id, text, rep = min id over byte-identical texts, gsize) — the
+    exact-dedup-first collapse shared by the MinHash/PPJoin pair
+    generators: byte-identical texts have identical shingle sets,
+    signatures, and band buckets, so every pair-level quantity is a
+    pure function of the (rep_a, rep_b) texts and member pairs expand
+    from rep pairs without recomputation.
+
+    rep/gsize come from WINDOW aggregates over the text partition, so
+    NO per-group array is ever materialized: a collect_list
+    formulation would put a pathological exact-dup cluster (100M
+    copies of one boilerplate page) into ONE ~GB aggregation row —
+    here it is just 100M narrow rows on the reducer, spillable like
+    any partition. One shuffle on the text bytes; localCheckpoint'd
+    because the rep projection, the membership frame, and the intra
+    expansion all read it."""
+    w = Window.partitionBy("text")
     return (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-        .groupBy("text")
-        .agg(F.min("id").alias("rep"), F.collect_list("id").alias("ids"))
+        .withColumn("rep", F.min("id").over(w))
+        .withColumn("gsize", F.count(F.lit(1)).over(w))
         .localCheckpoint(eager=True)
     )
 
@@ -425,7 +435,7 @@ def _expand_collapsed_pairs(
       buckets; production routes such clusters through dedup_exact,
       which handles them at O(k)).
     """
-    mem = g.select("rep", F.explode("ids").alias("id"))
+    mem = g.select("rep", "id")
     cross = (
         rep_pairs
         .join(mem.select(F.col("rep").alias("doc_a"), F.col("id").alias("__ma")), "doc_a")
@@ -441,9 +451,9 @@ def _expand_collapsed_pairs(
     has_shingle = (
         F.size(F.filter(F.split("text", r"\s+"), lambda x: x != "")) >= n
     )
-    cond = (F.size("ids") > 1) & has_shingle
+    cond = (F.col("id") == F.col("rep")) & (F.col("gsize") > 1) & has_shingle
     if max_group is not None:
-        cond = cond & (F.size("ids") <= max_group)
+        cond = cond & (F.col("gsize") <= max_group)
     eligible = g.where(cond).select("rep")
     emem = eligible.join(mem, "rep")
     intra = (
@@ -484,7 +494,8 @@ def minhash_lsh_pairs(
     if collapse_exact:
         g = _collapse_groups_by_text(df, id_col, text_col)
         rep_pairs = minhash_lsh_pairs(
-            g.select(F.col("rep").alias(id_col), F.col("text").alias(text_col)),
+            g.where(F.col("id") == F.col("rep"))
+            .select(F.col("rep").alias(id_col), F.col("text").alias(text_col)),
             id_col, text_col, n, num_hashes, bands, threshold,
             max_posting_list, collapse_exact=False,
         )
@@ -563,7 +574,8 @@ def minhash_lsh_verified_pairs(
     if collapse_exact:
         g = _collapse_groups_by_text(df, id_col, text_col)
         rep_pairs = minhash_lsh_verified_pairs(
-            g.select(F.col("rep").alias(id_col), F.col("text").alias(text_col)),
+            g.where(F.col("id") == F.col("rep"))
+            .select(F.col("rep").alias(id_col), F.col("text").alias(text_col)),
             id_col, text_col, n, num_hashes, bands, threshold,
             max_posting_list, collapse_exact=False,
         )

@@ -151,18 +151,26 @@ def embedding_dedup_pairs(
         def el0(col: str, i: int) -> str:
             return f"CAST(element_at({col}, {i + 1}) AS DOUBLE)"
 
+        # rep/gsize via WINDOW aggregates over the vector partition — no
+        # per-group array is ever materialized (a collect_list of a
+        # pathological 100M-twin cluster would be one ~GB aggregation
+        # row; as window output it is just narrow rows). One shuffle on
+        # the vector bytes, checkpointed for the three consumers below.
+        gw = Window.partitionBy("vec")
         g = (
             df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-            .groupBy("vec")
-            .agg(F.min("id").alias("rep"), F.collect_list("id").alias("ids"))
+            .withColumn("rep", F.min("id").over(gw))
+            .withColumn("gsize", F.count(F.lit(1)).over(gw))
             .localCheckpoint(eager=True)
         )
-        reps = g.select(F.col("rep").alias(id_col), F.col("vec").alias(vec_col))
+        reps = g.where(F.col("id") == F.col("rep")).select(
+            F.col("rep").alias(id_col), F.col("vec").alias(vec_col)
+        )
         rep_pairs = embedding_dedup_pairs(
             reps, id_col, vec_col, threshold, True,
             n_planes, n_tables, dim, max_bucket_size, collapse_exact=False,
         )
-        mem = g.select("rep", F.explode("ids").alias("id"))
+        mem = g.select("rep", "id")
         # cross-group expansion: a rep pair that survived the threshold
         # expands to every member combination, orientation-normalized;
         # the score carries over bit-exactly (members ARE the rep bytes)
@@ -181,8 +189,14 @@ def embedding_dedup_pairs(
         # ((v·v) / (sqrt(Σv²)·sqrt(Σv²))), so doubles stay bit-identical
         # to scoring the members through the fetch path / the oracle
         dot_self = " + ".join(f"({el0('vec', i)} * {el0('vec', i)})" for i in range(dim))
+        self_cond = (F.col("id") == F.col("rep")) & (F.col("gsize") > 1)
+        if max_bucket_size is not None:
+            # the bucket cap's k² bound carries to the intra expansion:
+            # an exact-dup cluster of gsize members is the same
+            # single-key quadratic a hot bucket would be
+            self_cond = self_cond & (F.col("gsize") <= max_bucket_size)
         self_scored = (
-            g.where(F.size("ids") > 1)
+            g.where(self_cond)
             .select(
                 "rep",
                 F.expr(
