@@ -281,7 +281,26 @@ def main() -> None:
         # headline run partial or flip the exit code — the headline total
         # they were excluded from (for comparability) is still complete.
         out["extra_errors"] = extra_errors
+    # Full record first (humans, committed BENCH_SF*_r*.json files), then a
+    # COMPACT record as the FINAL stdout line. The driver captures only the
+    # last ~2000 chars of stdout; the full record is ~4.4 KB so its head
+    # (metric/value/queries) was truncated away two rounds running (r7/r8
+    # verdicts). The compact line (~620 chars) carries exactly the fields
+    # the driver's parser needs and fits the tail capture with room to
+    # spare. Consumers wanting spread/rows_out/extras read the full record
+    # (first line, or the committed per-tier JSON file).
     print(json.dumps(out))
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "queries": out["queries"],
+    }
+    if errors:
+        compact["partial"] = True
+    sys.stdout.flush()
+    print(json.dumps(compact))
     if errors:
         # Partial totals must not read as a full run: nonzero rc signals
         # degradation while the JSON above still carries the partial data.
