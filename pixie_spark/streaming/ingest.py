@@ -77,6 +77,7 @@ from pixie_spark.fsutil import (  # noqa: E402
     touch as _touch,
 )
 from pixie_spark.fsutil import partition_dirs as _partition_dirs  # noqa: E402
+from pixie_spark.materialize import materialize
 
 # Generation commit record (see compact_batches). A consolidated
 # generation COUNTS only once this marker exists inside its directory:
@@ -95,7 +96,7 @@ def _gen_marked(spark: SparkSession, gen_dir: str) -> bool:
     return bool(fs.exists(jp))
 
 
-def _legacy_committed(dirs: dict[int, str], gen_id: int, marked: set[int]) -> bool:
+def _legacy_committed(dirs: dict[int, str], gen_id: int) -> bool:
     """Migration guard for indexes compacted by the pre-GEN_MARKER code
     (its commit point was the rename itself, so its generations carry no
     marker). A marker-less generation is recognized as LEGACY-COMMITTED
@@ -112,10 +113,13 @@ def _legacy_committed(dirs: dict[int, str], gen_id: int, marked: set[int]) -> bo
     Residual ambiguity (documented, not resolvable from the layout): a
     legacy run that crashed MID-CLEANUP — generation committed by its
     rename, some sources already deleted — is indistinguishable from a
-    marker-era pre-mark crash and is treated as the latter (swept). The
-    legacy code ran its cleanup immediately after the rename in the
-    same call, so surviving pre-upgrade indexes are overwhelmingly in
-    the fully-cleaned state this guard recognizes."""
+    marker-era pre-mark crash. It stays invisible to reads (this guard
+    returns False), but the sweep QUARANTINES it instead of deleting
+    (see :func:`_sources_intact`) because its rows for the already-
+    deleted batches may be the only copy. The legacy code ran its
+    cleanup immediately after the rename in the same call, so surviving
+    pre-upgrade indexes are overwhelmingly in the fully-cleaned state
+    this guard recognizes."""
     covered = -gen_id - 1
     for i in dirs:
         if i == gen_id:
@@ -129,6 +133,20 @@ def _legacy_committed(dirs: dict[int, str], gen_id: int, marked: set[int]) -> bo
     return True
 
 
+def _sources_intact(dirs: dict[int, str], committed: set[int], gen_id: int) -> bool:
+    """True iff every batch the unmarked generation ``gen_id`` covers is
+    still readable WITHOUT it — as its own ``batch_id=`` partition or
+    through an older COMMITTED generation. A marker-era pre-mark crash
+    deletes nothing, so its debris always passes; a legacy compaction
+    that crashed mid-cleanup (committed by its rename, some sources
+    already deleted) fails, and its rows for the deleted batches are the
+    only copy — the sweep must quarantine, not delete (round-8 advice,
+    ingest.py:521)."""
+    covered = -gen_id - 1
+    older_covered = max((-i - 1 for i in committed if i < 0), default=-1)
+    return all(b in dirs or b <= older_covered for b in range(covered + 1))
+
+
 def _committed_generations(spark: SparkSession, path: str) -> tuple[dict[int, str], set[int]]:
     """(all ``batch_id=`` partition dirs, ids of COMMITTED generations).
     Committed = carries GEN_MARKER, or recognized as a legacy-committed
@@ -137,7 +155,7 @@ def _committed_generations(spark: SparkSession, path: str) -> tuple[dict[int, st
     marked = {i for i, d in dirs.items() if i < 0 and _gen_marked(spark, d)}
     committed = set(marked)
     for i in dirs:
-        if i < 0 and i not in marked and _legacy_committed(dirs, i, marked):
+        if i < 0 and i not in marked and _legacy_committed(dirs, i):
             committed.add(i)
     return dirs, committed
 
@@ -268,8 +286,8 @@ def ingest_dedup_batch(
         batch_df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands
     )
     # materialize once: each feeds the pair join AND the index append
-    new_entries = new_entries.localCheckpoint()
-    new_sigs = new_sigs.localCheckpoint()
+    new_entries = new_entries.transform(materialize)
+    new_sigs = new_sigs.transform(materialize)
     old_entries = _read_before(spark, entries_path, batch_id, new_entries)
     old_sigs = _read_before(spark, sigs_path, batch_id, new_sigs)
     pairs = incremental_pairs(
@@ -340,14 +358,14 @@ def line_dedup_batch(
     key = key_fn(F.col("line")) if key_fn is not None else F.col("line")
     occ = lines.select(
         id_col, "pos", F.xxhash64(key).alias("lid")
-    ).localCheckpoint()
+    ).transform(materialize)
     old = _read_before(
         spark, lid_path, batch_id, spark.createDataFrame([], "lid long")
     )
     first = occ.groupBy("lid").agg(
         F.min(F.struct(id_col, "pos")).alias("first_occ")
     )
-    new_owned = first.join(old, "lid", "left_anti").localCheckpoint()
+    new_owned = first.join(old, "lid", "left_anti").transform(materialize)
     seen_drops = occ.join(old, "lid", "left_semi").select(id_col, "pos")
     batch_dups = (
         occ.join(new_owned, "lid")
@@ -505,6 +523,11 @@ def compact_batches(
     # - an UNCOMMITTED generation (no GEN_MARKER, sources still intact)
     #   is an in-flight or crashed copy — invisible to every read, and
     #   rebuilding is the only way to know it is whole: delete it;
+    #   if any covered source is ABSENT (the residual-ambiguity layout:
+    #   a legacy compaction that crashed mid-cleanup may have left this
+    #   generation as the only copy of the deleted batches' rows),
+    #   QUARANTINE instead of deleting — still invisible, but
+    #   recoverable by hand (round-8 advice, ingest.py:521);
     # - a LEGACY-COMMITTED generation (pre-marker code: no marker, but
     #   its sources are gone — see _legacy_committed) gets the marker
     #   touched in, a one-time idempotent migration so later sweeps and
@@ -519,7 +542,26 @@ def compact_batches(
         if i >= 0:
             continue
         if i not in committed:
-            _delete_dir(spark, d)
+            if _sources_intact(dirs, committed, i):
+                _delete_dir(spark, d)
+            else:
+                # Residual-ambiguity layout (see _legacy_committed): this
+                # unmarked generation may hold the ONLY copy of batches
+                # whose sources a legacy mid-cleanup crash already
+                # deleted. Quarantine (dot-prefixed → invisible to parquet
+                # readers and to _partition_dirs) instead of deleting, so
+                # an operator can adjudicate and restore by hand.
+                qdir = os.path.join(path, f".quarantine-{BATCH_COL}={i}")
+                fs, _ = _fs_for(spark, qdir)
+                n = 0
+                while fs.exists(_jpath(spark, qdir)):
+                    # an existing target would make rename NEST src into
+                    # it (HDFS semantics) — uniquify instead
+                    n += 1
+                    qdir = os.path.join(
+                        path, f".quarantine-{BATCH_COL}={i}-{n}"
+                    )
+                _rename(spark, d, qdir)
         elif not _gen_marked(spark, d):
             _touch(spark, d + "/" + GEN_MARKER)
     for d in _child_dirs(spark, path, f".{BATCH_COL}-compact-"):

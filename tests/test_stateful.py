@@ -3,6 +3,7 @@ per-key state over a stream must equal the batch aggregate of the same
 data — state survives across micro-batches."""
 
 import os
+import shutil
 import time
 
 import pytest
@@ -1121,6 +1122,73 @@ def test_compact_batches_unmarked_gen_with_sources_still_swept(spark, tmp_path):
     assert gens == ["batch_id=-4"]
     assert os.path.exists(os.path.join(sig_path, "batch_id=-4", GEN_MARKER))
     assert sorted(map(str, read_accumulated(spark, sig_path).collect())) == before
+
+
+def test_compact_batches_ambiguous_unmarked_gen_quarantined(spark, tmp_path):
+    """Round-8 advice (low): the residual-ambiguity layout — unmarked
+    generation whose covered per-batch sources are PARTIALLY gone
+    (a legacy compaction that crashed mid-cleanup) — may hold the only
+    copy of the deleted batches' rows. The sweep must QUARANTINE it
+    (dot-prefixed, invisible, recoverable) instead of hard-deleting."""
+    import glob
+
+    from pixie_spark.streaming.ingest import (
+        GEN_MARKER,
+        compact_batches,
+        read_accumulated,
+    )
+
+    idx, pairs, rows, schema, kw = _ingest_four_batches(spark, tmp_path, "qa")
+    sig_path = os.path.join(idx, "signatures")
+    batch2 = sorted(
+        map(str, spark.read.parquet(sig_path).where("batch_id = 2")
+            .drop("batch_id").collect())
+    )
+
+    # simulate the legacy mid-cleanup crash: gen -4 committed by its
+    # rename (no marker), batch 2's source already deleted, 0/1/3 not yet
+    partial = os.path.join(sig_path, "batch_id=-4")
+    (
+        spark.read.parquet(sig_path).where("batch_id <= 3").drop("batch_id")
+        .coalesce(1).write.mode("overwrite").parquet(partial)
+    )
+    for m in glob.glob(os.path.join(partial, "_SUCCESS")):
+        os.remove(m)
+    assert not os.path.exists(os.path.join(partial, GEN_MARKER))
+    shutil.rmtree(os.path.join(sig_path, "batch_id=2"))
+
+    # invisible to reads: only the surviving per-batch sources
+    survivors = sorted(
+        map(str, spark.read.parquet(sig_path)
+            .where("batch_id in (0, 1, 3)").drop("batch_id").collect())
+    )
+    assert sorted(map(str, read_accumulated(spark, sig_path).collect())) == survivors
+
+    # the sweep QUARANTINES (not deletes) and rebuilds from survivors
+    compact_batches(spark, sig_path, upto_batch_id=3)
+    q = glob.glob(os.path.join(sig_path, ".quarantine-batch_id=-4*"))
+    assert len(q) == 1
+    # the quarantined rows (incl. batch 2's only copy) are intact
+    qrows = sorted(map(str, spark.read.parquet(q[0]).collect()))
+    assert set(batch2) <= set(qrows)
+    gens = glob.glob(os.path.join(sig_path, "batch_id=-*"))
+    assert [os.path.basename(g) for g in gens] == ["batch_id=-4"]
+    assert os.path.exists(os.path.join(gens[0], GEN_MARKER))
+    assert sorted(map(str, read_accumulated(spark, sig_path).collect())) == survivors
+
+    # a SECOND ambiguous layout quarantines alongside the first
+    # (uniquified target — rename must not nest into the existing dir)
+    partial2 = os.path.join(sig_path, "batch_id=-6")
+    (
+        spark.read.parquet(sig_path).where("batch_id = -4").drop("batch_id")
+        .coalesce(1).write.mode("overwrite").parquet(partial2)
+    )
+    for m in glob.glob(os.path.join(partial2, "_SUCCESS")):
+        os.remove(m)
+    compact_batches(spark, sig_path, upto_batch_id=3)
+    # covered batches 4..5 have no source anywhere -> ambiguous again
+    assert glob.glob(os.path.join(sig_path, ".quarantine-batch_id=-6*"))
+    assert sorted(map(str, read_accumulated(spark, sig_path).collect())) == survivors
 
 
 def test_compact_batches_stale_foreign_tmp_swept(spark, tmp_path):
