@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pixie_spark.operators.similarity import dot_product
+from pixie_spark.materialize import materialize
 
 
 def _sq_dist(vec: Column, center: list[float]) -> Column:
@@ -92,7 +93,7 @@ def kmeans_fit(
     flat = df.select(
         *[F.element_at(vec_col, i + 1).cast("double").alias(f"d{i}") for i in range(dim)],
         *wcols,
-    ).localCheckpoint()
+    ).transform(materialize)
     dcols = [f"d{i}" for i in range(dim)]
 
     # Init: deterministic farthest-point traversal (maximin, Gonzalez
@@ -208,7 +209,7 @@ def lightweight_coreset(
         F.col(id_col),
         F.col(vec_col),
         *[F.element_at(vec_col, i + 1).cast("double").alias(f"d{i}") for i in range(dim)],
-    ).localCheckpoint()  # mean pass + score pass share the flatten
+    ).transform(materialize)  # mean pass + score pass share the flatten
     mu_row = flat.agg(*[F.avg(f"d{i}").alias(f"d{i}") for i in range(dim)]).first()
     mu = [float(mu_row[f"d{i}"]) for i in range(dim)]
     sq = " + ".join(f"(d{i} - ({mu[i]!r})) * (d{i} - ({mu[i]!r}))" for i in range(dim))

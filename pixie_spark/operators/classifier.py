@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import _word_rows
+from pixie_spark.materialize import materialize
 
 
 def _feature_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -99,7 +100,7 @@ def naive_bayes_train(
     ).join(
         df.select(F.col(id_col).alias("doc"), F.col(label_col).alias("_lbl")), "doc"
     )
-    counts = feats.groupBy("_lbl", "fid").agg(F.count("*").alias("c")).localCheckpoint()
+    counts = feats.groupBy("_lbl", "fid").agg(F.count("*").alias("c")).transform(materialize)
     if min_count > 1:
         keep = counts.groupBy("fid").agg(F.sum("c").alias("tc")).where(F.col("tc") >= min_count)
         counts = counts.join(keep.select("fid"), "fid")

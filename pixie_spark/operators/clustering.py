@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pixie_spark.materialize import materialize
 
 
 def _checksum(edges: DataFrame) -> tuple[int, int]:
@@ -104,7 +105,7 @@ def connected_components(
         pairs.select(F.col(src).alias("child"), F.col(dst).alias("parent"))
         .where(F.col("child") != F.col("parent"))
         .dropDuplicates(["child", "parent"])
-        .localCheckpoint()
+        .transform(materialize)
     )
     if not edges.take(1):
         return edges.select(
@@ -112,7 +113,11 @@ def connected_components(
         )
     prev = _checksum(edges)
     for it in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        # truncation required: the alternating-star plan doubles per
+        # round, so persist-mode must escalate to a real checkpoint
+        edges = _small_star(_large_star(edges)).transform(
+            materialize, require_truncation=True
+        )
         cur = _checksum(edges)
         if stats is not None:
             stats["rounds"] = it + 1
@@ -272,7 +277,7 @@ def semantic_dedup_pairs(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         assign_cluster(F.col(vec_col)).alias("cluster"),
-    ).localCheckpoint()
+    ).transform(materialize)
 
     if max_cluster_rows is not None and k > 1:
         # hot-cluster guard: a k-row size frame (bounded — one row per

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pixie_spark.materialize import materialize
 
 
 def exact_dedup(df: DataFrame, id_col: str, content_cols: list[str]) -> DataFrame:
@@ -247,7 +248,7 @@ def jaccard_pairs(
         return _expand_collapsed_pairs(
             g, rep_pairs, "jaccard", threshold, n, max_posting_list
         )
-    sh = _hashed_shingle_arrays(df, id_col, text_col, n).localCheckpoint()
+    sh = _hashed_shingle_arrays(df, id_col, text_col, n).transform(materialize)
     idx = sh.select("doc", F.explode("sh").alias("shingle"))
     dfreq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfreq"))
 
@@ -404,7 +405,7 @@ def _collapse_groups_by_text(df: DataFrame, id_col: str, text_col: str) -> DataF
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
         .withColumn("rep", F.min("id").over(w))
         .withColumn("gsize", F.count(F.lit(1)).over(w))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
 
 
@@ -503,7 +504,7 @@ def minhash_lsh_pairs(
             g, rep_pairs, "est_jaccard", threshold, n, max_posting_list
         )
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes).localCheckpoint()
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes).transform(materialize)
     band_entries = _band_entries(sig, bands, rows_per_band)
 
     # candidate pairs from bucket posting lists (no self-join; see
@@ -583,7 +584,7 @@ def minhash_lsh_verified_pairs(
             g, rep_pairs, "jaccard", threshold, n, max_posting_list
         )
     rows_per_band = num_hashes // bands
-    sh = _hashed_shingle_arrays(df, id_col, text_col, n).localCheckpoint()
+    sh = _hashed_shingle_arrays(df, id_col, text_col, n).transform(materialize)
     sid_rows = sh.select("doc", F.explode("sh").alias("sid"))
     if bands == num_hashes:
         sig = _sig_independent(sid_rows, num_hashes)
@@ -705,7 +706,7 @@ def remove_duplicate_spans(
     duplicated window). Output: (doc, text, n_removed).
     """
     win = Window.partitionBy("doc").orderBy("pos")
-    w = _word_rows(df, id_col, text_col).localCheckpoint()
+    w = _word_rows(df, id_col, text_col).transform(materialize)
     leads = [F.col("word").alias("w0")] + [
         F.lead("word", j).over(win).alias(f"w{j}") for j in range(1, k)
     ]
@@ -782,7 +783,7 @@ def decontaminate_spans(
     clean docs.
     """
     win = Window.partitionBy("doc").orderBy("pos")
-    w = _word_rows(corpus, id_col, text_col).localCheckpoint()
+    w = _word_rows(corpus, id_col, text_col).transform(materialize)
     leads = [F.col("word").alias("w0")] + [
         F.lead("word", j).over(win).alias(f"w{j}") for j in range(1, k)
     ]

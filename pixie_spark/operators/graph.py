@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pixie_spark.materialize import materialize
 
 
 def out_degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -56,7 +57,7 @@ def pagerank(
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
-        .localCheckpoint()  # node set reused every iteration
+        .transform(materialize)  # node set reused every iteration
     )
     n = nodes.count()
     if n == 0:
@@ -69,11 +70,11 @@ def pagerank(
         edges.join(deg, src)
         .select(F.col(src).alias("node"), F.col(dst).alias("dst"), (1.0 / F.col("outdeg")).alias("w"))
         .repartition("node")
-        .localCheckpoint()
+        .transform(materialize)
     )
-    has_out = deg.select(F.col(src).alias("node")).localCheckpoint()
+    has_out = deg.select(F.col(src).alias("node")).transform(materialize)
 
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).transform(materialize)
     for it in range(max_iter):
         # dangling mass as a 1-ROW FRAME, broadcast-crossJoined into the
         # update plan — no .first() round-trip; the scalar is computed
@@ -106,7 +107,9 @@ def pagerank(
         new_ranks = (
             updated.crossJoin(F.broadcast(dangling))
             .select("node", *cols)
-            .localCheckpoint()  # the iteration's ONE driver action
+            # the iteration's ONE driver action; truncation required —
+            # the plan would otherwise nest one join tree per iteration
+            .transform(materialize, require_truncation=True)
         )
         ranks = new_ranks.drop("__delta") if check else new_ranks
         if check:

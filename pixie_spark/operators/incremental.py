@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pixie_spark.materialize import materialize
 from pixie_spark.operators.dedup import (
     MAX_POSTING_LIST,
     _band_entries,
@@ -52,9 +53,7 @@ def build_index(
     """(entries, signatures) for persistence: entries = (doc, band,
     bucket) — 24 bytes/row ×bands; signatures = (doc, array<long>) —
     8·num_hashes bytes/doc. Both append-only under incremental ingest."""
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes).localCheckpoint(
-        eager=False
-    )
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes).transform(materialize, eager=False)
     entries = _band_entries(sig, bands, num_hashes // bands)
     return entries, sig
 

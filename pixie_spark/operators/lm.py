@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import _word_rows
+from pixie_spark.materialize import materialize
 
 # Stupid-backoff discount (Brants et al. 2007 use 0.4 and note
 # insensitivity to the exact value).
@@ -94,7 +95,7 @@ def ngram_lm_train(
     driver-side scalars (N, V) come from one tiny aggregate — the model
     tables themselves never leave the cluster.
     """
-    toks = _token_stream(df, id_col, text_col).localCheckpoint()
+    toks = _token_stream(df, id_col, text_col).transform(materialize)
     uni = toks.groupBy("uid").agg(F.count("*").alias("c1"))
     n, v = toks.groupBy().agg(F.count("*"), F.countDistinct("uid")).first()
     # bigram conditional: join counts on the CONTEXT unigram (8-byte key)

@@ -42,6 +42,7 @@ from pyspark.sql import types as T
 
 from pixie_spark.operators.dedup import MAX_POSTING_LIST, _pairs_from_posting_lists
 from pixie_spark.operators.multimodal import decode_ppm_gray, have_pillow
+from pixie_spark.materialize import materialize
 
 HASH_BITS = 64
 
@@ -232,5 +233,5 @@ def image_dedup_pairs(
         media = media.where(F.col(kind_col) == "image")
     hashes = image_hashes(media, method=method, id_col=id_col, payload_col=payload_col)
     # the hash frame feeds both the banding index and both verify sides
-    hashes = hashes.localCheckpoint(eager=False)
+    hashes = hashes.transform(materialize, eager=False)
     return phash_near_pairs(hashes, max_hamming=max_hamming, id_col=id_col)

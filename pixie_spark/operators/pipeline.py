@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from .clustering import dedup_keep_canonical
 from .dedup import exact_dedup, minhash_lsh_verified_pairs, remove_duplicate_spans
 from .quality import gopher_filters
+from pixie_spark.materialize import materialize
 
 # Rules enforceable on synthetic / non-English corpora (the fixture
 # corpus has no natural-language stop words, so the stop_words and
@@ -78,7 +79,7 @@ def clean_corpus(
     """
 
     def cp(frame: DataFrame) -> DataFrame:
-        return frame.localCheckpoint() if checkpoint else frame
+        return frame.transform(materialize) if checkpoint else frame
     quality = gopher_filters(
         df, id_col, text_col, min_words=min_words, rules=quality_rules
     )

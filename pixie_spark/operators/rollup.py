@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pixie_spark.materialize import materialize
 
 PARTIAL_COLS = ("n", "sum_v", "min_v", "max_v")
 
@@ -187,12 +188,12 @@ def rollup_cascade(
     if checkpoint:
         # each level feeds BOTH its consumers and the next level; without
         # a checkpoint every materialized resolution re-runs the raw scan
-        cur = cur.localCheckpoint(eager=False)
+        cur = cur.transform(materialize, eager=False)
     levels[widths_ns[0]] = cur
     for w in widths_ns[1:]:
         cur = rollup_merge(cur, group_cols, w)
         if checkpoint:
-            cur = cur.localCheckpoint(eager=False)
+            cur = cur.transform(materialize, eager=False)
         levels[w] = cur
     return levels
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pixie_spark.materialize import materialize
 
 
 def dot_product(a: Column, b: Column) -> Column:
@@ -161,7 +162,7 @@ def embedding_dedup_pairs(
             df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
             .withColumn("rep", F.min("id").over(gw))
             .withColumn("gsize", F.count(F.lit(1)).over(gw))
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         reps = g.where(F.col("id") == F.col("rep")).select(
             F.col("rep").alias(id_col), F.col("vec").alias(vec_col)
@@ -249,7 +250,7 @@ def embedding_dedup_pairs(
             F.col(vec_col).alias("vec"),
             F.expr(f"sqrt({norm_sql})").alias("norm"),
             F.expr(f"array({', '.join(tbl_entries)})").alias("buckets"),
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
         # The bucket join stays NARROW — (id, tbl, bucket) only; vectors
         # are fetched back by id AFTER pair dedup, when only the surviving
         # candidates need them (AQE broadcasts the fetch side when it
@@ -432,6 +433,28 @@ def lsh_topk(
     )
 
 
+IVF_BROADCAST_QUERY_ROWS = 50_000
+
+
+def _query_join_side(
+    count_frame: DataFrame, q: DataFrame, broadcast_queries: bool | None
+) -> DataFrame:
+    """Pick the probe side's join strategy. Broadcast is right for ANN
+    query BATCHES (the common case — at dim=64 the ~550 B/row probe
+    entries of 50k queries fit any executor); for a corpus-scale query
+    side it is a driver/broadcast bottleneck, so auto mode
+    (``broadcast_queries=None``) probes the cardinality with a bounded
+    count (the scan aborts at threshold+1 rows) and falls back to a
+    shuffled equijoin, which AQE sizes at runtime. Pass True/False to
+    skip the probe when the caller knows the shape."""
+    if broadcast_queries is None:
+        broadcast_queries = (
+            count_frame.limit(IVF_BROADCAST_QUERY_ROWS + 1).count()
+            <= IVF_BROADCAST_QUERY_ROWS
+        )
+    return F.broadcast(q) if broadcast_queries else q
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -443,6 +466,7 @@ def ivf_topk(
     dim: int = 64,
     seed: int = 42,
     centroids: list[list[float]] | None = None,
+    broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a kmeans coarse quantizer
     splits the corpus into ``n_lists`` inverted lists; each query scores
@@ -455,9 +479,12 @@ def ivf_topk(
       write-time layout — corpus parquet partitioned BY list_id, built
       once, so a query's probe set maps to partition pruning and reads
       nprobe/n_lists of the data;
-    - search: queries broadcast (query batches are small), equijoin on
-      list_id — never a cross join — then exact cosine within the probed
-      lists and a per-query window top-k.
+    - search: equijoin on list_id — never a cross join — then exact
+      cosine within the probed lists and a per-query window top-k. The
+      probe side broadcasts only when it is batch-sized
+      (:func:`_query_join_side`): auto mode bounded-counts the query
+      frame and a corpus-scale query side takes the shuffled-equijoin
+      path instead of bottlenecking on the driver.
 
     List assignment / probe selection run as an Arrow-batched pandas_udf
     doing ONE numpy matmul per batch against the (n_lists × dim) centroid
@@ -525,7 +552,7 @@ def ivf_topk(
 
     dot = " + ".join(f"({el('q_vec', i)} * {el('c_vec', i)})" for i in range(dim))
     scored = (
-        c.join(F.broadcast(q), "list_id")
+        c.join(_query_join_side(queries, q, broadcast_queries), "list_id")
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id", "vec_id",
@@ -661,22 +688,31 @@ def ivf_index_search(
     k: int = 10,
     nprobe: int = 4,
     dim: int = 64,
+    broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """Search a persisted IVF index (:func:`ivf_index_build`).
 
-    Probe assignment runs DISTRIBUTED, exactly as in the live-frame
+    PROBE ASSIGNMENT runs distributed, exactly as in the live-frame
     twin ivf_topk: an Arrow-batched pandas_udf does one numpy matmul
-    per batch against the (n_lists × dim) centroid matrix — the query
-    table is never materialized on the driver, so the "query" side may
-    itself be a corpus (round-7 verdict #5 closed; the old path
-    collected every query row for a driver-side argsort). The only
-    driver-side collect is the DISTINCT probed list ids — bounded by
-    n_lists, not by |queries| — which become a LITERAL isin filter on
-    the partition column so Catalyst prunes the unprobed list
-    directories before any task launches. The per-query
-    (query_id, list_id) probe entries then broadcast into the scoring
-    equijoin exactly as in ivf_topk. Scoring reuses the precomputed
-    corpus norms from build time.
+    per batch against the (n_lists × dim) centroid matrix — at that
+    stage the query table is never materialized on the driver, so the
+    "query" side of assignment may itself be a corpus (round-7 verdict
+    #5 closed; the old path collected every query row for a driver-side
+    argsort). The probe frame is materialized ONCE
+    (pixie_spark.materialize) before anything consumes it: both the
+    probed-lists collect and the scoring join read the same evaluation,
+    so a non-deterministic query source cannot diverge between them and
+    silently drop candidates (round-8 advice). The only driver-side
+    collect is the DISTINCT probed list ids — bounded by n_lists, not
+    by |queries| — which become a LITERAL isin filter on the partition
+    column so Catalyst prunes the unprobed list directories before any
+    task launches.
+
+    The SCORING JOIN broadcasts the probe entries only when the query
+    side is batch-sized (:func:`_query_join_side`); a corpus-scale
+    query side takes a shuffled equijoin instead of being pulled
+    through the driver. Scoring reuses the precomputed corpus norms
+    from build time.
 
     Results are IDENTICAL to ivf_topk run with the same centroids
     (tested): the pandas_udf computes the same
@@ -709,6 +745,11 @@ def ivf_index_search(
         F.col(vec_col).cast("array<double>").alias("q_vec"),
         F.explode(probe_lists(F.col(vec_col))).alias("list_id"),
     )
+    # ONE evaluation of the query scan + probe UDF, shared by the
+    # probed-lists collect below and the scoring join — without the cut
+    # a non-deterministic `queries` source could diverge between the
+    # two and the isin filter would silently drop candidates
+    q = materialize(q)
     # bounded collect: ≤ n_lists ints, whatever the query cardinality
     probed_lists = sorted(
         r["list_id"] for r in q.select("list_id").distinct().collect()
@@ -726,7 +767,9 @@ def ivf_index_search(
     qnorm = "sqrt(" + " + ".join(f"({el('q_vec', i)} * {el('q_vec', i)})" for i in range(dim)) + ")"
     dot = " + ".join(f"({el('q_vec', i)} * {el('c_vec', i)})" for i in range(dim))
     scored = (
-        idx.join(F.broadcast(q), "list_id")
+        # q is already materialized, so auto mode's bounded count reads
+        # the cut, not the source
+        idx.join(_query_join_side(q, q, broadcast_queries), "list_id")
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id", "vec_id",

@@ -137,33 +137,11 @@ def pattern_search(
     return topk.withColumn("rank", F.row_number().over(w))
 
 
-def rolling_anomalies(
-    df: DataFrame,
-    entity_col: str = "entity",
-    ts_col: str = "ts",
-    value_col: str = "value",
-    baseline_rows: int = 20,
-    min_support: int = 8,
-    z_threshold: float = 3.0,
-) -> DataFrame:
-    """Flag points abnormal against their OWN series' trailing baseline:
-    z = (v - mean_prev) / std_prev over the previous ``baseline_rows``
-    points (current point excluded so a spike can't inflate its own
-    baseline). A PERFECTLY FLAT baseline has sd = 0: z stays null (no
-    divide-by-zero) but any departure from the constant is still
-    flagged — a constant series jumping is the clearest anomaly there
-    is. Points with fewer than ``min_support`` trailing points are
-    warm-up and unflagged. Output: input columns +
-    (baseline_n, z, is_anomaly).
-
-    One shuffle on the entity key; the trailing moments are a single
-    native window aggregate pair over the same frame.
-    """
-    win = (
-        Window.partitionBy(entity_col)
-        .orderBy(ts_col)
-        .rowsBetween(-baseline_rows, -1)
-    )
+def _anomaly_flags(df: DataFrame, win, value_col: str, min_support: int,
+                   z_threshold: float) -> DataFrame:
+    """The trailing-z expressions over an arbitrary window spec — shared
+    by the single-window path and the chunked fallback so the two can
+    never drift."""
     v = F.col(value_col).cast("double")
     mu = F.avg(v).over(win)
     sd = F.stddev_pop(v).over(win)
@@ -177,6 +155,111 @@ def rolling_anomalies(
             "is_anomaly",
             F.coalesce(F.abs(F.col("z")) >= z_threshold, F.lit(False)) | F.coalesce(flat_jump, F.lit(False)),
         )
+    )
+
+
+def rolling_anomalies(
+    df: DataFrame,
+    entity_col: str = "entity",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    baseline_rows: int = 20,
+    min_support: int = 8,
+    z_threshold: float = 3.0,
+    chunked: bool | None = None,
+    chunk_rows: int = 32768,
+) -> DataFrame:
+    """Flag points abnormal against their OWN series' trailing baseline:
+    z = (v - mean_prev) / std_prev over the previous ``baseline_rows``
+    points (current point excluded so a spike can't inflate its own
+    baseline). A PERFECTLY FLAT baseline has sd = 0: z stays null (no
+    divide-by-zero) but any departure from the constant is still
+    flagged — a constant series jumping is the clearest anomaly there
+    is. Points with fewer than ``min_support`` trailing points are
+    warm-up and unflagged. Output: input columns +
+    (baseline_n, z, is_anomaly).
+
+    Default path: one shuffle on the entity key; the trailing moments
+    are a single native window aggregate pair over the same frame.
+
+    LOW-CARDINALITY FALLBACK (round-8 verdict #5): a per-entity window
+    bounds parallelism at distinct(entity) — at the sf1 tier the events
+    table has 5 entities, so 1M rows ran on 5 window partitions however
+    many cores the cluster has. When ``chunked`` (auto-probed by
+    default: engages iff distinct(entity) < defaultParallelism AND the
+    average series is ≥2 blocks long) the series is split into
+    ``chunk_rows``-row blocks and the trailing moments run per
+    (entity, block) — parallelism becomes total_rows/chunk_rows instead
+    of distinct(entity) — with the previous block's last
+    ``baseline_rows`` rows duplicated in as boundary context so every
+    trailing frame sees EXACTLY the rows the global window would have:
+    same rows, same order, same accumulation — bit-identical output
+    (parity-tested). Block assignment needs a global per-entity row
+    number, itself computed scalably: a monotone time-bucketing (≈1
+    bucket per chunk) gives (entity, bucket) groups whose counts
+    prefix-sum into offsets on the tiny counts frame, then
+    row_number runs per (entity, bucket), never per entity.
+    """
+    if chunked is None and not df.isStreaming:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        probe = df.agg(
+            F.approx_count_distinct(entity_col).alias("e"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        chunked = probe["e"] < par and probe["n"] >= probe["e"] * 2 * chunk_rows
+    if not chunked:
+        win = (
+            Window.partitionBy(entity_col)
+            .orderBy(ts_col)
+            .rowsBetween(-baseline_rows, -1)
+        )
+        return _anomaly_flags(df, win, value_col, min_support, z_threshold)
+
+    chunk_rows = max(chunk_rows, 2 * baseline_rows)
+    t = F.col(ts_col).cast("long")
+    # ~1 time bucket per chunk: exact integer width so bucket ids are
+    # deterministic and monotone in ts (floats could round a boundary)
+    stats = (
+        df.groupBy(entity_col)
+        .agg(F.count(F.lit(1)).alias("__n_e"), F.min(t).alias("__t0"), F.max(t).alias("__t1"))
+        .withColumn("__nb", F.greatest(F.lit(1), F.ceil(F.col("__n_e") / chunk_rows)).cast("long"))
+        .withColumn("__w", (F.col("__t1") - F.col("__t0")).cast("long") / F.col("__nb") + 1)
+        .withColumn("__w", F.col("__w").cast("long"))
+    )
+    b = df.join(F.broadcast(stats), entity_col).withColumn(
+        "__bkt", F.expr(f"(CAST({ts_col} AS BIGINT) - __t0) div __w")
+    )
+    # offsets: prefix-sum of per-(entity,bucket) counts — a frame of
+    # ~n_buckets rows, so its per-entity window is trivially cheap
+    cnt = b.groupBy(entity_col, "__bkt").agg(F.count(F.lit(1)).alias("__c"))
+    w_off = (
+        Window.partitionBy(entity_col)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = cnt.select(
+        entity_col, "__bkt", F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off")
+    )
+    b = b.join(F.broadcast(off), [entity_col, "__bkt"])
+    w_rn = Window.partitionBy(entity_col, "__bkt").orderBy(ts_col)
+    b = b.withColumn("__rn", F.col("__off") + F.row_number().over(w_rn) - 1)
+    b = b.withColumn("__blk", F.expr(f"__rn div {chunk_rows}"))
+    # boundary context: each block's last baseline_rows rows also feed
+    # the NEXT block's first trailing frames (their own output dropped)
+    ctx = (
+        b.where(F.col("__rn") % chunk_rows >= chunk_rows - baseline_rows)
+        .withColumn("__blk", F.col("__blk") + 1)
+        .withColumn("__ctx", F.lit(True))
+    )
+    full = b.withColumn("__ctx", F.lit(False)).unionByName(ctx)
+    win = (
+        Window.partitionBy(entity_col, "__blk")
+        .orderBy("__rn")
+        .rowsBetween(-baseline_rows, -1)
+    )
+    out = _anomaly_flags(full, win, value_col, min_support, z_threshold)
+    return out.where(~F.col("__ctx")).select(
+        *df.columns, "baseline_n", "z", "is_anomaly"
     )
 
 

@@ -36,6 +36,7 @@ from pixie_spark.operators import dedup as dd
 from pixie_spark.operators import similarity as sim
 from pixie_spark.operators import text as tx
 from pixie_spark.sources import load_table
+from pixie_spark.materialize import materialize
 
 
 def dround(col: Column | str, n: int) -> Column:
@@ -1466,7 +1467,7 @@ def q_embedding_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("text"), model_path=model_path, tokenizer_path=vocab_path
             ).alias("emb"),
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     queries_df = embedded.where(F.col("doc_id") % 50 == 0)
     out = sim.lsh_topk(
@@ -3082,7 +3083,7 @@ def q_kmeans_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     core = lightweight_coreset(emb, m=100, vec_col="embedding", id_col="vec_id", dim=64)
-    core = core.localCheckpoint()  # feeds count + weight-sum + cost
+    core = core.transform(materialize)  # feeds count + weight-sum + cost
     centroids = kmeans_fit(core, "embedding", k=4, max_iter=3, dim=64, weight_col="weight")
     full_cost = kmeans_cost(emb, centroids, "embedding")
     core_cost = kmeans_cost(core, centroids, "embedding", weight_col="weight")
@@ -3188,7 +3189,7 @@ def q_term_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.split("text", r"\s+")).alias("term"))
         .where(F.col("term") != "")
     )
-    words = words.localCheckpoint()  # feeds build + exact counts
+    words = words.transform(materialize)  # feeds build + exact counts
     cms = cms_build(words, "term")
     exact = words.groupBy("term").agg(F.count(F.lit(1)).alias("exact"))
     top = exact.orderBy(F.desc("exact"), "term").limit(20)

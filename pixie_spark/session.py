@@ -51,6 +51,15 @@ def get_spark(app_name: str = "pixie_spark", cpus: int | None = None) -> SparkSe
         # line on stdout; nothing in this repo wants the progress bar.
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Materialization strategy for every lineage-cut in the package
+        # (pixie_spark.materialize): localCheckpoint (local-mode default)
+        # | persist (DISK_ONLY, cluster-safe) | checkpoint (reliable, for
+        # 1000-executor runs — set spark.pixie_spark.checkpointDir to a
+        # durable filesystem). Runtime-settable via spark.conf.set.
+        .config(
+            "spark.pixie_spark.materialize",
+            os.environ.get("SPARK_GRAFT_MATERIALIZE", "localCheckpoint"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pixie_spark.materialize import materialize
 
 CORRUPT_COL = "_corrupt_record"
 
@@ -66,7 +67,9 @@ def corrupt_line_count(spark: SparkSession, path: str, fields: dict[str, str]) -
     a query whose referenced columns are only the internal corrupt-
     record column (the from_json pushdown would have nothing to parse);
     materializing first turns it into ordinary data."""
-    df = read_jsonl(spark, path, fields, keep_corrupt=True).localCheckpoint()
+    df = read_jsonl(spark, path, fields, keep_corrupt=True).transform(
+        materialize, require_truncation=True
+    )
     return df.where(F.col(CORRUPT_COL).isNotNull()).count()
 
 

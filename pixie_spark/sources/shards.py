@@ -35,6 +35,7 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pixie_spark.materialize import materialize
 
 SHARD_COL = "shard"
 
@@ -63,7 +64,7 @@ def global_rank(
     parts = (
         keyed.repartitionByRange(n_partitions, "__key")
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
+        .transform(materialize)
     )
     counts = {r["__pid"]: r["n"] for r in parts.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()}
     offsets, acc = [], 0
@@ -102,7 +103,7 @@ def global_prefix_sum(
     parts = (
         df.repartitionByRange(n_partitions, order_col)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()  # pin layout: sums collect + ranked output must agree
+        .transform(materialize)  # pin layout: sums collect + ranked output must agree
     )
     sums = {
         r["__pid"]: r["s"]

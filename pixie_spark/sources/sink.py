@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pixie_spark.materialize import materialize
+
 from pixie_spark.fsutil import (
     active_session,
     delete_dir,
@@ -158,7 +160,7 @@ def compact_partitions(
         if b not in dirs:
             continue
         part = spark.read.parquet(path).where(F.col(BUCKET_COL) == b)
-        snapshot = part.coalesce(target_files).localCheckpoint(eager=True)
+        snapshot = part.coalesce(target_files).transform(materialize)
         (
             snapshot.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
