@@ -33,6 +33,14 @@ semantics in canonical order, so any misalignment garbles values and
 fails the comparator) and ctx['service']-style metadata accessors over
 a synthetic two-hop dim chain with genuine misses at both hops — each
 asserted to fire >=20 times.
+Round-8 verdict #7 families: rolling() composed ONTO merge/append
+outputs (the bin rewrite must land on the realigned/joined frame, and
+the implicit window key must survive into the next agg) and a
+top-n-per-group shape — the with-ties argmax (rank 1) expressed as
+agg(max) + join-back + equality filter, which is the deterministic,
+SQL-replicable core of the window_rank family and exercises the
+rolled-groupby implicit-key injection inside a self-join — each
+asserted to fire >=20 times.
 """
 
 import random
@@ -326,6 +334,45 @@ class _Gen:
             f"SELECT {cols_sql} FROM {prev} WHERE {p_sql})"
         )
 
+    def add_top_per_group(self) -> None:
+        """Top-n-per-group (round-8 verdict #7): the WITH-TIES argmax —
+        rank-1 of the window_rank family — as agg(max) + join-back +
+        equality filter, deterministic in both engines (no tie-break
+        order to model). When the frame is rolled, the facade injects
+        the binned time column into the groupby keys automatically, so
+        the join-back must key on (window, group) — exactly the
+        implicit-key interaction this family exists to exercise."""
+        r = self.rng
+        c = r.choice(self.int_cols)
+        mx = f"mx{self.step}"
+        keys = [TIME_COL, "event_type"] if self.rolled else ["event_type"]
+        self.lines.append(
+            f"agg = df.groupby('event_type').agg({mx}=('{c}', 'px.max'))"
+        )
+        key_list = ", ".join(f"'{k}'" for k in keys)
+        self.lines.append(
+            f"df = df.merge(agg, how='inner', left_on=[{key_list}], "
+            f"right_on=[{key_list}], suffixes=('', '_t'))"
+        )
+        self.lines.append(f"df = df[df['{c}'] == df['{mx}']]")
+        prev = f"q{self.step}"
+        self.step += 1
+        on = " AND ".join(f"l.{k} = r.{k}" for k in keys)
+        rsel = ", ".join([f"r.{k} AS {k}_t" for k in keys] + [f"r.{mx}"])
+        self.ctes.append(
+            f"q{self.step} AS (SELECT l.*, {rsel} FROM {prev} l JOIN "
+            f"(SELECT {', '.join(keys)}, CAST(max({c}) AS BIGINT) AS {mx} "
+            f"FROM {prev} GROUP BY {', '.join(keys)}) r ON {on})"
+        )
+        prev = f"q{self.step}"
+        self.step += 1
+        self.ctes.append(
+            f"q{self.step} AS (SELECT * FROM {prev} WHERE {c} = {mx})"
+        )
+        self.cols.extend([f"{k}_t" for k in keys] + [mx])
+        self.int_cols.append(mx)
+        self.str_cols.append("event_type_t")
+
     def add_ctx(self) -> None:
         """ctx['service'] over the synthetic metadata dims (FUZZ_PODS /
         FUZZ_SERVICES): a pod_id fk derived from user_id keys the
@@ -421,23 +468,36 @@ class _Gen:
 
 def _variant(rng: random.Random, head: int | None = None) -> tuple[str, str]:
     g = _Gen(rng)
-    merged = merged2 = ctxed = False
+    merged = merged2 = ctxed = topg = False
     for _ in range(rng.randint(1, 4)):
         roll = rng.random()
-        if roll < 0.26:
+        if roll < 0.24:
             g.add_filter()
-        elif roll < 0.42:
+        elif roll < 0.38:
             g.add_assign()
-        elif roll < 0.55:
+        elif roll < 0.50:
             g.add_str_assign()
-        elif roll < 0.64:
+        elif roll < 0.58:
             g.add_rolling()
-        elif roll < 0.73:
+        elif roll < 0.66:
             g.add_append()
-        elif roll < 0.82 and not ctxed:
+        elif roll < 0.73 and not topg:
+            g.add_top_per_group()
+            topg = True
+        elif roll < 0.80:
+            # rolling composed ONTO a merge/append output (round-8
+            # verdict #7): the bin rewrite lands on the realigned/joined
+            # frame, and the implicit window key must survive downstream
+            if not merged2 and rng.random() < 0.5:
+                g.add_merge_docs()
+                merged2 = True
+            else:
+                g.add_append()
+            g.add_rolling()
+        elif roll < 0.87 and not ctxed:
             g.add_ctx()
             ctxed = True
-        elif roll < 0.91 and not merged2:
+        elif roll < 0.94 and not merged2:
             g.add_merge_docs()
             merged2 = True
         elif not merged and not g.rolled:
@@ -452,15 +512,24 @@ def test_pxl_facade_fuzz_300_variants(spark, fuzz_ctx):
     rng = random.Random(2026)
     failures = []
     zero_rows = n_merges = n_multi = n_strfn = n_roll = n_merge2 = 0
-    n_append = n_ctx = 0
+    n_append = n_ctx = n_topg = n_roll_onto = 0
     for i in range(N_VARIANTS):
         script, sql = _variant(rng)
-        n_merges += ".merge(agg" in script
+        n_merges += "agg = sub.groupby" in script  # filtered self-merge
         n_merge2 += ".merge(d" in script
         n_roll += ".rolling(" in script
         n_multi += ".groupby(['" in script
         n_append += ".append(sub)" in script
         n_ctx += ".ctx['service']" in script
+        n_topg += "agg = df.groupby" in script  # argmax join-back
+        # rolling composed ONTO a merge/append: a .rolling( call with a
+        # merge or append somewhere BEFORE it in the same script
+        first_ma = min(
+            (x for x in (script.find(".append("), script.find(".merge(")) if x >= 0),
+            default=-1,
+        )
+        last_roll = script.rfind(".rolling(")
+        n_roll_onto += first_ma >= 0 and last_roll > first_ma
         n_strfn += any(
             f"px.{fn}(" in script
             for fn in ("toupper", "tolower", "length", "find", "substring")
@@ -493,6 +562,8 @@ def test_pxl_facade_fuzz_300_variants(spark, fuzz_ctx):
     assert n_strfn >= 20, f"only {n_strfn} string-function variants"
     assert n_append >= 20, f"only {n_append} append/realignment variants"
     assert n_ctx >= 20, f"only {n_ctx} ctx-metadata variants"
+    assert n_topg >= 20, f"only {n_topg} top-per-group variants"
+    assert n_roll_onto >= 20, f"only {n_roll_onto} rolling-onto-merge/append variants"
 
 
 def test_pxl_facade_fuzz_head_contract(spark, fuzz_ctx):
