@@ -153,3 +153,28 @@ def test_no_row_python_or_cartesian_in_any_registry_query(spark, sf_dir):
         plan = plan_string(spec.fn(spark, sf_dir))
         assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+
+def test_plans_md_freshness():
+    """PLANS.md must be regenerated in the same commit that changes any
+    plan-determining source file (round-8 verdict #2: the committed
+    dedup-family plans went stale against a same-round rewrite). The
+    generator embeds a digest of those files; recompute and compare."""
+    import os
+    import re
+
+    from tools.plan_audit import source_stamp
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PLANS.md")) as f:
+        text = f.read()
+    m = re.search(r"Source stamp: `([0-9a-f]{16})`", text)
+    assert m, (
+        "PLANS.md carries no source stamp — regenerate: "
+        "python tools/plan_audit.py > PLANS.md"
+    )
+    assert m.group(1) == source_stamp(), (
+        "PLANS.md is STALE: an audited source file changed after it was "
+        "generated. Regenerate in this commit: "
+        "python tools/plan_audit.py > PLANS.md"
+    )

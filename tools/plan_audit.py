@@ -28,6 +28,38 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pixie_spark.queries import QUERIES
 from pixie_spark.session import get_spark
 
+# Files whose content determines the audited plans: when any of these
+# change, PLANS.md must be regenerated IN THE SAME COMMIT — CI enforces
+# it by recomputing this stamp and comparing with the one PLANS.md
+# carries (round-8 verdict #2: the committed dedup-family plans had
+# gone stale against a same-round operator rewrite).
+_STAMP_GLOBS = [
+    "pixie_spark/queries.py",
+    "pixie_spark/session.py",
+    "pixie_spark/materialize.py",
+    "pixie_spark/operators/*.py",
+    "pixie_spark/sources/*.py",
+    "pixie_spark/functions/*.py",
+]
+
+
+def source_stamp() -> str:
+    """16-hex digest over the plan-determining source files (sorted,
+    path-prefixed) — embedded into PLANS.md at generation time and
+    re-checked by tests/test_plans.py."""
+    import glob
+    import hashlib
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    h = hashlib.sha256()
+    for pattern in _STAMP_GLOBS:
+        for path in sorted(glob.glob(os.path.join(root, pattern))):
+            h.update(os.path.relpath(path, root).encode())
+            with open(path, "rb") as f:
+                h.update(f.read())
+    return h.hexdigest()[:16]
+
+
 AUDITED = [
     "memory_source_scan",
     "agg_groupby",
@@ -134,6 +166,10 @@ def main() -> int:
     print("Properties greped from `explain('formatted')`; the same")
     print("properties are ASSERTED in tests/test_plans.py — this file is")
     print("the human-readable record.")
+    print()
+    print(f"Source stamp: `{source_stamp()}` — recomputed by")
+    print("tests/test_plans.py::test_plans_md_freshness; a mismatch means an")
+    print("audited source file changed after this file was generated.")
     for name in AUDITED:
         if name not in QUERIES:
             continue
