@@ -43,6 +43,7 @@ rolled-groupby implicit-key injection inside a self-join — each
 asserted to fire >=20 times.
 """
 
+import os
 import random
 
 import pixie_spark.api as px
@@ -53,7 +54,12 @@ from pixie_spark.sources import load_table
 from tools.check_oracle import compare_frames, oracle_connection
 
 SF_DIR = "/root/testdata/sf0.001"
-N_VARIANTS = 300
+# The committed tier is 300 variants at seed 2026; the env overrides
+# exist for the per-round second-seed probe (fresh variants proving the
+# tier isn't seed-lucky) — op-mix thresholds scale with the tier size.
+N_VARIANTS = int(os.environ.get("PXL_FUZZ_VARIANTS", "300"))
+FUZZ_SEED = int(os.environ.get("PXL_FUZZ_SEED", "2026"))
+_F = N_VARIANTS / 300
 
 # synthetic metadata dims for the ctx[...] family: pods 0..19 map to
 # service_id = pod_id % 8, services name only 0..5 — so pod_ids >= 20
@@ -509,7 +515,7 @@ def _variant(rng: random.Random, head: int | None = None) -> tuple[str, str]:
 
 
 def test_pxl_facade_fuzz_300_variants(spark, fuzz_ctx):
-    rng = random.Random(2026)
+    rng = random.Random(FUZZ_SEED)
     failures = []
     zero_rows = n_merges = n_multi = n_strfn = n_roll = n_merge2 = 0
     n_append = n_ctx = n_topg = n_roll_onto = 0
@@ -555,15 +561,17 @@ def test_pxl_facade_fuzz_300_variants(spark, fuzz_ctx):
     # and every op family genuinely fires — a path that silently stops
     # firing fails here, not in a code review
     assert zero_rows < N_VARIANTS * 0.5, f"{zero_rows} empty variants"
-    assert n_merges >= 10, f"only {n_merges} self-merge variants generated"
-    assert n_merge2 >= 20, f"only {n_merge2} two-table merge variants"
-    assert n_roll >= 20, f"only {n_roll} rolling variants"
-    assert n_multi >= 5, f"only {n_multi} composite-groupby variants"
-    assert n_strfn >= 20, f"only {n_strfn} string-function variants"
-    assert n_append >= 20, f"only {n_append} append/realignment variants"
-    assert n_ctx >= 20, f"only {n_ctx} ctx-metadata variants"
-    assert n_topg >= 20, f"only {n_topg} top-per-group variants"
-    assert n_roll_onto >= 20, f"only {n_roll_onto} rolling-onto-merge/append variants"
+    assert n_merges >= int(10 * _F), f"only {n_merges} self-merge variants generated"
+    assert n_merge2 >= int(20 * _F), f"only {n_merge2} two-table merge variants"
+    assert n_roll >= int(20 * _F), f"only {n_roll} rolling variants"
+    assert n_multi >= int(5 * _F), f"only {n_multi} composite-groupby variants"
+    assert n_strfn >= int(20 * _F), f"only {n_strfn} string-function variants"
+    assert n_append >= int(20 * _F), f"only {n_append} append/realignment variants"
+    assert n_ctx >= int(20 * _F), f"only {n_ctx} ctx-metadata variants"
+    assert n_topg >= int(20 * _F), f"only {n_topg} top-per-group variants"
+    assert n_roll_onto >= int(20 * _F), (
+        f"only {n_roll_onto} rolling-onto-merge/append variants"
+    )
 
 
 def test_pxl_facade_fuzz_head_contract(spark, fuzz_ctx):
