@@ -127,9 +127,12 @@ def test_rolling_anomalies_chunked_bit_identical(spark):
     warm-up rows, a planted spike, and a flat-baseline jump."""
     rng = np.random.default_rng(17)
     series = {
-        "a": list(rng.normal(loc=10, scale=1, size=600)),
+        "a": list(rng.normal(loc=10, scale=1, size=600)),  # skew: 5-120x its peers
         "b": list(rng.normal(loc=5, scale=2, size=333)),
         "c": [7.0] * 40 + [70.0] + [7.0] * 29,  # flat baseline + jump
+        "d": [1.0, 2.0, 3.0, 4.0, 5.0],  # shorter than baseline_rows
+        "e": list(rng.normal(loc=0, scale=1, size=16)),  # exactly one block
+        "f": list(rng.normal(loc=0, scale=1, size=17)),  # one block + 1 boundary row
     }
     series["a"][300] = 99.0  # planted spike mid-block
     df = _series_df(spark, series)
@@ -143,6 +146,25 @@ def test_rolling_anomalies_chunked_bit_identical(spark):
     assert base[0].__fields__ == chunked[0].__fields__
     # sanity: the fallback really split into many blocks (600/16 ≈ 37)
     assert len({r["ts"] // 16 for r in chunked if r["entity"] == "a"}) > 30
+
+
+def test_rolling_anomalies_chunked_plan_parallelism(spark):
+    """The whole point of the fallback: the trailing-moments window must
+    partition by (entity, block), not by entity alone — otherwise the
+    sf1 shape (5 entities, 1M rows) still runs on 5 partitions."""
+    vs = list(range(100))
+    df = _series_df(spark, {"a": [float(v) for v in vs]})
+    out = rolling_anomalies(df, chunked=True, chunk_rows=16,
+                            baseline_rows=7, min_support=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # the trailing-moment windows must carry (entity, __blk) in their
+    # windowspecdefinition partition keys
+    specs = re.findall(r"stddev_pop\(\w+#?\d*\) windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan[:2000]
+    for spec in specs:
+        assert "__blk" in spec and "entity" in spec, spec
 
 
 def test_rolling_anomalies_auto_probe_small_data(spark):
