@@ -72,7 +72,10 @@ def _ensure_checkpoint_dir(df: DataFrame) -> None:
 
 
 def materialize(
-    df: DataFrame, eager: bool = True, require_truncation: bool = False
+    df: DataFrame,
+    eager: bool = True,
+    require_truncation: bool = False,
+    release: DataFrame | None = None,
 ) -> DataFrame:
     """Cut the plan here, under the session's configured strategy.
 
@@ -88,16 +91,32 @@ def materialize(
     which cannot truncate — such sites escalate to a reliable
     checkpoint, keeping the strategy's cluster-safety rather than
     silently degrading to localCheckpoint.
+
+    ``release`` — a PREVIOUS materialization this cut supersedes
+    (iterative operators pass the last round's frame). Unpersisted
+    AFTER the new cut is eagerly evaluated, so under the persist
+    strategy a 20-round loop holds 2 cached copies, not 20;
+    localCheckpoint blocks and reliable-checkpoint files are reclaimed
+    by Spark's ContextCleaner once unreferenced (session.py enables
+    cleanCheckpoints), and the explicit unpersist is a safe no-op for
+    them. Only honored when ``eager`` — releasing before a lazy cut
+    evaluates would force a recompute of the frame being released.
     """
     mode = _strategy(df)
     if mode == "persist" and require_truncation:
         mode = "checkpoint"
     if mode == "localCheckpoint":
-        return df.localCheckpoint(eager=eager)
-    if mode == "checkpoint":
+        out = df.localCheckpoint(eager=eager)
+    elif mode == "checkpoint":
         _ensure_checkpoint_dir(df)
-        return df.checkpoint(eager=eager)
-    out = df.persist(StorageLevel.DISK_ONLY)
-    if eager:
-        out.count()
+        out = df.checkpoint(eager=eager)
+    else:
+        out = df.persist(StorageLevel.DISK_ONLY)
+        if eager:
+            out.count()
+    if release is not None and eager:
+        try:
+            release.unpersist()
+        except Exception:
+            pass  # a non-persisted frame has nothing to release
     return out

@@ -114,9 +114,11 @@ def connected_components(
     prev = _checksum(edges)
     for it in range(max_iter):
         # truncation required: the alternating-star plan doubles per
-        # round, so persist-mode must escalate to a real checkpoint
+        # round, so persist-mode must escalate to a real checkpoint;
+        # the superseded round's frame is released (2 copies held, not
+        # one per round)
         edges = _small_star(_large_star(edges)).transform(
-            materialize, require_truncation=True
+            materialize, require_truncation=True, release=edges
         )
         cur = _checksum(edges)
         if stats is not None:

@@ -108,8 +108,11 @@ def pagerank(
             updated.crossJoin(F.broadcast(dangling))
             .select("node", *cols)
             # the iteration's ONE driver action; truncation required —
-            # the plan would otherwise nest one join tree per iteration
-            .transform(materialize, require_truncation=True)
+            # the plan would otherwise nest one join tree per iteration.
+            # The superseded round's frame is released so a long run
+            # holds 2 materializations, not n_iter (persist/checkpoint
+            # strategies would otherwise accumulate one copy per round).
+            .transform(materialize, require_truncation=True, release=ranks)
         )
         ranks = new_ranks.drop("__delta") if check else new_ranks
         if check:

@@ -436,20 +436,21 @@ def lsh_topk(
 IVF_BROADCAST_QUERY_ROWS = 50_000
 
 
-def _query_join_side(
-    count_frame: DataFrame, q: DataFrame, broadcast_queries: bool | None
-) -> DataFrame:
+def _query_join_side(q: DataFrame, broadcast_queries: bool | None) -> DataFrame:
     """Pick the probe side's join strategy. Broadcast is right for ANN
-    query BATCHES (the common case — at dim=64 the ~550 B/row probe
-    entries of 50k queries fit any executor); for a corpus-scale query
-    side it is a driver/broadcast bottleneck, so auto mode
+    query BATCHES; for a corpus-scale query side it is a
+    driver/broadcast bottleneck, so auto mode
     (``broadcast_queries=None``) probes the cardinality with a bounded
     count (the scan aborts at threshold+1 rows) and falls back to a
-    shuffled equijoin, which AQE sizes at runtime. Pass True/False to
-    skip the probe when the caller knows the shape."""
+    shuffled equijoin, which AQE sizes at runtime. The threshold gates
+    what is actually SHIPPED — the exploded per-(query, probe-list)
+    entries, |queries|·nprobe rows of ~550 B at dim=64, so 50k entries
+    ≈ 27 MB, inside the session's 64 MB broadcast ceiling whatever
+    nprobe is. Pass True/False to skip the probe when the caller knows
+    the shape."""
     if broadcast_queries is None:
         broadcast_queries = (
-            count_frame.limit(IVF_BROADCAST_QUERY_ROWS + 1).count()
+            q.limit(IVF_BROADCAST_QUERY_ROWS + 1).count()
             <= IVF_BROADCAST_QUERY_ROWS
         )
     return F.broadcast(q) if broadcast_queries else q
@@ -552,7 +553,7 @@ def ivf_topk(
 
     dot = " + ".join(f"({el('q_vec', i)} * {el('c_vec', i)})" for i in range(dim))
     scored = (
-        c.join(_query_join_side(queries, q, broadcast_queries), "list_id")
+        c.join(_query_join_side(q, broadcast_queries), "list_id")
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id", "vec_id",
@@ -769,7 +770,7 @@ def ivf_index_search(
     scored = (
         # q is already materialized, so auto mode's bounded count reads
         # the cut, not the source
-        idx.join(_query_join_side(q, q, broadcast_queries), "list_id")
+        idx.join(_query_join_side(q, broadcast_queries), "list_id")
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id", "vec_id",

@@ -199,14 +199,33 @@ def rolling_anomalies(
     bucket per chunk) gives (entity, bucket) groups whose counts
     prefix-sum into offsets on the tiny counts frame, then
     row_number runs per (entity, bucket), never per entity.
+
+    The chunked machinery keys joins on (entity, bucket): a NULL entity,
+    a NULL ts, or a ts that does not cast to BIGINT would silently fall
+    out of the inner joins where the single-window path keeps the row —
+    so BOTH modes guard it. Auto mode folds a bad-key count into its
+    probe aggregate and declines to chunk; explicit ``chunked=True``
+    runs a bounded existence probe (limit-1, aborts on first hit) and
+    falls back to the single-window path when any bad key exists.
     """
+    bad_key = F.col(entity_col).isNull() | F.expr(
+        f"CAST({ts_col} AS BIGINT)"
+    ).isNull()
     if chunked is None and not df.isStreaming:
         par = df.sparkSession.sparkContext.defaultParallelism
         probe = df.agg(
             F.approx_count_distinct(entity_col).alias("e"),
             F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(bad_key, 1).otherwise(0)).alias("bad"),
         ).first()
-        chunked = probe["e"] < par and probe["n"] >= probe["e"] * 2 * chunk_rows
+        chunked = (
+            probe["e"] < par
+            and probe["n"] >= probe["e"] * 2 * chunk_rows
+            and (probe["bad"] or 0) == 0
+        )
+    elif chunked and not df.isStreaming:
+        # explicit opt-in still must not silently drop bad-key rows
+        chunked = df.where(bad_key).limit(1).count() == 0
     if not chunked:
         win = (
             Window.partitionBy(entity_col)
@@ -244,6 +263,16 @@ def rolling_anomalies(
     w_rn = Window.partitionBy(entity_col, "__bkt").orderBy(ts_col)
     b = b.withColumn("__rn", F.col("__off") + F.row_number().over(w_rn) - 1)
     b = b.withColumn("__blk", F.expr(f"__rn div {chunk_rows}"))
+    # ONE evaluation of the row-numbered frame feeds BOTH union branches
+    # below: row_number over tied timestamps is an arbitrary (legal)
+    # interleave, and two independent evaluations could tie-break
+    # differently — a boundary-context row would then disagree with the
+    # main branch about which rows occupy the block's tail, double- or
+    # under-counting a trailing frame. The cut also stops the source
+    # subtree re-scanning once per branch.
+    from pixie_spark.materialize import materialize
+
+    b = materialize(b)
     # boundary context: each block's last baseline_rows rows also feed
     # the NEXT block's first trailing frames (their own output dropped)
     ctx = (

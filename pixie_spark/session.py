@@ -60,6 +60,10 @@ def get_spark(app_name: str = "pixie_spark", cpus: int | None = None) -> SparkSe
             "spark.pixie_spark.materialize",
             os.environ.get("SPARK_GRAFT_MATERIALIZE", "localCheckpoint"),
         )
+        # reliable-checkpoint files are reclaimed when their RDD is
+        # GC'd — without this the checkpoint strategy leaks one file
+        # set per iteration of CC/PageRank for the app's lifetime
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

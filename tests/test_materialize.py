@@ -66,6 +66,31 @@ def test_persist_escalates_when_truncation_required(spark, tmp_path):
         spark.conf.set(CONF_STRATEGY, old)
 
 
+def test_release_bounds_persisted_copies(spark):
+    """Iterative callers pass release=<last round's frame>: under the
+    persist strategy a loop must hold a bounded number of cached copies
+    (2), never one per round — the leak a long cluster job cannot
+    afford."""
+    from pyspark.sql import functions as F
+
+    sc = spark.sparkContext
+    old = spark.conf.get(CONF_STRATEGY, "localCheckpoint")
+    spark.conf.set(CONF_STRATEGY, "persist")
+    try:
+        baseline = sc._jsc.sc().getPersistentRDDs().size()
+        cur = materialize(spark.range(100))
+        for _ in range(6):
+            cur = materialize(
+                cur.withColumn("id", F.col("id") + 1), release=cur
+            )
+        assert cur.count() == 100
+        grown = sc._jsc.sc().getPersistentRDDs().size() - baseline
+        assert grown <= 2, f"{grown} persisted frames left by a 6-round loop"
+        cur.unpersist()
+    finally:
+        spark.conf.set(CONF_STRATEGY, old)
+
+
 def test_unknown_strategy_rejected(spark):
     df = spark.range(3)
     old = spark.conf.get(CONF_STRATEGY, "localCheckpoint")

@@ -40,6 +40,9 @@ _STAMP_GLOBS = [
     "pixie_spark/operators/*.py",
     "pixie_spark/sources/*.py",
     "pixie_spark/functions/*.py",
+    # the auditor itself: edits to AUDITED or the grep logic must also
+    # force a regeneration, or the guard can't see its own staleness
+    "tools/plan_audit.py",
 ]
 
 
