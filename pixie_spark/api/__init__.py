@@ -429,10 +429,20 @@ def results() -> dict[str, SparkDataFrame]:
     return dict(_ctx["results"])
 
 
-def debug(df: PxDataFrame, name: str = "debug") -> str:
+def debug(df: PxDataFrame, name: str = "debug", analyze: bool = False):
     """px.debug(df[, name]) → the optimized/physical plan (explain
     passthrough); the reference's form registers a debug-named result
-    (pixie_module.h), so the frame is also registered under _{name}."""
+    (pixie_module.h), so the frame is also registered under _{name}.
+
+    ``analyze=True`` is the reference's ``analyze=true`` execution mode
+    (carnot.cc:371-400: per-exec-node records_output / bytes_output /
+    execution time collected while the query runs): the frame is
+    EXECUTED (one distributed pass, nothing collected to the driver)
+    and a plan-sized stats DataFrame of per-operator runtime metrics
+    (node, rows_out, time_ms, shuffle_bytes, …) is returned instead of
+    the plan text — see pixie_spark.plans.analyze. The stats frame is
+    registered under _{name} so it shows up in results() like any
+    debug output."""
     import contextlib
     import io
 
@@ -445,6 +455,12 @@ def debug(df: PxDataFrame, name: str = "debug") -> str:
             f"'debug' expects a DataFrame, got {type(df).__name__} {df!r}"
         )
     sdf = df.to_spark() if isinstance(df, PxDataFrame) else df
+    if analyze:
+        from pixie_spark.plans.analyze import analyze as _analyze
+
+        stats = _analyze(sdf)
+        _ctx["results"][f"_{name}"] = stats
+        return stats
     _ctx["results"][f"_{name}"] = sdf
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):

@@ -75,6 +75,11 @@ def pagerank(
     has_out = deg.select(F.col(src).alias("node")).transform(materialize)
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).transform(materialize)
+    # release= must receive the frame materialize() RETURNED — on check
+    # rounds `ranks` becomes a derived .drop('__delta') projection, and
+    # DataFrame.unpersist on a derived plan would not release the
+    # underlying persisted copy
+    ranks_mat = ranks
     for it in range(max_iter):
         # dangling mass as a 1-ROW FRAME, broadcast-crossJoined into the
         # update plan — no .first() round-trip; the scalar is computed
@@ -112,8 +117,9 @@ def pagerank(
             # The superseded round's frame is released so a long run
             # holds 2 materializations, not n_iter (persist/checkpoint
             # strategies would otherwise accumulate one copy per round).
-            .transform(materialize, require_truncation=True, release=ranks)
+            .transform(materialize, require_truncation=True, release=ranks_mat)
         )
+        ranks_mat = new_ranks
         ranks = new_ranks.drop("__delta") if check else new_ranks
         if check:
             delta = new_ranks.agg(F.sum("__delta")).first()[0]

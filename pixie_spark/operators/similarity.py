@@ -436,7 +436,12 @@ def lsh_topk(
 IVF_BROADCAST_QUERY_ROWS = 50_000
 
 
-def _query_join_side(q: DataFrame, broadcast_queries: bool | None) -> DataFrame:
+def _query_join_side(
+    q: DataFrame,
+    broadcast_queries: bool | None,
+    gate_df: DataFrame | None = None,
+    fanout: int = 1,
+) -> DataFrame:
     """Pick the probe side's join strategy. Broadcast is right for ANN
     query BATCHES; for a corpus-scale query side it is a
     driver/broadcast bottleneck, so auto mode
@@ -447,12 +452,27 @@ def _query_join_side(q: DataFrame, broadcast_queries: bool | None) -> DataFrame:
     entries, |queries|·nprobe rows of ~550 B at dim=64, so 50k entries
     ≈ 27 MB, inside the session's 64 MB broadcast ceiling whatever
     nprobe is. Pass True/False to skip the probe when the caller knows
-    the shape."""
+    the shape.
+
+    ``gate_df``/``fanout``: when ``q`` is an un-materialized frame whose
+    evaluation is expensive (e.g. ivf_topk's exploded probe frame runs
+    the query scan plus the probe_lists pandas UDF), the caller passes
+    the cheap PRE-explosion frame and its explosion factor instead; the
+    bounded count then runs on the raw query scan (no UDF, no extra
+    evaluation of the frame that later feeds the join) against
+    threshold/fanout, gating the same shipped-entries budget. Gating on
+    a separate frame is strategy choice only — the join still reads
+    ``q`` — so a non-deterministic source cannot change results, only
+    which join strategy runs."""
     if broadcast_queries is None:
-        broadcast_queries = (
-            q.limit(IVF_BROADCAST_QUERY_ROWS + 1).count()
-            <= IVF_BROADCAST_QUERY_ROWS
-        )
+        if gate_df is not None:
+            thr = max(1, IVF_BROADCAST_QUERY_ROWS // max(1, fanout))
+            broadcast_queries = gate_df.limit(thr + 1).count() <= thr
+        else:
+            broadcast_queries = (
+                q.limit(IVF_BROADCAST_QUERY_ROWS + 1).count()
+                <= IVF_BROADCAST_QUERY_ROWS
+            )
     return F.broadcast(q) if broadcast_queries else q
 
 
@@ -553,7 +573,14 @@ def ivf_topk(
 
     dot = " + ".join(f"({el('q_vec', i)} * {el('c_vec', i)})" for i in range(dim))
     scored = (
-        c.join(_query_join_side(q, broadcast_queries), "list_id")
+        # the gating count runs on the pre-explosion `queries` frame
+        # (cheap raw scan, no probe-UDF re-execution) against
+        # threshold/nprobe — same shipped-entries budget, one evaluation
+        # of the exploded frame total (the scoring join's)
+        c.join(
+            _query_join_side(q, broadcast_queries, gate_df=queries, fanout=nprobe),
+            "list_id",
+        )
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id", "vec_id",

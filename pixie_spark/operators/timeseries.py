@@ -235,15 +235,26 @@ def rolling_anomalies(
         return _anomaly_flags(df, win, value_col, min_support, z_threshold)
 
     chunk_rows = max(chunk_rows, 2 * baseline_rows)
+    from pixie_spark.materialize import materialize
+
+    # ONE evaluation of the source feeds every chunked-path consumer:
+    # the stats broadcast, the cnt/off prefix-sum branch, and the main
+    # row-numbered branch all re-scan `df` otherwise — for a
+    # non-deterministic source the per-(entity,bucket) counts could
+    # disagree with the rows actually row-numbered, corrupting __rn and
+    # block assignment (the same divergence class the b-cut below pins
+    # for the two union branches).
+    df = materialize(df)
     t = F.col(ts_col).cast("long")
-    # ~1 time bucket per chunk: exact integer width so bucket ids are
-    # deterministic and monotone in ts (floats could round a boundary)
+    # ~1 time bucket per chunk: exact integer width (`div`, never
+    # float division — a double intermediate could shift the width for
+    # ts spans past 2^53) so bucket ids are deterministic and monotone
+    # in ts
     stats = (
         df.groupBy(entity_col)
         .agg(F.count(F.lit(1)).alias("__n_e"), F.min(t).alias("__t0"), F.max(t).alias("__t1"))
         .withColumn("__nb", F.greatest(F.lit(1), F.ceil(F.col("__n_e") / chunk_rows)).cast("long"))
-        .withColumn("__w", (F.col("__t1") - F.col("__t0")).cast("long") / F.col("__nb") + 1)
-        .withColumn("__w", F.col("__w").cast("long"))
+        .withColumn("__w", F.expr("(__t1 - __t0) div __nb + 1"))
     )
     b = df.join(F.broadcast(stats), entity_col).withColumn(
         "__bkt", F.expr(f"(CAST({ts_col} AS BIGINT) - __t0) div __w")
@@ -268,11 +279,12 @@ def rolling_anomalies(
     # interleave, and two independent evaluations could tie-break
     # differently — a boundary-context row would then disagree with the
     # main branch about which rows occupy the block's tail, double- or
-    # under-counting a trailing frame. The cut also stops the source
-    # subtree re-scanning once per branch.
-    from pixie_spark.materialize import materialize
-
-    b = materialize(b)
+    # under-counting a trailing frame. (Pinning the source above is not
+    # enough for this: the window's shuffle re-fetches in arbitrary
+    # order per evaluation.) Once b is pinned the source cut is
+    # superseded — release it so the chunked path holds one
+    # materialization, not two.
+    b = materialize(b, release=df)
     # boundary context: each block's last baseline_rows rows also feed
     # the NEXT block's first trailing frames (their own output dropped)
     ctx = (

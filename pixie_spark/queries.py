@@ -4329,6 +4329,35 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split(doc, pairs, seed=0)
 
 
+@query(
+    "debug_analyze_stats",
+    None,  # runtime metrics (times, shuffle bytes) are run-dependent —
+    # rows-only here; the contract (non-trivial rows/time for
+    # scan/agg/join/exchange nodes, id uniqueness, px.debug wiring)
+    # is pinned in tests/test_analyze.py
+    doc="px.debug(analyze=True) parity: execute a scan→filter→agg→join "
+    "plan and return per-operator runtime stats (reference "
+    "carnot.cc:371-400 collects per-exec-node records_output/time when "
+    "analyze=true).",
+)
+def q_debug_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixie_spark.plans.analyze import analyze
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    per_order = (
+        li.where(F.col("l_quantity") > 0)
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_extendedprice").alias("revenue"))
+    )
+    flagship = (
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("revenue").alias("total"))
+    )
+    return analyze(flagship).select("node_id", "node", "depth", "rows_out")
+
+
 # =============================================================================
 # Gate-window ordering
 # =============================================================================

@@ -257,6 +257,11 @@ def test_rows_only_tail_is_documented_irreducible():
                                   # batch path) + per-stage operator tests
         "multimodal_features",    # tests/test_multimodal.py (golden decode)
         "image_phash_dedup",      # tests/test_phash.py (planted near-dups)
+        # runtime-metrics surface: per-operator execution stats (times,
+        # shuffle bytes) are run-dependent by nature — no SQL replay
+        # exists; the contract (non-trivial rows/time on scan/agg/join/
+        # exchange, node-id uniqueness, px.debug wiring) is pinned in
+        "debug_analyze_stats",    # tests/test_analyze.py
     }
     assert rows_only == irreducible, (
         f"undocumented rows-only queries: {sorted(rows_only - irreducible)}; "

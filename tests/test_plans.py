@@ -155,6 +155,76 @@ def test_no_row_python_or_cartesian_in_any_registry_query(spark, sf_dir):
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
 
 
+def test_dedup_verify_joins_scale_path_without_aqe(spark):
+    """The SCALE path of the dedup verify joins, pinned (round-9 verdict
+    #5): the gate plans at sf0.01 show AQE choosing broadcasts — a
+    size-at-runtime decision that is correct for tiny inputs but says
+    nothing about 100 TB. This pins what STATIC planning (AQE off,
+    session-default autoBroadcast threshold) produces on a scale-SHAPED
+    input: sort-merge joins on the band/bucket and candidate keys and
+    ZERO broadcast joins — i.e. none of the operators' internal joins
+    carries an F.broadcast hint that would pull an unbounded frame onto
+    the driver at scale; every broadcast the gate plans show is purely
+    AQE's runtime choice.
+
+    Scale shape without scale data: the inputs are a few hundred actual
+    rows whose plan-stats ESTIMATE is ~0.5 GB (spark.range stats survive
+    the no-CBO Filter/Project size visitors, and the operators' internal
+    materialize cuts preserve origin stats), so the static planner sees
+    every join side as far beyond the 64 MB broadcast threshold —
+    exactly what it would see from parquet at the real tier."""
+    import re
+
+    from pixie_spark.operators.dedup import minhash_lsh_verified_pairs
+    from pixie_spark.operators.similarity import embedding_dedup_pairs
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        doc = (
+            spark.range(0, 40_000_000)
+            .where("id % 80000 = 0")
+            .selectExpr(
+                "id as doc_id",
+                "concat('tok', id % 7, ' tok', id % 11, ' tok', id % 13,"
+                " ' tok', id % 17, ' tok', id % 19, ' tok', id % 23) as text",
+            )
+        )
+        assert (
+            doc._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            > 64 * 1024 * 1024
+        ), "input no longer scale-shaped; the assert below would be vacuous"
+        mh = minhash_lsh_verified_pairs(
+            doc, "doc_id", "text", n=5, num_hashes=64, bands=16, threshold=0.5
+        )
+        plan = mh._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan and "BroadcastNestedLoop" not in plan, (
+            "minhash verify path broadcasts under static planning — an "
+            "unbounded frame is hinted onto the driver"
+        )
+        assert len(re.findall(r"SortMergeJoin", plan)) >= 4  # fetch+verify+CC joins
+        # the verify join itself: jaccard-threshold condition on an SMJ
+        assert re.search(r"SortMergeJoin .*array_intersect", plan)
+
+        emb = (
+            spark.range(0, 40_000_000)
+            .where("id % 200000 = 0")
+            .selectExpr(
+                "id as vec_id",
+                "transform(sequence(1, 64), i -> cast(pmod(id * i, 97) as float)"
+                " / 97.0) as embedding",
+            )
+        )
+        ed = embedding_dedup_pairs(
+            emb, "vec_id", "embedding", threshold=0.9, prefilter=True, dim=64
+        )
+        plan = ed._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan and "BroadcastNestedLoop" not in plan
+        # candidate generation is the (tbl, bucket) self-equijoin, SMJ'd
+        assert re.search(r"SortMergeJoin \[tbl#\d+, bucket#\d+L?\]", plan)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
 def test_plans_md_freshness():
     """PLANS.md must be regenerated in the same commit that changes any
     plan-determining source file (round-8 verdict #2: the committed
