@@ -293,12 +293,16 @@ def main() -> None:
     # gate-mode operators — the numbers the scale story is judged on)
     # get the same repeat/median treatment as the headline, so their
     # round-over-round deltas are judged against measured spread too.
+    # Headline-only mode (round-10): config-sweep runs (e.g. the
+    # cluster-shaped 2000-partition shape check) need the comparable
+    # 21-query total without paying for the visibility extras.
+    extras = [] if os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_ONLY") == "1" else EXTRA
     for name, sink, err_sink, n_runs in [
         (n, timings, errors, repeats) for n in HEADLINE
     ] + [
         (n, extra_timings, extra_errors,
          repeats if (n in BENCH_OVERRIDES or repeat_extras) else 1)
-        for n in EXTRA
+        for n in extras
     ]:
         fn = BENCH_OVERRIDES.get(name, QUERIES[name].fn)
         runs: list[float] = []
