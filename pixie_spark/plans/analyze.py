@@ -130,3 +130,44 @@ def analyze(df: DataFrame) -> DataFrame:
     rows: list[Row] = []
     _walk(jqe.executedPlan(), 0, set(), rows)
     return df.sparkSession.createDataFrame(rows, ANALYZE_SCHEMA)
+
+
+EXEC_SUMMARY_SCHEMA = (
+    "rows_processed long, bytes_processed long, rows_output long, "
+    "wall_ms double, n_scans int"
+)
+
+
+def exec_summary(df: DataFrame) -> DataFrame:
+    """The BASIC exec stats the reference attaches to every query result
+    even when analyze=false (``carnot.cc:455-462``: rows_processed /
+    bytes_processed per agent, plus the result row count): one row of
+    (rows_processed, bytes_processed, rows_output, wall_ms, n_scans).
+
+    rows_processed / bytes_processed sum the source scans' output-row
+    and files-read-size metrics; rows_output is the root operator's
+    row count. Executes the frame once, like :func:`analyze`."""
+    import time
+
+    if df.isStreaming:
+        raise ValueError("exec_summary() executes a batch plan")
+    jqe = df._jdf.queryExecution()
+    t0 = time.time()
+    jqe.toRdd().count()
+    wall_ms = round((time.time() - t0) * 1000, 1)
+    rows: list[Row] = []
+    _walk(jqe.executedPlan(), 0, set(), rows)
+    scans = [r for r in rows if r.node.startswith("Scan")]
+    root_rows = next((r.rows_out for r in rows if r.rows_out is not None), None)
+    return df.sparkSession.createDataFrame(
+        [
+            (
+                sum(s.rows_out or 0 for s in scans),
+                sum(s.metrics.get("filesSize") or 0 for s in scans),
+                root_rows,
+                wall_ms,
+                len(scans),
+            )
+        ],
+        EXEC_SUMMARY_SCHEMA,
+    )

@@ -95,6 +95,20 @@ def test_px_debug_analyze_registers_and_returns_frame(spark, sf_dir):
     assert stats_df.where(F.col("rows_out") > 0).count() > 0
 
 
+def test_exec_summary_basic_stats(spark, sf_dir):
+    """The basic exec stats the reference sends even with analyze=false
+    (carnot.cc:455-462): rows/bytes processed across scans + result
+    cardinality in one row."""
+    from pixie_spark.plans.analyze import exec_summary
+
+    row = exec_summary(_flagship(spark, sf_dir)).collect()[0]
+    assert row["n_scans"] == 2  # lineitem + orders
+    assert row["rows_processed"] >= 6000 + 1500
+    assert row["bytes_processed"] > 0
+    assert row["rows_output"] is not None and row["rows_output"] > 0
+    assert row["wall_ms"] > 0
+
+
 def test_streaming_frame_rejected(spark):
     sdf = spark.readStream.format("rate").load()
     with pytest.raises(ValueError, match="streaming"):
