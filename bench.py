@@ -373,6 +373,17 @@ def main() -> None:
         # box-state probes bracketing the query loop (r9 verdict #1) —
         # judge cross-round deltas against these FIRST
         "calibration": calibration,
+        # the session config the run measured under — a 2000-partition
+        # sweep or a headline-only run must be identifiable from the
+        # RECORD, not the filename (machine-checkable-records standard)
+        "config": {
+            "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+            "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+            "materialize": spark.conf.get(
+                "spark.pixie_spark.materialize", "localCheckpoint"
+            ),
+            "headline_only": not extras,
+        },
         "sf": float(sf),
     }
     # Cross-round self-adjudication: against a prior record that carries

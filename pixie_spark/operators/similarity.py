@@ -575,10 +575,18 @@ def ivf_topk(
     scored = (
         # the gating count runs on the pre-explosion `queries` frame
         # (cheap raw scan, no probe-UDF re-execution) against
-        # threshold/nprobe — same shipped-entries budget, one evaluation
-        # of the exploded frame total (the scoring join's)
+        # threshold / actual-explosion-factor — probe_lists emits
+        # min(nprobe, n_lists) entries per query, so dividing by a
+        # larger nprobe would under-broadcast — same shipped-entries
+        # budget, one evaluation of the exploded frame total (the
+        # scoring join's)
         c.join(
-            _query_join_side(q, broadcast_queries, gate_df=queries, fanout=nprobe),
+            _query_join_side(
+                q,
+                broadcast_queries,
+                gate_df=queries,
+                fanout=min(nprobe, n_lists),
+            ),
             "list_id",
         )
         .where(F.col("vec_id") != F.col("query_id"))

@@ -203,28 +203,40 @@ def rolling_anomalies(
     The chunked machinery keys joins on (entity, bucket): a NULL entity,
     a NULL ts, or a ts that does not cast to BIGINT would silently fall
     out of the inner joins where the single-window path keeps the row —
-    so BOTH modes guard it. Auto mode folds a bad-key count into its
-    probe aggregate and declines to chunk; explicit ``chunked=True``
-    runs a bounded existence probe (limit-1, aborts on first hit) and
-    falls back to the single-window path when any bad key exists.
+    so the guard runs on the PINNED copy, after the materialize cut.
+    (A probe on the raw frame would read a different evaluation than
+    the one the chunked path processes: a non-deterministic source
+    could pass the probe and then materialize a bad-key row — the same
+    divergence class the cut exists to close.) The auto probe's
+    cardinality estimate stays on the raw frame — it only picks a
+    strategy — but its bad-key verdict, like the explicit mode's, is a
+    bounded limit-1 existence check on the cut (cheap: cached blocks),
+    falling back to the single-window path ON THE CUT when any bad key
+    exists.
     """
     bad_key = F.col(entity_col).isNull() | F.expr(
         f"CAST({ts_col} AS BIGINT)"
     ).isNull()
     if chunked is None and not df.isStreaming:
+        # strategy probe only — results never depend on this evaluation
         par = df.sparkSession.sparkContext.defaultParallelism
         probe = df.agg(
             F.approx_count_distinct(entity_col).alias("e"),
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(bad_key, 1).otherwise(0)).alias("bad"),
         ).first()
-        chunked = (
-            probe["e"] < par
-            and probe["n"] >= probe["e"] * 2 * chunk_rows
-            and (probe["bad"] or 0) == 0
-        )
-    elif chunked and not df.isStreaming:
-        # explicit opt-in still must not silently drop bad-key rows
+        chunked = probe["e"] < par and probe["n"] >= probe["e"] * 2 * chunk_rows
+    if chunked and not df.isStreaming:
+        from pixie_spark.materialize import materialize
+
+        # ONE evaluation of the source feeds every chunked-path
+        # consumer: the stats broadcast, the cnt/off prefix-sum branch,
+        # and the main row-numbered branch all re-scan `df` otherwise —
+        # for a non-deterministic source the per-(entity,bucket) counts
+        # could disagree with the rows actually row-numbered,
+        # corrupting __rn and block assignment (the same divergence
+        # class the b-cut below pins for the two union branches).
+        df = materialize(df)
+        # bad-key verdict on the SAME evaluation the path will process
         chunked = df.where(bad_key).limit(1).count() == 0
     if not chunked:
         win = (
@@ -235,16 +247,6 @@ def rolling_anomalies(
         return _anomaly_flags(df, win, value_col, min_support, z_threshold)
 
     chunk_rows = max(chunk_rows, 2 * baseline_rows)
-    from pixie_spark.materialize import materialize
-
-    # ONE evaluation of the source feeds every chunked-path consumer:
-    # the stats broadcast, the cnt/off prefix-sum branch, and the main
-    # row-numbered branch all re-scan `df` otherwise — for a
-    # non-deterministic source the per-(entity,bucket) counts could
-    # disagree with the rows actually row-numbered, corrupting __rn and
-    # block assignment (the same divergence class the b-cut below pins
-    # for the two union branches).
-    df = materialize(df)
     t = F.col(ts_col).cast("long")
     # ~1 time bucket per chunk: exact integer width (`div`, never
     # float division — a double intermediate could shift the width for

@@ -144,27 +144,35 @@ def exec_summary(df: DataFrame) -> DataFrame:
     bytes_processed per agent, plus the result row count): one row of
     (rows_processed, bytes_processed, rows_output, wall_ms, n_scans).
 
-    rows_processed / bytes_processed sum the source scans' output-row
-    and files-read-size metrics; rows_output is the root operator's
-    row count. Executes the frame once, like :func:`analyze`."""
+    rows_processed / bytes_processed sum the source nodes' output-row
+    and files-read-size metrics (file scans report bytes; in-memory
+    sources — Range, LocalTableScan, InMemoryTableScan — count toward
+    rows and n_scans with 0 bytes); rows_output is the EXECUTED result
+    cardinality (the count the execution itself returned — a
+    limit-rooted plan reports its limit, not a child node's metric).
+    Executes the frame once, like :func:`analyze`."""
     import time
 
     if df.isStreaming:
         raise ValueError("exec_summary() executes a batch plan")
     jqe = df._jdf.queryExecution()
     t0 = time.time()
-    jqe.toRdd().count()
+    n_out = jqe.toRdd().count()
     wall_ms = round((time.time() - t0) * 1000, 1)
     rows: list[Row] = []
     _walk(jqe.executedPlan(), 0, set(), rows)
-    scans = [r for r in rows if r.node.startswith("Scan")]
-    root_rows = next((r.rows_out for r in rows if r.rows_out is not None), None)
+    scans = [
+        r
+        for r in rows
+        if r.node.startswith("Scan")  # file scans + Scan ExistingRDD
+        or r.node in ("Range", "LocalTableScan", "InMemoryTableScan")
+    ]
     return df.sparkSession.createDataFrame(
         [
             (
                 sum(s.rows_out or 0 for s in scans),
                 sum(s.metrics.get("filesSize") or 0 for s in scans),
-                root_rows,
+                int(n_out),
                 wall_ms,
                 len(scans),
             )

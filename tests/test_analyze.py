@@ -109,6 +109,21 @@ def test_exec_summary_basic_stats(spark, sf_dir):
     assert row["wall_ms"] > 0
 
 
+def test_exec_summary_limit_root_and_inmemory_source(spark):
+    """Two review-found edges: (1) a limit-rooted plan must report the
+    LIMIT as rows_output (CollectLimitExec has no numOutputRows metric;
+    a node-metric heuristic reported a child's partial count); (2)
+    non-file sources (Range here) must still count toward
+    rows_processed/n_scans instead of silently reporting 0."""
+    from pixie_spark.plans.analyze import exec_summary
+
+    row = exec_summary(spark.range(0, 1000).limit(5)).collect()[0]
+    assert row["rows_output"] == 5
+    assert row["n_scans"] == 1
+    assert row["rows_processed"] > 0
+    assert row["bytes_processed"] == 0  # in-memory source: no file bytes
+
+
 def test_streaming_frame_rejected(spark):
     sdf = spark.readStream.format("rate").load()
     with pytest.raises(ValueError, match="streaming"):

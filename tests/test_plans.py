@@ -54,13 +54,16 @@ def test_limit_becomes_take_ordered(spark, sf_dir):
 def test_codegen_spans_exist(spark, sf_dir):
     # AQE defers physical planning, hiding codegen markers pre-execution —
     # plan with AQE off for this structural check only
+    prior = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         for name in ["agg_groupby", "math_ops", "rolling_time_bin"]:
             df = QUERIES[name].fn(spark, sf_dir)
             assert wholestage_codegen_spans(df) >= 1, name
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        # restore the SESSION's prior value — hardcoding "true" would
+        # silently defeat an SPARK_GRAFT_AQE=false adversarial sweep
+        spark.conf.set("spark.sql.adaptive.enabled", prior)
 
 
 def test_ann_broadcasts_queries(spark, sf_dir):
@@ -178,6 +181,7 @@ def test_dedup_verify_joins_scale_path_without_aqe(spark):
     from pixie_spark.operators.dedup import minhash_lsh_verified_pairs
     from pixie_spark.operators.similarity import embedding_dedup_pairs
 
+    prior = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         doc = (
@@ -222,7 +226,7 @@ def test_dedup_verify_joins_scale_path_without_aqe(spark):
         # candidate generation is the (tbl, bucket) self-equijoin, SMJ'd
         assert re.search(r"SortMergeJoin \[tbl#\d+, bucket#\d+L?\]", plan)
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", prior)
 
 
 def test_plans_md_freshness():

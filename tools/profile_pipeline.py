@@ -32,6 +32,16 @@ from pixie_spark.sources import load_table
 
 
 def profile_once(spark, sf_dir: str) -> dict[str, float]:
+    # NOTE: this hand-unrolls pipeline.clean_corpus's stage DAG — the
+    # composition cannot be reused directly because each stage must be
+    # timed from PINNED inputs (clean_corpus composes lazily, so timing
+    # its returned frames would charge stage N for re-running N-1).
+    # The stage list and hyperparameters below MUST mirror
+    # queries.q_corpus_clean_pipeline's production override
+    # (bench.py _clean_pipeline_production: STRUCTURAL_RULES,
+    # min_words=5, n=5/64 hashes/64 bands/t=0.5, span k=10) — update
+    # BOTH when the funnel changes, or the published stage table
+    # profiles a different pipeline than the bench times.
     from pixie_spark.materialize import materialize
 
     doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
