@@ -26,11 +26,13 @@ Machine calibration (round-9 verdict #1): two rounds running,
 cross-round wall-clock steps (r8 ts_pattern_search, r9's 15-query sf1
 extras drift including unchanged-code nb_classify) were BOX STATE, and
 each cost a judge re-run to adjudicate. Every bench now brackets the
-query loop with a pinned, data-independent probe pair — a
-codegen-bound workload and a row-level-shuffle workload, both built
-from spark.range in memory — timed with the same repeat/median
-methodology and emitted as ``calibration.before`` / ``calibration.after``
-plus per-probe drift. Readers judge a cross-round query delta against
+query loop with pinned probes — a codegen-bound workload and a
+row-level-shuffle workload built from spark.range in memory (run under
+a pinned shuffle config so config sweeps can't leak into them), plus a
+page-cache io probe (round-10 verdict #2: the in-memory pair reads
+"healthy box" on a cold cache, the one documented operational trap) —
+timed with the same repeat/median methodology and emitted as
+``calibration.before`` / ``calibration.after`` plus per-probe drift. Readers judge a cross-round query delta against
 the calibration delta first: if this round's probes run 1.5× slower
 than last round's, a 1.5× query step on the same code is the machine,
 not the plan. When ``SPARK_GRAFT_BENCH_BASELINE`` points at a prior
@@ -185,7 +187,52 @@ CALIBRATION_WORKLOADS = {
     # row-level shuffle bound: a full 10M-row repartition exchange (no
     # partial-agg collapse) feeding a 100k-group agg
     "shuffle": "range(10M,32p): repartition(64,k) -> groupBy(100k)",
+    # page-cache/disk bound: pinned 64 MB slice read of the tier's own
+    # parquet bytes (round-10 verdict #2 — the in-memory probes read
+    # "healthy box" during a cold-cache run, the one documented trap)
+    "io": "sequential read of the tier's first 64MB of parquet bytes",
 }
+
+
+def _io_probe(sf_dir: str, slice_bytes: int = 64 << 20) -> dict:
+    """Time a PINNED slice read of the tier's parquet bytes (first
+    ``slice_bytes`` in deterministic file order) — the cache-state
+    stamp the synthetic probes can't provide. Warm-cache reads run at
+    memory bandwidth (GB/s); cold reads at disk speed, so ``mb_per_s``
+    in the committed record says which box the numbers came from (the
+    sf1 bench is >150 min cold vs ~7 min warm — SCALE.md round-9). The
+    slice is bounded so the probe can't meaningfully pre-warm a
+    multi-GB tier, and it's single-shot: a repeat would always read its
+    own now-cached bytes. Shaped like the Spark probes (median/min/max/
+    runs) so drift/ratio consumers treat all three uniformly."""
+    files: list[str] = []
+    for root, _dirs, names in os.walk(sf_dir):
+        files.extend(
+            os.path.join(root, n) for n in names if n.endswith(".parquet")
+        )
+    files.sort()
+    tier_bytes = sum(os.path.getsize(f) for f in files)
+    read = 0
+    t0 = time.time()
+    for path in files:
+        if read >= slice_bytes:
+            break
+        with open(path, "rb") as f:
+            while read < slice_bytes:
+                chunk = f.read(1 << 20)
+                if not chunk:
+                    break
+                read += len(chunk)
+    sec = round(time.time() - t0, 3)
+    return {
+        "median": sec,
+        "min": sec,
+        "max": sec,
+        "runs": 1,
+        "slice_bytes": read,
+        "tier_bytes": tier_bytes,
+        "mb_per_s": round(read / (1 << 20) / sec, 1) if sec > 0 else None,
+    }
 
 
 def _calibration_codegen(spark):
@@ -209,27 +256,46 @@ def _calibration_shuffle(spark):
     )
 
 
+# Session confs the probes run under regardless of what the bench
+# itself is sweeping — a 2000-partition config run must not change what
+# the probes measure (they exist to measure the BOX, and the shuffle
+# probe's final aggregation otherwise inherits spark.sql.shuffle.
+# partitions, folding the swept config into the box-drift envelope).
+_PROBE_PINNED_CONF = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.adaptive.enabled": "false",
+}
+
+
 def run_calibration(spark, repeats: int, median) -> dict:
     """Time the pinned probes with the bench's own methodology (1 warm
     run — codegen compile must not be charged — then ``repeats`` timed,
-    median + spread)."""
+    median + spread). Probe-relevant session confs are pinned for the
+    duration and restored after."""
+    saved = {k: spark.conf.get(k) for k in _PROBE_PINNED_CONF}
+    for k, v in _PROBE_PINNED_CONF.items():
+        spark.conf.set(k, v)
     out = {}
-    for name, build in (
-        ("codegen", _calibration_codegen),
-        ("shuffle", _calibration_shuffle),
-    ):
-        build(spark).write.format("noop").mode("overwrite").save()  # warm
-        runs = []
-        for _ in range(repeats):
-            t0 = time.time()
-            build(spark).write.format("noop").mode("overwrite").save()
-            runs.append(round(time.time() - t0, 3))
-        out[name] = {
-            "median": median(runs),
-            "min": min(runs),
-            "max": max(runs),
-            "runs": len(runs),
-        }
+    try:
+        for name, build in (
+            ("codegen", _calibration_codegen),
+            ("shuffle", _calibration_shuffle),
+        ):
+            build(spark).write.format("noop").mode("overwrite").save()  # warm
+            runs = []
+            for _ in range(repeats):
+                t0 = time.time()
+                build(spark).write.format("noop").mode("overwrite").save()
+                runs.append(round(time.time() - t0, 3))
+            out[name] = {
+                "median": median(runs),
+                "min": min(runs),
+                "max": max(runs),
+                "runs": len(runs),
+            }
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
     return out
 
 
@@ -278,8 +344,12 @@ def main() -> None:
         mid = len(s) // 2
         return s[mid] if len(s) % 2 else round((s[mid - 1] + s[mid]) / 2, 3)
 
-    # box-state probe BEFORE the query loop (r9 verdict #1)
+    # box-state probe BEFORE the query loop (r9 verdict #1); the io
+    # probe runs FIRST so its cold/warm verdict reflects the cache state
+    # the bench is about to run against, not one the Spark probes set up
+    io_before = _io_probe(sf_dir)
     cal_before = run_calibration(spark, repeats, median)
+    cal_before["io"] = io_before
 
     timings: dict[str, float] = {}
     stats: dict[str, dict] = {}
@@ -297,8 +367,24 @@ def main() -> None:
     # cluster-shaped 2000-partition shape check) need the comparable
     # 21-query total without paying for the visibility extras.
     extras = [] if os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_ONLY") == "1" else EXTRA
+    # Named-subset mode (round-11: the sf10 scaling run times the 8
+    # heaviest registry entries without paying for a 96-query sweep at a
+    # 60M-row tier). The record self-describes: metric flips to
+    # subset_queries_total so a subset total can never read as the
+    # comparable 21-query headline floor.
+    subset_env = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
+    subset = [q.strip() for q in subset_env.split(",") if q.strip()]
+    if subset:
+        unknown = [q for q in subset if q not in set(HEADLINE) | set(EXTRA)]
+        if unknown:
+            print(f"BENCH ERROR unknown subset queries: {unknown}", file=sys.stderr)
+            sys.exit(2)
+        headline = [q for q in HEADLINE if q in subset]
+        extras = [q for q in EXTRA if q in subset]
+    else:
+        headline = HEADLINE
     for name, sink, err_sink, n_runs in [
-        (n, timings, errors, repeats) for n in HEADLINE
+        (n, timings, errors, repeats) for n in headline
     ] + [
         (n, extra_timings, extra_errors,
          repeats if (n in BENCH_OVERRIDES or repeat_extras) else 1)
@@ -327,8 +413,10 @@ def main() -> None:
             print(f"BENCH ERROR {name}: {err_sink[name]}", file=sys.stderr)
 
     # …and AFTER it: the within-run delta shows whether the box changed
-    # while the bench ran (the long sf1 tier is an hour+ of wall time)
+    # while the bench ran (the long sf1 tier is an hour+ of wall time);
+    # an io before/after step means the run itself warmed the cache
     cal_after = run_calibration(spark, repeats, median)
+    cal_after["io"] = _io_probe(sf_dir)
     calibration = {
         "workloads": CALIBRATION_WORKLOADS,
         "before": cal_before,
@@ -349,7 +437,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     out = {
-        "metric": "headline_queries_total",
+        "metric": "subset_queries_total" if subset else "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
@@ -366,7 +454,7 @@ def main() -> None:
         "queries_overridden": sorted(
             set(BENCH_OVERRIDES) & (set(HEADLINE) | set(EXTRA))
         ),
-        "queries_expected": len(HEADLINE),
+        "queries_expected": len(headline),
         "queries_completed": len(timings),
         # new-family timings, EXCLUDED from `value` (comparability)
         "extra_queries": extra_timings,
@@ -383,6 +471,8 @@ def main() -> None:
                 "spark.pixie_spark.materialize", "localCheckpoint"
             ),
             "headline_only": not extras,
+            # non-null iff SPARK_GRAFT_BENCH_QUERIES restricted the run
+            "query_subset": subset or None,
         },
         "sf": float(sf),
     }
@@ -395,15 +485,41 @@ def main() -> None:
             with open(baseline_path) as f:
                 base = json.load(f)
             base_cal = base.get("calibration", {}).get("before", {})
+            # r10 ADVICE: a baseline recorded under a different config or
+            # sf (e.g. the 2000-partition sweep) would fold config deltas
+            # into the box-drift envelope and mislabel a real regression
+            # as machine drift — refuse the comparison and say why.
+            base_cfg = base.get("config") or {}
+            mismatch = []
+            if base.get("sf") != out["sf"]:
+                mismatch.append(f"sf: {base.get('sf')!r} != {out['sf']!r}")
+            for k in ("shuffle_partitions", "aqe", "materialize"):
+                if base_cfg.get(k) != out["config"][k]:
+                    mismatch.append(
+                        f"{k}: {base_cfg.get(k)!r} != {out['config'][k]!r}"
+                    )
             probe_ratio = {
                 n: round(cal_before[n]["median"] / base_cal[n]["median"], 3)
                 for n in cal_before
                 if base_cal.get(n, {}).get("median")
             }
-            if probe_ratio:
-                # the box's drift envelope: the slower of the two probes,
-                # plus the bench's own measured single-shot variance
-                box_ratio = max(max(probe_ratio.values()), 1.0) * 1.15
+            if mismatch:
+                calibration["vs_baseline"] = {
+                    "baseline": baseline_path,
+                    "skipped": "baseline config/sf mismatch — box-drift "
+                    "adjudication would fold config deltas in",
+                    "mismatch": mismatch,
+                }
+            elif probe_ratio:
+                # the box's COMPUTE drift envelope: the slower of the two
+                # Spark probes plus the bench's own measured single-shot
+                # variance. The io probe is excluded here — a cold-vs-warm
+                # cache ratio can reach 10×+ and would mask real compute
+                # regressions; it gets its own annotation instead.
+                compute = [
+                    v for n, v in probe_ratio.items() if n in ("codegen", "shuffle")
+                ]
+                box_ratio = max(max(compute), 1.0) * 1.15 if compute else None
                 base_q = {**base.get("queries", {}), **base.get("extra_queries", {})}
                 cur_q = {**timings, **extra_timings}
                 calibration["vs_baseline"] = {
@@ -412,11 +528,17 @@ def main() -> None:
                     "queries_within_box_drift": sorted(
                         n
                         for n, t in cur_q.items()
-                        if base_q.get(n)
+                        if box_ratio
+                        and base_q.get(n)
                         and t / base_q[n] > 1.3  # looks like a step…
                         and t / base_q[n] <= box_ratio  # …inside box drift
                     ),
                 }
+                io_r = probe_ratio.get("io")
+                if io_r and box_ratio and io_r > box_ratio:
+                    # scan-heavy deltas may be cache state, not code —
+                    # flagged for the reader, never folded into the envelope
+                    calibration["vs_baseline"]["io_cache_state_differs"] = io_r
         except Exception as e:
             calibration["vs_baseline_error"] = f"{type(e).__name__}: {e}"[:200]
     # r8 (verdict #3): if the tier carries a materialization manifest

@@ -429,6 +429,38 @@ def results() -> dict[str, SparkDataFrame]:
     return dict(_ctx["results"])
 
 
+def result_stats(name: str = "output", execute: bool = True) -> SparkDataFrame:
+    """Basic exec stats for a registered result — the surface the
+    reference attaches to EVERY query response even at analyze=false
+    (``/root/reference/src/carnot/carnot.cc:455-462``: rows_processed /
+    bytes_processed per agent plus the result row count).
+
+    Batch results reuse the display frame's OWN QueryExecution: when the
+    consumer has already executed the registered frame (``collect`` /
+    ``toPandas`` drive the Dataset's own plan), the accumulated
+    SQLMetrics are summarized with NO new Spark job; a never-executed
+    frame runs one distributed pass iff ``execute``. A name bound to an
+    active STREAM returns the per-micro-batch stats of its query
+    (``stream_stats``) — the reference reports the same stats over the
+    result stream. The stats frame is registered under ``_stats_{name}``
+    so it shows up in ``results()`` like any debug output."""
+    stream_q = _ctx.get("streams", {}).get(name)
+    if stream_q is not None:
+        from pixie_spark.plans.analyze import stream_stats
+
+        stats = stream_stats(stream_q)
+    else:
+        if name not in _ctx["results"]:
+            raise KeyError(
+                f"no result named {name!r} — px.display(df, {name!r}) first"
+            )
+        from pixie_spark.plans.analyze import summarize_execution
+
+        stats = summarize_execution(_ctx["results"][name], execute=execute)
+    _ctx["results"][f"_stats_{name}"] = stats
+    return stats
+
+
 def debug(df: PxDataFrame, name: str = "debug", analyze: bool = False):
     """px.debug(df[, name]) → the optimized/physical plan (explain
     passthrough); the reference's form registers a debug-named result
@@ -456,6 +488,31 @@ def debug(df: PxDataFrame, name: str = "debug", analyze: bool = False):
         )
     sdf = df.to_spark() if isinstance(df, PxDataFrame) else df
     if analyze:
+        if sdf.isStreaming:
+            # the reference's streaming queries report exec stats over
+            # their result stream (carnot.cc:450-462); the Spark
+            # equivalent is the query's progress ring buffer. Resolve
+            # the frame to an ACTIVE display stream: by name first,
+            # else the only active one.
+            from pixie_spark.plans.analyze import stream_stats
+
+            live = _ctx.get("streams", {})
+            if name in live:
+                # by-name match may be a stopped query: its progress
+                # ring buffer is still readable, which is the point
+                q = live[name]
+            else:
+                active = {n: s for n, s in live.items() if s.isActive}
+                if len(active) != 1:
+                    raise ValueError(
+                        "px.debug(analyze=True) on a streaming frame needs "
+                        "an active display stream to read progress from — "
+                        f"px.display(df, name) first (active: {sorted(active)})"
+                    )
+                q = next(iter(active.values()))
+            stats = stream_stats(q)
+            _ctx["results"][f"_{name}"] = stats
+            return stats
         from pixie_spark.plans.analyze import analyze as _analyze
 
         stats = _analyze(sdf)

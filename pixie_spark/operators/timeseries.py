@@ -214,6 +214,17 @@ def rolling_anomalies(
     falling back to the single-window path ON THE CUT when any bad key
     exists.
     """
+    if chunked and df.isStreaming:
+        # the chunked machinery needs a global per-entity row number and
+        # a materialize cut — neither exists for an unbounded stream.
+        # Fail HERE with the limitation named, not three joins deep at
+        # materialize(b, release=df) on a never-persisted frame.
+        raise ValueError(
+            "rolling_anomalies(chunked=True) requires a batch frame: the "
+            "chunked path materializes the source and row-numbers whole "
+            "series, which is undefined on a stream — use "
+            "streaming.stateful.streaming_anomalies for streaming frames"
+        )
     bad_key = F.col(entity_col).isNull() | F.expr(
         f"CAST({ts_col} AS BIGINT)"
     ).isNull()

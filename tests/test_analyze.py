@@ -10,6 +10,8 @@ rows/time stats for a flagship-shaped query's scan, aggregate, join and
 exchange nodes.
 """
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -128,3 +130,175 @@ def test_streaming_frame_rejected(spark):
     sdf = spark.readStream.format("rate").load()
     with pytest.raises(ValueError, match="streaming"):
         analyze(sdf)
+
+
+# ---------------------------------------------------------------------------
+# Round-11: basic exec stats attached to results (verdict #3) + streaming
+# runtime stats (verdict #4) + the negative-SQLMetric clamp (r10 ADVICE).
+
+
+def test_summarize_execution_reuses_consumer_execution(spark, sf_dir):
+    """The wiring contract: after a consumer collects the frame, the
+    stats come from the SAME QueryExecution's accumulators with NO new
+    Spark job (the reference attaches these to every result —
+    carnot.cc:455-462 — it never re-runs the query for them)."""
+    from pixie_spark.plans.analyze import summarize_execution, was_executed
+
+    df = _flagship(spark, sf_dir)
+    assert not was_executed(df)
+    df.collect()
+    assert was_executed(df)
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = set(tracker.getJobIdsForGroup(None) or [])
+    stats = summarize_execution(df, execute=False)
+    # building the stats (reading the accumulators) must be job-free;
+    # the local one-row frame's own collect below runs its own task and
+    # is deliberately outside the measurement
+    jobs_after = set(tracker.getJobIdsForGroup(None) or [])
+    row = stats.collect()[0]
+    assert row["rows_processed"] >= 6000 + 1500
+    assert row["bytes_processed"] > 0
+    assert row["n_scans"] == 2
+    assert row["wall_ms"] is None  # the consumer's wall time wasn't ours
+    assert jobs_after == jobs_before, "stats reuse must not launch a job"
+
+
+def test_summarize_execution_unexecuted(spark, sf_dir):
+    from pixie_spark.plans.analyze import summarize_execution
+
+    df = _flagship(spark, sf_dir)
+    with pytest.raises(ValueError, match="not been executed"):
+        summarize_execution(df, execute=False)
+    row = summarize_execution(df, execute=True).collect()[0]
+    assert row["wall_ms"] > 0 and row["rows_output"] > 0
+
+
+def test_px_result_stats_attached_to_display(spark, sf_dir):
+    """px.result_stats: the px-surface form — a flagship display's
+    result carries non-trivial rows/bytes-processed after the consumer
+    collected it, registered under _stats_{name} (verdict #3 Done
+    criterion)."""
+    import pixie_spark.api as px
+
+    px.set_context(spark)
+    out = px.display(_flagship(spark, sf_dir), "flagship")
+    out.collect()  # the consumer executes the registered frame
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = set(tracker.getJobIdsForGroup(None) or [])
+    stats = px.result_stats("flagship", execute=False)
+    jobs_after = set(tracker.getJobIdsForGroup(None) or [])
+    row = stats.collect()[0]
+    assert row["rows_processed"] > 0 and row["bytes_processed"] > 0
+    assert "_stats_flagship" in px.results()
+    assert jobs_after == jobs_before
+    with pytest.raises(KeyError, match="no result named"):
+        px.result_stats("never_displayed")
+
+
+def _write_batch_files(spark, tmp_path, counts):
+    """One parquet file per count → one micro-batch per file with
+    maxFilesPerTrigger=1 (the repo's deterministic-stream pattern)."""
+    import glob
+    import shutil
+
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat, exist_ok=True)
+    for i, n in enumerate(counts):
+        d = str(tmp_path / f"gen{i}")
+        (
+            spark.range(n)
+            .selectExpr("id", "id % 3 as k")
+            .coalesce(1)
+            .write.parquet(d, mode="overwrite")
+        )
+        src = glob.glob(os.path.join(d, "*.parquet"))[0]
+        shutil.copy(src, os.path.join(flat, f"part{i}.parquet"))
+    return flat
+
+
+def test_stream_stats_per_batch_golden(spark, tmp_path):
+    """verdict #4 Done criterion: rows counted per batch ≡ the batch
+    goldens. 3 files × maxFilesPerTrigger=1 → 3 data-bearing
+    micro-batches whose rows_processed multiset equals the file row
+    counts; the stateful agg reports state rows + memory."""
+    import pixie_spark.api as px
+    from pixie_spark.plans.analyze import stream_stats
+
+    px.set_context(spark)
+    counts = [7, 11, 5]
+    flat = _write_batch_files(spark, tmp_path, counts)
+    schema = spark.range(1).selectExpr("id", "id % 3 as k").schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    px.display(sdf.groupBy("k").count(), "ss_golden")
+    q = px.streams()["ss_golden"]
+    try:
+        q.processAllAvailable()
+        rows = [
+            r
+            for r in stream_stats(q).collect()
+            if r["rows_processed"] > 0
+        ]
+        assert sorted(r["rows_processed"] for r in rows) == sorted(counts)
+        assert len({r["batch_id"] for r in rows}) == len(rows)
+        assert all(r["wall_ms"] > 0 for r in rows)
+        # the groupBy is a stateful operator: state rows/memory visible
+        last = max(rows, key=lambda r: r["batch_id"])
+        assert last["state_rows"] == 3  # k ∈ {0,1,2}
+        assert last["state_mem_bytes"] > 0
+        assert "stateStoreSave" in (last["state_operators"] or {})
+        # px surface: result_stats on a stream name returns the same
+        # shape; debug(analyze=True) resolves the active stream by name
+        assert px.result_stats("ss_golden").count() >= len(rows)
+        dbg = px.debug(sdf, "ss_golden", analyze=True)
+        assert dbg.columns == stream_stats(q).columns
+        assert "_stats_ss_golden" in px.results()
+    finally:
+        q.stop()
+
+
+def test_debug_analyze_streaming_needs_active_stream(spark):
+    """A streaming frame with NO active display stream can't be
+    analyzed — the error must say what to do, not AttributeError."""
+    import pixie_spark.api as px
+
+    px.set_context(spark)
+    sdf = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="active display stream"):
+        px.debug(sdf, "nostream", analyze=True)
+
+
+def test_sized_metric_columns_never_negative(spark, sf_dir):
+    """r10 ADVICE: size/timing SQLMetrics initialize to -1 internally;
+    derived sizing columns must clamp, whatever the JVM's value()
+    accessor exposes (Spark 4 clamps at the accessor; older versions
+    leak the -1 — the Python side defends regardless). Checked two
+    ways: a synthetic -1 through the summarizer, and a full plan walk
+    sweep on a never-executed plan."""
+    from pyspark.sql import Row
+
+    from pixie_spark.plans.analyze import _summarize_rows, _walk
+
+    fake = [
+        Row(
+            node_id=1, node="Scan parquet t", depth=0, rows_out=10,
+            time_ms=0.0, bytes_out=None, shuffle_bytes=None,
+            peak_mem_bytes=None, spill_bytes=None,
+            metrics={"numOutputRows": 10, "filesSize": -1},
+        )
+    ]
+    srow = _summarize_rows(spark.range(1), fake, 10, 1.0).collect()[0]
+    assert srow["bytes_processed"] == 0  # -1 never summed through
+
+    df = _flagship(spark, sf_dir)  # built, never executed
+    rows = []
+    _walk(df._jdf.queryExecution().executedPlan(), 0, set(), rows)
+    assert rows
+    for r in rows:
+        for col in ("bytes_out", "shuffle_bytes", "peak_mem_bytes", "spill_bytes"):
+            v = r[col]
+            assert v is None or v >= 0, (r.node, col, v)
+        assert r.time_ms >= 0.0

