@@ -66,3 +66,22 @@ def test_entry_and_bench_are_graph_nodes():
     mod_of, imports, _implicit = build_graph()
     assert "__spark_entry__" in mod_of
     assert "pixie_spark.queries" in imports["bench"]
+
+
+def test_scaling_report_math_and_config_guard():
+    """tools/scaling_report.py (r10 verdict #1): exponent math and the
+    cross-config refusal mirror bench.py's own vs_baseline rule."""
+    import pytest as _pytest
+
+    from tools.scaling_report import report
+
+    cfg = {"shuffle_partitions": "32", "aqe": "true", "materialize": "lc"}
+    a = {"sf": 1.0, "config": cfg, "queries": {"q": 2.0}, "rows_out": {"q": 10}}
+    b = {"sf": 10.0, "config": cfg, "queries": {"q": 20.0}, "rows_out": {"q": 100}}
+    rows = report(a, b)
+    assert rows[0]["wall_ratio"] == 10.0
+    assert rows[0]["rows_ratio"] == 10.0
+    assert rows[0]["exponent"] == 1.0  # 10× wall on 10× data = linear
+    b2 = dict(b, config=dict(cfg, shuffle_partitions="2000"))
+    with _pytest.raises(SystemExit, match="config mismatch"):
+        report(a, b2)
