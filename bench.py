@@ -302,6 +302,12 @@ def run_calibration(spark, repeats: int, median) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # cache-state stamp FIRST — before the session exists, before the
+    # warmup queries scan the measured tier (review r11: the warmup's
+    # distinct_rows full-scans sf_dir, so a probe placed after it reads
+    # partially warm on a genuinely cold box — the exact trap it exists
+    # to catch)
+    io_before = _io_probe(sf_dir)
     spark = get_spark("pixie_spark_bench")
 
     # JVM/codegen warmup so the first measured query isn't charged for it
@@ -344,10 +350,8 @@ def main() -> None:
         mid = len(s) // 2
         return s[mid] if len(s) % 2 else round((s[mid - 1] + s[mid]) / 2, 3)
 
-    # box-state probe BEFORE the query loop (r9 verdict #1); the io
-    # probe runs FIRST so its cold/warm verdict reflects the cache state
-    # the bench is about to run against, not one the Spark probes set up
-    io_before = _io_probe(sf_dir)
+    # box-state probe BEFORE the query loop (r9 verdict #1); io_before
+    # was stamped at process start, ahead of even the warmup scans
     cal_before = run_calibration(spark, repeats, median)
     cal_before["io"] = io_before
 
@@ -413,10 +417,11 @@ def main() -> None:
             print(f"BENCH ERROR {name}: {err_sink[name]}", file=sys.stderr)
 
     # …and AFTER it: the within-run delta shows whether the box changed
-    # while the bench ran (the long sf1 tier is an hour+ of wall time);
-    # an io before/after step means the run itself warmed the cache
+    # while the bench ran (the long sf1 tier is an hour+ of wall time).
+    # No after-io probe: it would re-read the exact slice the before
+    # probe just cached, so its number is signal-free by construction
+    # (review r11) — the cache-state stamp is before-only.
     cal_after = run_calibration(spark, repeats, median)
-    cal_after["io"] = _io_probe(sf_dir)
     calibration = {
         "workloads": CALIBRATION_WORKLOADS,
         "before": cal_before,
@@ -432,6 +437,7 @@ def main() -> None:
                 else None
             )
             for n in cal_before
+            if n in cal_after
         },
     }
 
@@ -452,7 +458,7 @@ def main() -> None:
         # correctness-gate config (see BENCH_OVERRIDES) — flagged so a
         # consumer knows the benched path is not the oracle-checked one.
         "queries_overridden": sorted(
-            set(BENCH_OVERRIDES) & (set(HEADLINE) | set(EXTRA))
+            set(BENCH_OVERRIDES) & (set(headline) | set(extras))
         ),
         "queries_expected": len(headline),
         "queries_completed": len(timings),
@@ -551,6 +557,15 @@ def main() -> None:
             manifest = json.load(f)
         out["manifest_digest"] = manifest.get("digest")
         out["manifest_rows"] = manifest.get("rows")
+        # copies/10 = the tier's true sf; flag a tier whose directory
+        # name lies about its scale (review r11: a 100-copy tier built
+        # into the default sf1 path would stamp sf=1.0 on 10× the data)
+        out["manifest_copies"] = manifest.get("copies")
+        if manifest.get("copies") and abs(manifest["copies"] / 10 - float(sf)) > 1e-9:
+            out["sf_mismatch"] = (
+                f"dir says sf={sf} but manifest copies={manifest['copies']} "
+                f"(true sf={manifest['copies'] / 10:g})"
+            )
     if errors:
         out["errors"] = errors
         out["partial"] = True
@@ -577,7 +592,10 @@ def main() -> None:
         # probe medians only — enough for a reader of the compact line to
         # normalize this round's total against another box state
         "cal": {
-            n: {"before": cal_before[n]["median"], "after": cal_after[n]["median"]}
+            n: {
+                "before": cal_before[n]["median"],
+                "after": cal_after[n]["median"] if n in cal_after else None,
+            }
             for n in cal_before
         },
     }

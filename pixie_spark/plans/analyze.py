@@ -217,9 +217,13 @@ def summarize_execution(df: DataFrame, execute: bool = True) -> DataFrame:
         root_rows = rows[0].rows_out if rows else None
         return _summarize_rows(df, rows, root_rows, None)
     if not execute:
+        # all metrics at init values is ambiguous: never executed, OR
+        # executed and genuinely empty (an empty run ticks nothing above
+        # zero) — the message must not claim the first when it can't know
         raise ValueError(
-            "frame has not been executed and execute=False — collect the "
-            "result first (or pass execute=True for one distributed pass)"
+            "no metric has ticked — the frame was either never executed "
+            "or its execution produced an empty result; pass execute=True "
+            "for one distributed pass (cheap by construction if empty)"
         )
     t0 = time.time()
     n_out = jqe.toRdd().count()

@@ -167,7 +167,7 @@ def test_summarize_execution_unexecuted(spark, sf_dir):
     from pixie_spark.plans.analyze import summarize_execution
 
     df = _flagship(spark, sf_dir)
-    with pytest.raises(ValueError, match="not been executed"):
+    with pytest.raises(ValueError, match="never executed"):
         summarize_execution(df, execute=False)
     row = summarize_execution(df, execute=True).collect()[0]
     assert row["wall_ms"] > 0 and row["rows_output"] > 0

@@ -199,11 +199,10 @@ def select(changed: list[str]) -> tuple[list[str], str]:
     affected = affected_modules(changed_mods, imports, implicit)
     picked = {f"tests/{n}" for n in ALWAYS_ON}
     for t in all_tests:
-        m = _module_name(t)
-        if m in affected:
-            picked.add(t)  # a changed/affected test file selects itself
-            continue
-        if imports.get(m, set()) & affected:
+        # tests are graph nodes, so the reverse closure already contains
+        # every test importing an affected module — and a directly
+        # changed test file seeds the closure itself
+        if _module_name(t) in affected:
             picked.add(t)
     reason = (
         f"{len(changed_mods)} changed module(s) → {len(affected)} affected "

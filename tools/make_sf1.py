@@ -81,9 +81,13 @@ def _table_file_hashes(table_dir: str) -> dict[str, str]:
 
 
 def main() -> None:
+    # default output dir names the tier's TRUE sf (copies/10 of the
+    # sf0.1 source): bench.py parses sf from the directory name, so a
+    # 100-copy tier defaulting into .benchdata/sf1 would stamp sf=1.0
+    # onto 10× the data (review r11). COPIES=10 keeps the sf1 default.
     out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".benchdata", "sf1",
+        ".benchdata", f"sf{COPIES / 10:g}",
     )
     spark = get_spark("make_sf1")
     rows: dict[str, int] = {}

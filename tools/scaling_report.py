@@ -52,6 +52,11 @@ def report(a: dict, b: dict, data_ratio: float | None = None) -> list[dict]:
         )
     if data_ratio is None:
         data_ratio = float(b.get("sf", 0)) / float(a.get("sf", 1) or 1)
+    if data_ratio <= 1:
+        raise SystemExit(
+            f"data_ratio {data_ratio:g} <= 1 — pass records smaller tier "
+            "first (exponents are undefined otherwise)"
+        )
     qa = {**a.get("queries", {}), **a.get("extra_queries", {})}
     qb = {**b.get("queries", {}), **b.get("extra_queries", {})}
     ra, rb = a.get("rows_out", {}), b.get("rows_out", {})
