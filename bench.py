@@ -499,11 +499,17 @@ def main() -> None:
             mismatch = []
             if base.get("sf") != out["sf"]:
                 mismatch.append(f"sf: {base.get('sf')!r} != {out['sf']!r}")
-            for k in ("shuffle_partitions", "aqe", "materialize"):
-                if base_cfg.get(k) != out["config"][k]:
-                    mismatch.append(
-                        f"{k}: {base_cfg.get(k)!r} != {out['config'][k]!r}"
-                    )
+            # pre-r11 records carry no config stamp at all: compare (they
+            # were all default-config runs) but annotate, so the reader
+            # knows the guard couldn't SEE the baseline's config. A
+            # PRESENT-but-different stamp still refuses.
+            unstamped = not base_cfg
+            if not unstamped:
+                for k in ("shuffle_partitions", "aqe", "materialize"):
+                    if base_cfg.get(k) != out["config"][k]:
+                        mismatch.append(
+                            f"{k}: {base_cfg.get(k)!r} != {out['config'][k]!r}"
+                        )
             probe_ratio = {
                 n: round(cal_before[n]["median"] / base_cal[n]["median"], 3)
                 for n in cal_before
@@ -545,6 +551,8 @@ def main() -> None:
                     # scan-heavy deltas may be cache state, not code —
                     # flagged for the reader, never folded into the envelope
                     calibration["vs_baseline"]["io_cache_state_differs"] = io_r
+                if unstamped:
+                    calibration["vs_baseline"]["baseline_config_unstamped"] = True
         except Exception as e:
             calibration["vs_baseline_error"] = f"{type(e).__name__}: {e}"[:200]
     # r8 (verdict #3): if the tier carries a materialization manifest
