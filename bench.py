@@ -219,7 +219,7 @@ def _io_probe(sf_dir: str, slice_bytes: int = 64 << 20) -> dict:
             break
         with open(path, "rb") as f:
             while read < slice_bytes:
-                chunk = f.read(1 << 20)
+                chunk = f.read(min(1 << 20, slice_bytes - read))
                 if not chunk:
                     break
                 read += len(chunk)
@@ -297,6 +297,73 @@ def run_calibration(spark, repeats: int, median) -> dict:
         for k, v in saved.items():
             spark.conf.set(k, v)
     return out
+
+
+def baseline_comparison(
+    base: dict,
+    cur_sf: float,
+    cur_config: dict,
+    cal_before: dict,
+    cur_queries: dict[str, float],
+) -> dict | None:
+    """Cross-round self-adjudication block (``calibration.vs_baseline``)
+    — pure record-vs-record logic, extracted so it is unit-testable.
+
+    r10 ADVICE: a baseline recorded under a different config or sf
+    (e.g. the 2000-partition sweep) would fold config deltas into the
+    box-drift envelope and mislabel a real regression as machine drift
+    — refuse the comparison and say why. Pre-r11 records carry no
+    config stamp at all: compare (they were all default-config runs)
+    but annotate ``baseline_config_unstamped``. The drift envelope is
+    computed from the COMPUTE probes only; the io probe's cold-vs-warm
+    ratio can reach 10×+ and would mask real compute regressions, so
+    it gets its own ``io_cache_state_differs`` annotation instead.
+    Returns None when the baseline carries no usable probe medians."""
+    base_cal = base.get("calibration", {}).get("before", {})
+    base_cfg = base.get("config") or {}
+    mismatch = []
+    if base.get("sf") != cur_sf:
+        mismatch.append(f"sf: {base.get('sf')!r} != {cur_sf!r}")
+    unstamped = not base_cfg
+    if not unstamped:
+        for k in ("shuffle_partitions", "aqe", "materialize"):
+            if base_cfg.get(k) != cur_config[k]:
+                mismatch.append(f"{k}: {base_cfg.get(k)!r} != {cur_config[k]!r}")
+    if mismatch:
+        return {
+            "skipped": "baseline config/sf mismatch — box-drift "
+            "adjudication would fold config deltas in",
+            "mismatch": mismatch,
+        }
+    probe_ratio = {
+        n: round(cal_before[n]["median"] / base_cal[n]["median"], 3)
+        for n in cal_before
+        if base_cal.get(n, {}).get("median")
+    }
+    if not probe_ratio:
+        return None
+    # the box's compute drift envelope: the slower of the two Spark
+    # probes plus the bench's own measured single-shot variance
+    compute = [v for n, v in probe_ratio.items() if n in ("codegen", "shuffle")]
+    box_ratio = max(max(compute), 1.0) * 1.15 if compute else None
+    base_q = {**base.get("queries", {}), **base.get("extra_queries", {})}
+    vb = {
+        "probe_ratio": probe_ratio,
+        "queries_within_box_drift": sorted(
+            n
+            for n, t in cur_queries.items()
+            if box_ratio
+            and base_q.get(n)
+            and t / base_q[n] > 1.3  # looks like a step…
+            and t / base_q[n] <= box_ratio  # …inside box drift
+        ),
+    }
+    io_r = probe_ratio.get("io")
+    if io_r and box_ratio and io_r > box_ratio:
+        vb["io_cache_state_differs"] = io_r
+    if unstamped:
+        vb["baseline_config_unstamped"] = True
+    return vb
 
 
 def main() -> None:
@@ -490,69 +557,13 @@ def main() -> None:
         try:
             with open(baseline_path) as f:
                 base = json.load(f)
-            base_cal = base.get("calibration", {}).get("before", {})
-            # r10 ADVICE: a baseline recorded under a different config or
-            # sf (e.g. the 2000-partition sweep) would fold config deltas
-            # into the box-drift envelope and mislabel a real regression
-            # as machine drift — refuse the comparison and say why.
-            base_cfg = base.get("config") or {}
-            mismatch = []
-            if base.get("sf") != out["sf"]:
-                mismatch.append(f"sf: {base.get('sf')!r} != {out['sf']!r}")
-            # pre-r11 records carry no config stamp at all: compare (they
-            # were all default-config runs) but annotate, so the reader
-            # knows the guard couldn't SEE the baseline's config. A
-            # PRESENT-but-different stamp still refuses.
-            unstamped = not base_cfg
-            if not unstamped:
-                for k in ("shuffle_partitions", "aqe", "materialize"):
-                    if base_cfg.get(k) != out["config"][k]:
-                        mismatch.append(
-                            f"{k}: {base_cfg.get(k)!r} != {out['config'][k]!r}"
-                        )
-            probe_ratio = {
-                n: round(cal_before[n]["median"] / base_cal[n]["median"], 3)
-                for n in cal_before
-                if base_cal.get(n, {}).get("median")
-            }
-            if mismatch:
-                calibration["vs_baseline"] = {
-                    "baseline": baseline_path,
-                    "skipped": "baseline config/sf mismatch — box-drift "
-                    "adjudication would fold config deltas in",
-                    "mismatch": mismatch,
-                }
-            elif probe_ratio:
-                # the box's COMPUTE drift envelope: the slower of the two
-                # Spark probes plus the bench's own measured single-shot
-                # variance. The io probe is excluded here — a cold-vs-warm
-                # cache ratio can reach 10×+ and would mask real compute
-                # regressions; it gets its own annotation instead.
-                compute = [
-                    v for n, v in probe_ratio.items() if n in ("codegen", "shuffle")
-                ]
-                box_ratio = max(max(compute), 1.0) * 1.15 if compute else None
-                base_q = {**base.get("queries", {}), **base.get("extra_queries", {})}
-                cur_q = {**timings, **extra_timings}
-                calibration["vs_baseline"] = {
-                    "baseline": baseline_path,
-                    "probe_ratio": probe_ratio,
-                    "queries_within_box_drift": sorted(
-                        n
-                        for n, t in cur_q.items()
-                        if box_ratio
-                        and base_q.get(n)
-                        and t / base_q[n] > 1.3  # looks like a step…
-                        and t / base_q[n] <= box_ratio  # …inside box drift
-                    ),
-                }
-                io_r = probe_ratio.get("io")
-                if io_r and box_ratio and io_r > box_ratio:
-                    # scan-heavy deltas may be cache state, not code —
-                    # flagged for the reader, never folded into the envelope
-                    calibration["vs_baseline"]["io_cache_state_differs"] = io_r
-                if unstamped:
-                    calibration["vs_baseline"]["baseline_config_unstamped"] = True
+            vb = baseline_comparison(
+                base, out["sf"], out["config"], cal_before,
+                {**timings, **extra_timings},
+            )
+            if vb is not None:
+                vb["baseline"] = baseline_path
+                calibration["vs_baseline"] = vb
         except Exception as e:
             calibration["vs_baseline_error"] = f"{type(e).__name__}: {e}"[:200]
     # r8 (verdict #3): if the tier carries a materialization manifest
