@@ -104,10 +104,25 @@ def naive_bayes_train(
     if min_count > 1:
         keep = counts.groupBy("fid").agg(F.sum("c").alias("tc")).where(F.col("tc") >= min_count)
         counts = counts.join(keep.select("fid"), "fid")
-    # per-class scalars: token totals, doc priors, shared vocab size
-    totals = {r["_lbl"]: r["t"] for r in counts.groupBy("_lbl").agg(F.sum("c").alias("t")).collect()}
+    # per-class scalars: token totals + shared vocab size in ONE action
+    # over the checkpointed counts (r11: they were two serial driver
+    # jobs; the union costs nothing — both branches re-scan cached
+    # blocks) — the vocab row rides along with a NULL label
+    tot_rows = (
+        counts.groupBy("_lbl")
+        .agg(F.sum("c").alias("t"))
+        .withColumn("__vocab_row", F.lit(False))
+        .unionByName(
+            counts.agg(
+                F.first("_lbl").alias("_lbl"),  # ignored; keeps the schema
+                F.count_distinct("fid").alias("t"),
+            ).withColumn("__vocab_row", F.lit(True))
+        )
+        .collect()
+    )
+    totals = {r["_lbl"]: r["t"] for r in tot_rows if not r["__vocab_row"]}
+    vocab = next(r["t"] for r in tot_rows if r["__vocab_row"])
     docs = {r[label_col]: r["n"] for r in df.groupBy(label_col).agg(F.count("*").alias("n")).collect()}
-    vocab = counts.select("fid").distinct().count()
     labels = sorted(docs)
     n_docs = sum(docs.values())
     log_prior = [math.log(docs[lb] / n_docs) for lb in labels]

@@ -63,12 +63,35 @@ def shingles(text: Column, n: int = 3) -> Column:
     return shingles_from_words(F.filter(F.split(text, r"\s+"), lambda w: w != ""), n)
 
 
-def _word_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _word_rows(
+    df: DataFrame, id_col: str, text_col: str, by_doc: bool = True
+) -> DataFrame:
     """(doc, pos, word) rows via posexplode — the split is evaluated once
-    per row inside codegen; no higher-order functions."""
+    per row inside codegen; no higher-order functions.
+
+    ``by_doc`` (default): hash-partition the RAW (doc, text) rows by doc
+    BEFORE the explode (r11 optimization, guide §2.3/§8). Every consumer
+    of this frame windows or groups by doc, so the per-doc exchange is
+    paid either way — placing it before the explode (a) moves strictly
+    fewer bytes (raw text once vs one row per word), and (b) runs the
+    split/explode/hash map work at shuffle parallelism instead of scan
+    parallelism (measured: the sf tiers are single-row-group files, so
+    the whole expensive map side ran ONE task; at cluster scale the
+    placement is still the byte win). The explicit partition count in
+    ``by_key`` pins the downstream window/agg stages against AQE
+    coalescing, which optimizes shuffle bytes and serialized the
+    CPU-heavy gram stages (profiled: 15 s task CPU through 4 tasks).
+    Callers whose downstream keys do NOT include doc (e.g. vocabulary's
+    groupBy(term)) pass ``by_doc=False`` — for them the exchange would
+    be additive at scale.
+    """
+    from pixie_spark.partitioning import by_key
+
+    base = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text"))
+    if by_doc:
+        base = by_key(base, "doc")
     return (
-        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text"))
-        .select("doc", F.posexplode(F.split("text", r"\s+")).alias("pos", "word"))
+        base.select("doc", F.posexplode(F.split("text", r"\s+")).alias("pos", "word"))
         .where(F.col("word") != "")
     )
 
@@ -655,7 +678,10 @@ def duplicate_spans(
     operator, so no skew cap is needed).
     """
     win = Window.partitionBy("doc").orderBy("pos")
-    w = _word_rows(df, id_col, text_col)
+    # by_doc=False (r11, measured): the span family's window stage is
+    # short; the pinned 32-way pre-partition regressed sf0.1 ~1.2-1.4x
+    # (per-task generated-code warmup outweighs map parallelism here)
+    w = _word_rows(df, id_col, text_col, by_doc=False)
     leads = [F.col("word").alias("w0")] + [
         F.lead("word", j).over(win).alias(f"w{j}") for j in range(1, k)
     ]
@@ -706,7 +732,7 @@ def remove_duplicate_spans(
     duplicated window). Output: (doc, text, n_removed).
     """
     win = Window.partitionBy("doc").orderBy("pos")
-    w = _word_rows(df, id_col, text_col).transform(materialize)
+    w = _word_rows(df, id_col, text_col, by_doc=False).transform(materialize)
     leads = [F.col("word").alias("w0")] + [
         F.lead("word", j).over(win).alias(f"w{j}") for j in range(1, k)
     ]
@@ -783,7 +809,7 @@ def decontaminate_spans(
     clean docs.
     """
     win = Window.partitionBy("doc").orderBy("pos")
-    w = _word_rows(corpus, id_col, text_col).transform(materialize)
+    w = _word_rows(corpus, id_col, text_col, by_doc=False).transform(materialize)
     leads = [F.col("word").alias("w0")] + [
         F.lead("word", j).over(win).alias(f"w{j}") for j in range(1, k)
     ]
@@ -793,7 +819,7 @@ def decontaminate_spans(
         .select("doc", "pos", F.xxhash64(*[f"w{j}" for j in range(k)]).alias("wid"))
     )
     probe_wids = (
-        _word_rows(probes, probe_id_col, probe_text_col)
+        _word_rows(probes, probe_id_col, probe_text_col, by_doc=False)
         .select("doc", "pos", *leads)
         .where(F.col(f"w{k - 1}").isNotNull())
         .select(F.xxhash64(*[f"w{j}" for j in range(k)]).alias("wid"))

@@ -66,10 +66,17 @@ def pagerank(
     deg = out_degrees(edges, src, dst)
     # contribution edges carry 1/outdeg so the per-iteration join emits
     # rank·weight directly; materialized ONCE with its partitioning
+    # explicit partition count (r11): a numberless repartition is
+    # AQE-coalesced by bytes, and the coalesced layout rarely matches
+    # the rank frame's join partitioning — every iteration then
+    # re-exchanged the edge side. Pinning at the configured shuffle
+    # parallelism keeps the iteration joins co-partitioned.
+    from pixie_spark.partitioning import by_key
+
     contrib = (
         edges.join(deg, src)
         .select(F.col(src).alias("node"), F.col(dst).alias("dst"), (1.0 / F.col("outdeg")).alias("w"))
-        .repartition("node")
+        .transform(by_key, "node")
         .transform(materialize)
     )
     has_out = deg.select(F.col(src).alias("node")).transform(materialize)

@@ -52,8 +52,16 @@ def _token_stream(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc, pos, uid, bid) rows: uid = hash(word), bid = hash(word, next)
     (null at the last position). Lowercased so 'The'/'the' share mass.
     One window shuffle on doc."""
+    # by_doc=False (r11, measured): the doc-keyed pre-partition regressed
+    # this path 1.6× at sf0.1 — the token stream feeds several SHORT
+    # per-uid/per-bid aggregation stages whose per-task fixed cost
+    # (generated-code warmup) outweighs the map-side parallelism on a
+    # pinned 32-way layout; AQE's coalesced layout measured faster.
     w = _word_rows(
-        df.select(F.col(id_col), F.lower(F.col(text_col)).alias(text_col)), id_col, text_col
+        df.select(F.col(id_col), F.lower(F.col(text_col)).alias(text_col)),
+        id_col,
+        text_col,
+        by_doc=False,
     )
     win = Window.partitionBy("doc").orderBy("pos")
     return w.select(

@@ -144,6 +144,10 @@ def clean_corpus_report(
         "n_clean": span_stats["n_clean"],
         "words_removed_by_span_dedup": span_stats["words_removed"],
     }
+    # one-row frame on ONE partition — a bare createDataFrame parallelizes
+    # the single row across defaultParallelism empty slices (profiled: a
+    # 32-task job just to emit the report row)
     return spark.createDataFrame(
-        [tuple(counts.values())], " , ".join(f"{k} long" for k in counts)
+        spark.sparkContext.parallelize([tuple(counts.values())], 1),
+        " , ".join(f"{k} long" for k in counts),
     )

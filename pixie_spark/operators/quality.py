@@ -237,7 +237,16 @@ def gopher_filters(
         **doc_shape_stats(t),
         **line_repetition_stats(t),
     }
-    base = df.select(F.col(id_col).alias("doc"), *[v.alias(k) for k, v in stats.items()])
+    # The in-row shape/repetition stats are regex- and HOF-heavy per-row
+    # work on the raw scan; on a few-row-group file that branch ran ONE
+    # task (r11 profile: 2.6 s single-task). spread_if_narrow unsticks
+    # it locally and is a no-op on cluster-parallel scans (guide §2.5).
+    from pixie_spark.partitioning import spread_if_narrow
+
+    spread = spread_if_narrow(df)
+    base = spread.select(
+        F.col(id_col).alias("doc"), *[v.alias(k) for k, v in stats.items()]
+    )
     ngr = ngram_repetition_stats(df, id_col, text_col)
     full = base.join(ngr, "doc", "left")
 

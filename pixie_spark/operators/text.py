@@ -162,7 +162,13 @@ def vocab_stats(
     """
     from pixie_spark.operators.dedup import _word_rows
 
-    w = _word_rows(df, id_col, text_col).select(
+    # by_doc=False: downstream groups by term, not doc — a doc-keyed
+    # exchange would be pure cost at scale. spread_if_narrow instead
+    # unsticks the split/explode map side on few-row-group files (no-op
+    # whenever the scan already feeds the cluster).
+    from pixie_spark.partitioning import spread_if_narrow
+
+    w = _word_rows(spread_if_narrow(df), id_col, text_col, by_doc=False).select(
         "doc", (F.lower("word") if lowercase else F.col("word")).alias("term")
     )
     out = w.groupBy("term").agg(
@@ -425,7 +431,14 @@ def distinct_ngram_stats(
     max_n = max(n_values)
     win = Window.partitionBy("doc").orderBy("pos")
     # word rows with the slice column CARRIED THROUGH the explode — a
-    # post-hoc (doc, slice) join would re-shuffle every gram row
+    # post-hoc (doc, slice) join would re-shuffle every gram row.
+    # NOTE (r11 optimization round, measured REJECTION): pre-partitioning
+    # by doc before the explode (the _word_rows by_key treatment) was
+    # tried and made this operator 8× SLOWER at sf0.1 (29–34 s vs 3.7 s)
+    # — the wide-buffer HLL partial aggregate (rsd 0.005 → 2¹⁶-register
+    # sketches) multiplies across pinned partitions, and AQE's coalesced
+    # layout is the right one for this aggregate. Left on the original
+    # AQE-managed plan deliberately.
     w = (
         df.select(F.col(id_col).alias("doc"), *slice_cols, F.col(text_col).alias("text"))
         .select("doc", *slice_cols, F.posexplode(F.split("text", r"\s+")).alias("pos", "word"))

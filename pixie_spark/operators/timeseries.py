@@ -250,6 +250,16 @@ def rolling_anomalies(
         # bad-key verdict on the SAME evaluation the path will process
         chunked = df.where(bad_key).limit(1).count() == 0
     if not chunked:
+        if not df.isStreaming:
+            # Pin the per-entity exchange at the configured shuffle
+            # parallelism (r11: AQE coalesced the small-byte entity
+            # shuffle to ONE partition and the trailing-window stage —
+            # 2.6 s of task CPU at sf0.1 — ran serial; an explicit
+            # numPartitions repartition is exempt from coalescing, and
+            # the window reuses it, so the exchange count is unchanged).
+            from pixie_spark.partitioning import by_key
+
+            df = by_key(df, entity_col)
         win = (
             Window.partitionBy(entity_col)
             .orderBy(ts_col)
