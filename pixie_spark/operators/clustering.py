@@ -119,11 +119,18 @@ def connected_components(
     {"rounds": n} — the observable the scale-up table tracks (rounds
     must stay flat-to-log as the graph grows).
     """
+    # Lazy (eager=False) cut + checksum: the checksum aggregate is the
+    # FIRST action on the checkpointed frame, so one job both stores
+    # the round's blocks and fingerprints them — one driver barrier per
+    # round where the eager materialize + separate checksum cost two
+    # (r11: the per-round barrier floor dominated CC latency at small
+    # tiers; rounds, emitted edge sets and the checksum stream are
+    # unchanged).
     edges = (
         pairs.select(F.col(src).alias("child"), F.col(dst).alias("parent"))
         .where(F.col("child") != F.col("parent"))
         .dropDuplicates(["child", "parent"])
-        .transform(materialize)
+        .transform(materialize, eager=False)
     )
     # the first checksum doubles as the emptiness probe (r11: the
     # separate take(1) was one more driver action per CC call)
@@ -135,12 +142,17 @@ def connected_components(
     for it in range(max_iter):
         # truncation required: the alternating-star plan doubles per
         # round, so persist-mode must escalate to a real checkpoint;
-        # the superseded round's frame is released (2 copies held, not
-        # one per round)
+        # the superseded round's frame is released after the new round
+        # is evaluated (2 copies held, not one per round)
+        prev_edges = edges
         edges = _small_star(_large_star(edges)).transform(
-            materialize, require_truncation=True, release=edges
+            materialize, eager=False, require_truncation=True
         )
         cur = _checksum(edges)
+        try:
+            prev_edges.unpersist()
+        except Exception:
+            pass  # a non-persisted frame has nothing to release
         if stats is not None:
             stats["rounds"] = it + 1
         if cur == prev:

@@ -130,24 +130,29 @@ def clean_corpus_report(
         df, id_col, text_col, quality_rules, min_words, shingle_n,
         near_dup_threshold, span_k, checkpoint=True,
     )
-    spark = df.sparkSession
-    span_stats = stages["clean"].agg(
-        F.count(F.lit(1)).alias("n_clean"),
-        F.coalesce(F.sum("n_removed"), F.lit(0)).alias("words_removed"),
-    ).collect()[0]
-    counts = {
-        "n_input": df.count(),
-        "n_after_quality": stages["after_quality"].count(),
-        "n_after_exact": stages["after_exact"].count(),
-        "n_near_pairs": stages["near_pairs"].count(),
-        "n_after_near": stages["after_near"].count(),
-        "n_clean": span_stats["n_clean"],
-        "words_removed_by_span_dedup": span_stats["words_removed"],
-    }
-    # one-row frame on ONE partition — a bare createDataFrame parallelizes
-    # the single row across defaultParallelism empty slices (profiled: a
-    # 32-task job just to emit the report row)
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize([tuple(counts.values())], 1),
-        " , ".join(f"{k} long" for k in counts),
+
+    # ONE lazy query instead of 6 serial driver actions (5 counts + a
+    # collect + a parallelize round-trip): each stage count is a 1-row
+    # aggregate over its (already checkpointed) stage frame, and the
+    # report row is their crossJoin — independent legs, so AQE runs
+    # them as concurrent query stages inside the single action the
+    # caller takes (r11 profile: the serial counts were pure driver
+    # latency, the stage data is cached).
+    def n(frame: DataFrame, name: str) -> DataFrame:
+        return frame.agg(F.count(F.lit(1)).cast("long").alias(name))
+
+    return (
+        n(df, "n_input")
+        .crossJoin(n(stages["after_quality"], "n_after_quality"))
+        .crossJoin(n(stages["after_exact"], "n_after_exact"))
+        .crossJoin(n(stages["near_pairs"], "n_near_pairs"))
+        .crossJoin(n(stages["after_near"], "n_after_near"))
+        .crossJoin(
+            stages["clean"].agg(
+                F.count(F.lit(1)).cast("long").alias("n_clean"),
+                F.coalesce(F.sum("n_removed"), F.lit(0))
+                .cast("long")
+                .alias("words_removed_by_span_dedup"),
+            )
+        )
     )
