@@ -42,7 +42,9 @@ def _segments(text: Column, sep: str) -> Column:
     return F.filter(F.split(text, sep), lambda s: F.trim(s) != "")
 
 
-def _seg_dup_stats(segs: Column, prefix: str) -> dict[str, Column]:
+def _seg_dup_stats(
+    segs: Column, prefix: str, segs_d: Column | None = None
+) -> dict[str, Column]:
     """Duplicate-segment stats over an array column, all O(len) in-row:
 
     - ``{prefix}_dup_frac``: fraction of segments that are repeat
@@ -50,12 +52,17 @@ def _seg_dup_stats(segs: Column, prefix: str) -> dict[str, Column]:
     - ``{prefix}_dup_char_frac``: fraction of segment characters in
       those repeat occurrences (total chars - chars of first
       occurrences).
+
+    ``segs_d`` (optional): a precomputed ``array_distinct(segs)`` column
+    reference — see the expression-tree note on :func:`gopher_filters`.
     """
+    if segs_d is None:
+        segs_d = F.array_distinct(segs)
     n = F.size(segs)
-    nd = F.size(F.array_distinct(segs))
+    nd = F.size(segs_d)
     total = F.aggregate(segs, F.lit(0).cast("long"), lambda acc, s: acc + F.length(s))
     dtotal = F.aggregate(
-        F.array_distinct(segs), F.lit(0).cast("long"), lambda acc, s: acc + F.length(s)
+        segs_d, F.lit(0).cast("long"), lambda acc, s: acc + F.length(s)
     )
     return {
         f"{prefix}_dup_frac": F.when(n > 0, (n - nd) / n).otherwise(F.lit(0.0)),
@@ -65,15 +72,23 @@ def _seg_dup_stats(segs: Column, prefix: str) -> dict[str, Column]:
     }
 
 
-def line_repetition_stats(text: Column) -> dict[str, Column]:
+def line_repetition_stats(
+    text: Column, lines: Column | None = None, paras: Column | None = None
+) -> dict[str, Column]:
     """Duplicate line/paragraph fractions (4 columns). Lines split on
-    newline; paragraphs on blank-line runs."""
-    lines = _segments(text, r"\n")
-    paras = _segments(text, r"\n\s*\n")
+    newline; paragraphs on blank-line runs. ``lines``/``paras`` accept
+    precomputed segment-array column references (tree-size note on
+    :func:`gopher_filters`); values are identical either way."""
+    if lines is None:
+        lines = _segments(text, r"\n")
+    if paras is None:
+        paras = _segments(text, r"\n\s*\n")
     return {**_seg_dup_stats(lines, "line"), **_seg_dup_stats(paras, "para")}
 
 
-def doc_shape_stats(text: Column) -> dict[str, Column]:
+def doc_shape_stats(
+    text: Column, ws: Column | None = None, lines: Column | None = None
+) -> dict[str, Column]:
     """Shape heuristics from the Gopher rule set, all in-row native:
 
     - ``symbol_word_ratio``: (# of '#' and ellipsis occurrences) / words
@@ -81,10 +96,16 @@ def doc_shape_stats(text: Column) -> dict[str, Column]:
     - ``ellipsis_line_frac``: lines ending with an ellipsis
     - ``alpha_word_frac``: words containing >= 1 alphabetic char
     - ``stop_word_hits``: how many of the 8 Gopher stop words occur
+
+    ``ws``/``lines`` accept precomputed non-empty-words / line-segment
+    array column references (tree-size note on :func:`gopher_filters`);
+    values are identical either way.
     """
-    ws = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    if ws is None:
+        ws = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    if lines is None:
+        lines = _segments(text, r"\n")
     wc = F.size(ws)
-    lines = _segments(text, r"\n")
     nl = F.size(lines)
     n_hash = F.size(F.regexp_extract_all(text, F.lit(r"#"), F.lit(0)))
     n_ellipsis = F.size(F.regexp_extract_all(text, F.lit(r"\.\.\.|…"), F.lit(0)))
@@ -224,8 +245,37 @@ def gopher_filters(
     still computed) — e.g. a synthetic or non-English corpus drops
     ``stop_words``. Unknown names raise.
     """
+    # The in-row shape/repetition stats are regex- and HOF-heavy per-row
+    # work on the raw scan; on a few-row-group file that branch ran ONE
+    # task (r11 profile: 2.6 s single-task). spread_if_narrow unsticks
+    # it locally and is a no-op on cluster-parallel scans (guide §2.5).
+    from pixie_spark.partitioning import spread_if_narrow
+
+    # Expression-tree size (r11 optimization, guide §1.2 per-task work /
+    # §7.3 planning cost): the stats reuse the words/lines/paras arrays
+    # many times; inlined, every use re-embeds its split/filter subtree,
+    # multiplying the Catalyst tree and the generated projection. The
+    # single-shot (cold) cost of this operator is planning + codegen
+    # compile, not execution — so the arrays (and their array_distinct
+    # twins) are materialized ONCE as real columns in a preceding
+    # projection and every stat is a column reference. Values are
+    # identical; CollapseProject keeps the split projections (non-cheap
+    # producers referenced more than once are never inlined).
     t = F.col(text_col)
-    ws = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+    spread = spread_if_narrow(df)
+    pre = spread.select(
+        F.col(id_col).alias("doc"),
+        t,
+        F.filter(F.split(t, r"\s+"), lambda w: w != "").alias("__ws"),
+        _segments(t, r"\n").alias("__lines"),
+        _segments(t, r"\n\s*\n").alias("__paras"),
+    ).withColumns(
+        {
+            "__lines_d": F.array_distinct(F.col("__lines")),
+            "__paras_d": F.array_distinct(F.col("__paras")),
+        }
+    )
+    ws, lines, paras = F.col("__ws"), F.col("__lines"), F.col("__paras")
     wc = F.size(ws)
     mwl = F.when(
         wc > 0,
@@ -234,19 +284,11 @@ def gopher_filters(
     stats = {
         "n_words": wc,
         "mean_word_len": mwl,
-        **doc_shape_stats(t),
-        **line_repetition_stats(t),
+        **doc_shape_stats(t, ws=ws, lines=lines),
+        **_seg_dup_stats(lines, "line", segs_d=F.col("__lines_d")),
+        **_seg_dup_stats(paras, "para", segs_d=F.col("__paras_d")),
     }
-    # The in-row shape/repetition stats are regex- and HOF-heavy per-row
-    # work on the raw scan; on a few-row-group file that branch ran ONE
-    # task (r11 profile: 2.6 s single-task). spread_if_narrow unsticks
-    # it locally and is a no-op on cluster-parallel scans (guide §2.5).
-    from pixie_spark.partitioning import spread_if_narrow
-
-    spread = spread_if_narrow(df)
-    base = spread.select(
-        F.col(id_col).alias("doc"), *[v.alias(k) for k, v in stats.items()]
-    )
+    base = pre.select("doc", *[v.alias(k) for k, v in stats.items()])
     ngr = ngram_repetition_stats(df, id_col, text_col)
     full = base.join(ngr, "doc", "left")
 

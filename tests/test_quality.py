@@ -184,6 +184,43 @@ def test_gopher_filters_on_fixture_corpus(spark, sf_dir):
             assert v is None or (-1e-9 <= v <= 1.0 + 1e-9), (r["doc"], c, v)
 
 
+def test_precomputed_array_args_match_default_paths(spark, docs_df):
+    """The r11 tree-shrink lets gopher_filters pass precomputed
+    words/lines/paras (and array_distinct twins) into the stat builders;
+    this pins that the precomputed-argument paths are value-identical to
+    the default (inline-derived) paths on every stat column."""
+    t = F.col("text")
+    ws = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+    lines = F.filter(F.split(t, r"\n"), lambda s: F.trim(s) != "")
+    paras = F.filter(F.split(t, r"\n\s*\n"), lambda s: F.trim(s) != "")
+    pre = docs_df.select(
+        "doc_id",
+        t,
+        ws.alias("__ws"),
+        lines.alias("__lines"),
+        paras.alias("__paras"),
+        F.array_distinct(lines).alias("__lines_d"),
+        F.array_distinct(paras).alias("__paras_d"),
+    )
+    default = {
+        **Q.doc_shape_stats(t),
+        **Q.line_repetition_stats(t),
+    }
+    precomp = {
+        **Q.doc_shape_stats(t, ws=F.col("__ws"), lines=F.col("__lines")),
+        **Q._seg_dup_stats(F.col("__lines"), "line", segs_d=F.col("__lines_d")),
+        **Q._seg_dup_stats(F.col("__paras"), "para", segs_d=F.col("__paras_d")),
+    }
+    assert set(default) == set(precomp)
+    a = {r["doc_id"]: r.asDict() for r in pre.select(
+        "doc_id", *[v.alias(k) for k, v in default.items()]).collect()}
+    b = {r["doc_id"]: r.asDict() for r in pre.select(
+        "doc_id", *[v.alias(k) for k, v in precomp.items()]).collect()}
+    for doc_id in a:
+        for k in default:
+            assert a[doc_id][k] == b[doc_id][k], (doc_id, k, a[doc_id][k], b[doc_id][k])
+
+
 # ---------------------------------------------------------------------------
 # C4 line + page heuristic cleaning (Raffel et al. 2020 §2.2)
 # ---------------------------------------------------------------------------
