@@ -76,6 +76,26 @@ def test_no_probe_medians_returns_none():
     assert bench.baseline_comparison(base, 0.1, CFG, _cal(), {}) is None
 
 
+def test_warmup_names_covers_every_extra_and_filters_headline():
+    # full run: every extra is warmed (they are timed single-shot at
+    # sf0.1 — an unwarmed extra's number is janino compile + compute),
+    # plus the r5 headline warmup set
+    names = bench.warmup_names(bench.HEADLINE, bench.EXTRA)
+    assert set(bench.EXTRA) <= set(names)
+    assert set(bench.WARMUP_HEADLINE) <= set(names)
+    # subset run (e.g. the sf10 scaling bench): only the subset is
+    # warmed — the warmup must not add a 96-query sweep to a 2-query run
+    sub_h = ["dedup_minhash_lsh"]
+    sub_e = ["ts_anomalies"]
+    assert bench.warmup_names(sub_h, sub_e) == ["dedup_minhash_lsh", "ts_anomalies"]
+    # headline-only run: no extras to warm
+    assert bench.warmup_names(bench.HEADLINE, []) == bench.WARMUP_HEADLINE
+
+
+def test_warmup_headline_is_subset_of_headline():
+    assert set(bench.WARMUP_HEADLINE) <= set(bench.HEADLINE)
+
+
 def test_io_probe_shape_and_cache_stamp(tmp_path):
     import os
 

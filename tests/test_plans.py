@@ -252,3 +252,12 @@ def test_plans_md_freshness():
         "generated. Regenerate in this commit: "
         "python tools/plan_audit.py > PLANS.md"
     )
+
+
+def test_codegen_cache_sized_for_composed_pipelines(spark):
+    """r11: the corpus funnel alone generates ~207 codegen classes; the
+    100-entry default cache self-evicts and every re-run (bench repeats,
+    iterative rounds) re-pays janino compile. The session must size the
+    cache above one funnel run (measured via CodegenMetrics: 205
+    recompiles on the funnel's 2nd run at the default, 0 at 4096)."""
+    assert int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 1024
