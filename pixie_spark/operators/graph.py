@@ -20,7 +20,9 @@ one groupBy(dst) partial+final aggregate. The dangling mass is a 1-row
 aggregate FRAME folded into the rank-update plan via broadcast
 crossJoin — it never touches the driver, so each iteration runs exactly
 ONE driver action (the localCheckpoint that materializes the new
-ranks). The per-node L1 delta is computed as a column of that same
+ranks). When the graph has NO dangling nodes (decided once up front —
+the dangling set is fixed across iterations) the mass is exactly 0.0
+every round and the whole dangling leg is skipped, bit-identically. The per-node L1 delta is computed as a column of that same
 materialization; convergence checks every ``check_every`` iterations
 read it back with a cheap cached-scan aggregate (asserted in
 tests/test_graph.py by counting Spark jobs per iteration).
@@ -80,6 +82,16 @@ def pagerank(
         .transform(materialize)
     )
     has_out = deg.select(F.col(src).alias("node")).transform(materialize)
+    # the dangling-node SET (nodes − has_out) is fixed across iterations;
+    # when it is empty the dangling mass is exactly 0.0 every round, and
+    # `x + 0.0` is an IEEE no-op for the non-negative inflow values, so
+    # the per-iteration anti-join + 1-row aggregate + broadcast crossJoin
+    # can be skipped outright with BIT-IDENTICAL ranks (r11: ~2-3 AQE
+    # stage-jobs saved per iteration on a dangling-free graph — the
+    # common shape for host link graphs, where every node in the edge
+    # list has out-links). has_out ⊆ nodes by construction, so one cheap
+    # count over the already-materialized frame decides the path.
+    n_dangling = n - has_out.count()
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).transform(materialize)
     # release= must receive the frame materialize() RETURNED — on check
@@ -88,21 +100,25 @@ def pagerank(
     # underlying persisted copy
     ranks_mat = ranks
     for it in range(max_iter):
-        # dangling mass as a 1-ROW FRAME, broadcast-crossJoined into the
-        # update plan — no .first() round-trip; the scalar is computed
-        # inside the same job that materializes the new ranks
-        dangling = ranks.join(has_out, "node", "left_anti").agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling")
-        )
         inflow = (
             contrib.join(ranks, "node")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("w")).alias("inflow"))
             .withColumnRenamed("dst", "node")
         )
-        rank_expr = F.lit((1.0 - damping) / n) + F.lit(damping) * (
-            F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("__dangling") / F.lit(float(n))
-        )
+        if n_dangling:
+            # dangling mass as a 1-ROW FRAME, broadcast-crossJoined into
+            # the update plan — no .first() round-trip; the scalar is
+            # computed inside the same job that materializes the new ranks
+            dangling = ranks.join(has_out, "node", "left_anti").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling")
+            )
+            damp_term = F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col(
+                "__dangling"
+            ) / F.lit(float(n))
+        else:
+            damp_term = F.coalesce(F.col("inflow"), F.lit(0.0))
+        rank_expr = F.lit((1.0 - damping) / n) + F.lit(damping) * damp_term
         check = (it + 1) % check_every == 0 or it == max_iter - 1
         updated = nodes.join(inflow, "node", "left")
         if check:
@@ -116,9 +132,10 @@ def pagerank(
             ]
         else:
             cols = [rank_expr.alias("rank")]
+        if n_dangling:
+            updated = updated.crossJoin(F.broadcast(dangling))
         new_ranks = (
-            updated.crossJoin(F.broadcast(dangling))
-            .select("node", *cols)
+            updated.select("node", *cols)
             # the iteration's ONE driver action; truncation required —
             # the plan would otherwise nest one join tree per iteration.
             # The superseded round's frame is released so a long run

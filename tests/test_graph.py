@@ -59,6 +59,32 @@ def test_dangling_node_keeps_nonzero_rank(spark):
     assert ranks["f"] > (1.0 - 0.85) / len(ranks)  # gets inflow from c, not just teleport
 
 
+def test_dangling_free_fast_path_matches_numpy(spark):
+    """r11: when no node is dangling the per-iteration dangling leg
+    (anti-join + 1-row agg + broadcast crossJoin) is skipped outright —
+    the mass is exactly 0.0 and adding it is an IEEE no-op. The ranks
+    must be the same as the general path's math; the numpy reference
+    (which always computes the dangling term, here = 0) pins that, and
+    check rounds (tol/early-stop) must behave identically on this path."""
+    edges = [  # every node has at least one out-edge → n_dangling == 0
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("a", "c"), ("d", "a"), ("c", "d"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(df, max_iter=20, tol=0.0).collect()}
+    ref = _np_pagerank(edges, iters=20)
+    assert set(got) == set(ref)
+    for v in ref:
+        assert got[v] == pytest.approx(ref[v], rel=1e-12), v
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+    # early stop on the fast path lands on the fixed point the long run
+    # reaches (same contraction argument as the dangling-graph test)
+    a = {r["node"]: r["rank"] for r in pagerank(df, max_iter=60, tol=1e-12).collect()}
+    b = {r["node"]: r["rank"] for r in pagerank(df, max_iter=200, tol=1e-12).collect()}
+    for v in a:
+        assert a[v] == pytest.approx(b[v], abs=1e-9), v
+
+
 def test_out_degrees(spark):
     deg = {r["src"]: r["outdeg"] for r in out_degrees(_edge_df(spark)).collect()}
     assert deg == {"a": 2, "b": 1, "c": 2, "d": 1, "e": 1}
