@@ -18,14 +18,21 @@ edge side's partitioning is REUSED across all iterations once
 materialized, so after iteration 1 only the small rank frame moves) and
 one groupBy(dst) partial+final aggregate. The dangling mass is a 1-row
 aggregate FRAME folded into the rank-update plan via broadcast
-crossJoin — it never touches the driver, so each iteration runs exactly
-ONE driver action (the localCheckpoint that materializes the new
-ranks). When the graph has NO dangling nodes (decided once up front —
-the dangling set is fixed across iterations) the mass is exactly 0.0
-every round and the whole dangling leg is skipped, bit-identically. The per-node L1 delta is computed as a column of that same
-materialization; convergence checks every ``check_every`` iterations
-read it back with a cheap cached-scan aggregate (asserted in
-tests/test_graph.py by counting Spark jobs per iteration).
+crossJoin — it never touches the driver. When the graph has NO dangling
+nodes (decided once up front — the dangling set is fixed across
+iterations) the mass is exactly 0.0 every round and the whole dangling
+leg is skipped, bit-identically. The per-iteration lineage cut is a
+LAZY localCheckpoint (r11, the connected-components treatment): between
+check rounds no consumer needs the intermediate ranks, so the cuts
+accumulate unevaluated and the check round's delta read — the window's
+ONE driver action — evaluates the whole chain, materializing each cut
+as it computes through it. One driver action per ``check_every``
+iterations instead of one per iteration (measured at sf0.1/10 iters:
+74→64 Spark jobs, −8% interleaved warm median, full 64-bit rank
+patterns identical). The per-node L1 delta is computed as a column of
+the check round's cut; tests/test_graph.py pins the action shape by
+counting first()/collect()/localCheckpoint calls and the eager/lazy
+split.
 """
 
 from __future__ import annotations
@@ -94,11 +101,24 @@ def pagerank(
     n_dangling = n - has_out.count()
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).transform(materialize)
-    # release= must receive the frame materialize() RETURNED — on check
+    # Lazy-cut window (r11): between check rounds nothing reads the
+    # intermediate ranks, so each iteration's cut is marked lazily and
+    # the check round's delta read evaluates the whole window's chain in
+    # ONE driver action. Catalyst plans stay truncated either way (the
+    # lazy cut's frame is already a LogicalRDD), only the RDD lineage
+    # nests check_every deep until evaluated. The release= contract of
+    # materialize() is eager-only, so superseded frames are tracked and
+    # unpersisted manually AFTER the window action — a run holds at most
+    # check_every+1 narrow (node, rank) materializations instead of 2
+    # (each cut's blocks are stored as the action computes through it;
+    # unpersisting ancestors afterwards is safe because localCheckpoint
+    # truncates RDD lineage at each evaluated cut). Frames must be
+    # unpersisted via the object materialize() RETURNED — on check
     # rounds `ranks` becomes a derived .drop('__delta') projection, and
     # DataFrame.unpersist on a derived plan would not release the
-    # underlying persisted copy
-    ranks_mat = ranks
+    # underlying persisted copy.
+    window_frames: list[DataFrame] = []
+    prev_window_last = ranks
     for it in range(max_iter):
         inflow = (
             contrib.join(ranks, "node")
@@ -136,19 +156,34 @@ def pagerank(
             updated = updated.crossJoin(F.broadcast(dangling))
         new_ranks = (
             updated.select("node", *cols)
-            # the iteration's ONE driver action; truncation required —
-            # the plan would otherwise nest one join tree per iteration.
-            # The superseded round's frame is released so a long run
-            # holds 2 materializations, not n_iter (persist/checkpoint
-            # strategies would otherwise accumulate one copy per round).
-            .transform(materialize, require_truncation=True, release=ranks_mat)
+            # LAZY cut: no driver action here; truncation required —
+            # the Catalyst plan would otherwise nest one join tree per
+            # iteration. Evaluation is fused into the check round's
+            # delta read below.
+            .transform(materialize, eager=False, require_truncation=True)
         )
-        ranks_mat = new_ranks
-        ranks = new_ranks.drop("__delta") if check else new_ranks
         if check:
+            # the window's ONE driver action: evaluates (and stores)
+            # every lazy cut since the previous check round, then reads
+            # the L1 delta back
             delta = new_ranks.agg(F.sum("__delta")).first()[0]
+            for fr in window_frames:
+                try:
+                    fr.unpersist()
+                except Exception:
+                    pass
+            try:
+                prev_window_last.unpersist()
+            except Exception:
+                pass
+            window_frames = []
+            prev_window_last = new_ranks
+            ranks = new_ranks.drop("__delta")
             if delta is not None and delta < tol:
                 break
+        else:
+            window_frames.append(new_ranks)
+            ranks = new_ranks
     return ranks
 
 

@@ -118,10 +118,11 @@ def test_empty_graph(spark):
 def test_no_per_iteration_driver_actions(spark, monkeypatch):
     """The round-4 review flagged a dangling-mass .first() every
     iteration. The dangling scalar and the convergence delta are now
-    folded into the rank-update plan (1-row broadcast crossJoin), so
-    driver ACTIONS issued by pagerank are: bounded setup (node count)
-    plus exactly ONE materialization per iteration and one cheap
-    cached-scan aggregate per CHECK round — never per iteration.
+    folded into the rank-update plan (1-row broadcast crossJoin), and
+    since r11 the per-iteration lineage cut is LAZY — its evaluation is
+    fused into the check round's delta read. Driver ACTIONS issued by
+    pagerank are therefore: bounded setup (node count) plus one cheap
+    aggregate per CHECK round — never per iteration.
     (Raw Spark job counts are not asserted: AQE materializes every
     shuffle stage as its own job, which says nothing about driver
     round-trips.)"""
@@ -130,7 +131,7 @@ def test_no_per_iteration_driver_actions(spark, monkeypatch):
     # base's methods are overridden there and would never fire)
     from pyspark.sql.classic.dataframe import DataFrame
 
-    calls = {"first": 0, "collect": 0, "checkpoint": 0}
+    calls = {"first": 0, "collect": 0, "ckpt_eager": 0, "ckpt_lazy": 0}
     orig_first, orig_collect = DataFrame.first, DataFrame.collect
     orig_ckpt = DataFrame.localCheckpoint
 
@@ -143,7 +144,8 @@ def test_no_per_iteration_driver_actions(spark, monkeypatch):
         return orig_collect(self)
 
     def counting_ckpt(self, *a, **k):
-        calls["checkpoint"] += 1
+        eager = a[0] if a else k.get("eager", True)
+        calls["ckpt_eager" if eager else "ckpt_lazy"] += 1
         return orig_ckpt(self, *a, **k)
 
     monkeypatch.setattr(DataFrame, "first", counting_first)
@@ -158,6 +160,8 @@ def test_no_per_iteration_driver_actions(spark, monkeypatch):
     # collect(): only first()'s internal head(1)→collect — no other
     # collect anywhere (count() goes through the JVM, not collect)
     assert calls["collect"] == n_checks
-    # one materialization per iteration + 4 setup checkpoints
-    # (nodes, contrib, has_out, rank init)
-    assert calls["checkpoint"] == max_iter + 4
+    # every per-iteration cut is LAZY (evaluated by the check round's
+    # delta read); only the 4 setup checkpoints (nodes, contrib,
+    # has_out, rank init) are eager
+    assert calls["ckpt_lazy"] == max_iter
+    assert calls["ckpt_eager"] == 4
