@@ -46,23 +46,42 @@ from .dedup import _word_rows
 from pixie_spark.materialize import materialize
 
 
-def _feature_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(doc, fid) rows: unigram and bigram hashed features, lowercased.
-    One window shuffle on doc (bigrams via lead, the lm.py machinery).
-    Repeated features count once per OCCURRENCE (multinomial NB)."""
+def _feature_rows(
+    df: DataFrame, id_col: str, text_col: str, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc, *carry, fid) rows: unigram and bigram hashed features,
+    lowercased. One window shuffle on doc (bigrams via lead, the lm.py
+    machinery). Repeated features count once per OCCURRENCE
+    (multinomial NB).
+
+    r12 shape: ONE pass — each word row explodes into [uni, bi?]
+    in-row. The previous union of a unigram and a bigram branch
+    duplicated the whole window subtree in the plan (no CSE across
+    union children), so the per-doc sort and both hashes were computed
+    TWICE (profiled: the two heaviest nb_classify stages were exactly
+    this subtree, ~24 s task CPU at sf0.1). Same output multiset —
+    downstream consumers aggregate per (doc)/(label, fid), so row order
+    never mattered.
+    """
     w = _word_rows(
-        df.select(F.col(id_col), F.lower(F.col(text_col)).alias(text_col)), id_col, text_col
+        df.select(F.col(id_col), *carry, F.lower(F.col(text_col)).alias(text_col)),
+        id_col,
+        text_col,
+        carry=carry,
     )
     win = Window.partitionBy("doc").orderBy("pos")
+    nxt = F.lead("word", 1).over(win)
     base = w.select(
         "doc",
-        F.xxhash64("word").alias("uni"),
-        F.xxhash64("word", F.lead("word", 1).over(win)).alias("bi"),
-        F.lead("word", 1).over(win).isNotNull().alias("has_next"),
+        *carry,
+        F.array_compact(
+            F.array(
+                F.xxhash64("word"),
+                F.when(nxt.isNotNull(), F.xxhash64("word", nxt)),
+            )
+        ).alias("__fids"),
     )
-    unis = base.select("doc", F.col("uni").alias("fid"))
-    bis = base.where("has_next").select("doc", F.col("bi").alias("fid"))
-    return unis.unionByName(bis)
+    return base.select("doc", *carry, F.explode("__fids").alias("fid"))
 
 
 @dataclass
@@ -95,10 +114,16 @@ def naive_bayes_train(
     Driver-side state is O(|classes|): label totals and priors. The
     (fid × class) table stays distributed.
     """
+    # label carried THROUGH the explode (r12): the former join of the
+    # exploded feature stream back to the corpus on doc re-scanned and
+    # hash-joined every feature row for one narrow column
     feats = _feature_rows(
-        df.select(F.col(id_col), F.col(label_col), F.col(text_col)), id_col, text_col
-    ).join(
-        df.select(F.col(id_col).alias("doc"), F.col(label_col).alias("_lbl")), "doc"
+        df.select(
+            F.col(id_col), F.col(label_col).alias("_lbl"), F.col(text_col)
+        ),
+        id_col,
+        text_col,
+        carry=("_lbl",),
     )
     counts = feats.groupBy("_lbl", "fid").agg(F.count("*").alias("c")).transform(materialize)
     if min_count > 1:
@@ -157,25 +182,30 @@ def naive_bayes_predict(
     fall back to the prior argmax.
     """
     k = len(model.labels)
-    zeros = F.array_repeat(F.lit(0.0), k)
     feats = _feature_rows(df, id_col, text_col)
-    joined = feats.join(model.weights, "fid", "left").select(
-        "doc", F.coalesce(F.col("llh"), zeros).alias("llh")
-    )
+    joined = feats.join(model.weights, "fid", "left").select("doc", "llh")
+    # Per-class streaming sums (r12): sum() skips the OOV rows' null llh
+    # (they contribute exactly 0 to the delta) and — unlike the former
+    # collect_list + zip_with fold — partially aggregates MAP-SIDE, so
+    # the per-doc exchange carries k doubles per (doc, partition)
+    # instead of every matched feature's k-array (guide §2.3 "aggregate
+    # before you shuffle").
     summed = joined.groupBy("doc").agg(
         F.count("*").alias("n_feats"),
-        F.aggregate(
-            F.collect_list("llh"), zeros, lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b)
-        ).alias("delta"),
+        *[
+            F.coalesce(F.sum(F.element_at("llh", i + 1)), F.lit(0.0)).alias(f"__s{i}")
+            for i in range(k)
+        ],
     )
-    prior = F.array(*[F.lit(p) for p in model.log_prior])
-    oov = F.array(*[F.lit(o) for o in model.log_oov])
     scored = summed.select(
         "doc",
-        F.zip_with(
-            F.zip_with(F.col("delta"), prior, lambda d, p: d + p),
-            oov,
-            lambda dp, o: dp + o * F.col("n_feats"),
+        F.array(
+            *[
+                F.col(f"__s{i}")
+                + F.lit(model.log_prior[i])
+                + F.lit(model.log_oov[i]) * F.col("n_feats")
+                for i in range(k)
+            ]
         ).alias("log_scores"),
     )
     labels_arr = F.array(*[F.lit(lb) for lb in model.labels])

@@ -32,23 +32,65 @@ algorithmics re-expressed in DataFrame ops.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
-from pixie_spark.materialize import materialize
+from pixie_spark.materialize import _strategy, materialize
 
 
-def _checksum(edges: DataFrame) -> tuple[int, int]:
+def _checksum_exprs() -> list:
     """(row_count, XOR of per-edge hashes) — an order-insensitive edge-set
     fingerprint; equal checksums across rounds means the set converged.
     XOR instead of sum: overflow-free under ANSI mode, and safe here
     because the edge set is deduplicated (no even-multiplicity
     cancellation); a false stop needs a 2^-64 collision in the exact
-    round the set still moved."""
-    row = edges.agg(
+    round the set still moved. Both aggregates are exactly
+    order-insensitive (count, commutative XOR), so the value is
+    identical whether it is computed by an exchange-based aggregate or
+    by the accumulator merge of an ``observe`` metric."""
+    return [
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.bit_xor(F.xxhash64("child", "parent")), F.lit(0)).alias("h"),
-    ).collect()[0]
+    ]
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(*_checksum_exprs()).collect()[0]
     return int(row["n"]), int(row["h"])
+
+
+def _cut_with_checksum(
+    edges: DataFrame, require_truncation: bool = False
+) -> tuple[DataFrame, tuple[int, int]]:
+    """Materialize the round's edge set AND fingerprint it, in ONE
+    driver action wherever the strategy allows (r12, guide §7 driver
+    barriers — the VERDICT r11 "checksum rides an accumulator on the
+    materialize job" item).
+
+    Under ``localCheckpoint`` the checksum is an ``observe`` metric
+    (CollectMetrics → AggregatingAccumulator): the eager cut's single
+    job both stores the round's blocks and fingerprints the rows as
+    they stream past — no second scan of the cached blocks, no
+    aggregate exchange, no extra job. Values are identical to the
+    aggregate path because both metrics are order-insensitive (see
+    :func:`_checksum_exprs`).
+
+    Under ``persist``/``checkpoint`` the cut stays LAZY and the
+    checksum aggregate is the evaluating action (the r11 shape): a
+    reliable checkpoint's write pass re-computes the plan after the
+    action (two evaluations), which would double-count an accumulator
+    metric — the exchange-based aggregate is immune.
+    """
+    if _strategy(edges) == "localCheckpoint":
+        obs = Observation()
+        cut = materialize(
+            edges.observe(obs, *_checksum_exprs()),
+            eager=True,
+            require_truncation=require_truncation,
+        )
+        row = obs.get
+        return cut, (int(row["n"]), int(row["h"]))
+    cut = materialize(edges, eager=False, require_truncation=require_truncation)
+    return cut, _checksum(cut)
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -119,22 +161,18 @@ def connected_components(
     {"rounds": n} — the observable the scale-up table tracks (rounds
     must stay flat-to-log as the graph grows).
     """
-    # Lazy (eager=False) cut + checksum: the checksum aggregate is the
-    # FIRST action on the checkpointed frame, so one job both stores
-    # the round's blocks and fingerprints them — one driver barrier per
-    # round where the eager materialize + separate checksum cost two
-    # (r11: the per-round barrier floor dominated CC latency at small
-    # tiers; rounds, emitted edge sets and the checksum stream are
-    # unchanged).
-    edges = (
+    # One driver action per round stores the round's blocks AND
+    # fingerprints them (r11 fused the checksum into the lazy cut's
+    # first action; r12 moves the checksum onto the materialize job's
+    # own accumulator under localCheckpoint — see _cut_with_checksum).
+    # Rounds, emitted edge sets and the checksum stream are unchanged.
+    edges, prev = _cut_with_checksum(
         pairs.select(F.col(src).alias("child"), F.col(dst).alias("parent"))
         .where(F.col("child") != F.col("parent"))
         .dropDuplicates(["child", "parent"])
-        .transform(materialize, eager=False)
     )
     # the first checksum doubles as the emptiness probe (r11: the
     # separate take(1) was one more driver action per CC call)
-    prev = _checksum(edges)
     if prev[0] == 0:
         return edges.select(
             F.col("child").alias("node"), F.col("parent").alias("component")
@@ -145,10 +183,9 @@ def connected_components(
         # the superseded round's frame is released after the new round
         # is evaluated (2 copies held, not one per round)
         prev_edges = edges
-        edges = _small_star(_large_star(edges)).transform(
-            materialize, eager=False, require_truncation=True
+        edges, cur = _cut_with_checksum(
+            _small_star(_large_star(edges)), require_truncation=True
         )
-        cur = _checksum(edges)
         try:
             prev_edges.unpersist()
         except Exception:

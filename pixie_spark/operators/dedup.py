@@ -64,7 +64,11 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 
 def _word_rows(
-    df: DataFrame, id_col: str, text_col: str, by_doc: bool = True
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    by_doc: bool = True,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc, pos, word) rows via posexplode — the split is evaluated once
     per row inside codegen; no higher-order functions.
@@ -84,14 +88,23 @@ def _word_rows(
     Callers whose downstream keys do NOT include doc (e.g. vocabulary's
     groupBy(term)) pass ``by_doc=False`` — for them the exchange would
     be additive at scale.
+
+    ``carry``: extra columns to carry through the explode (r12: the NB
+    trainer's label — carrying the narrow column through beats joining
+    the exploded feature stream back to the corpus afterwards, guide
+    §2.3 "project before the exchange" / shuffle keys not payloads).
     """
     from pixie_spark.partitioning import by_key
 
-    base = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text"))
+    base = df.select(
+        F.col(id_col).alias("doc"), *carry, F.col(text_col).alias("text")
+    )
     if by_doc:
         base = by_key(base, "doc")
     return (
-        base.select("doc", F.posexplode(F.split("text", r"\s+")).alias("pos", "word"))
+        base.select(
+            "doc", *carry, F.posexplode(F.split("text", r"\s+")).alias("pos", "word")
+        )
         .where(F.col("word") != "")
     )
 

@@ -18,19 +18,28 @@ edge side's partitioning is REUSED across all iterations once
 materialized, so after iteration 1 only the small rank frame moves) and
 one groupBy(dst) partial+final aggregate. The dangling mass is a 1-row
 aggregate FRAME folded into the rank-update plan via broadcast
-crossJoin — it never touches the driver. When the graph has NO dangling
-nodes (decided once up front — the dangling set is fixed across
-iterations) the mass is exactly 0.0 every round and the whole dangling
-leg is skipped, bit-identically. The per-iteration lineage cut is a
-LAZY localCheckpoint (r11, the connected-components treatment): between
-check rounds no consumer needs the intermediate ranks, so the cuts
-accumulate unevaluated and the check round's delta read — the window's
-ONE driver action — evaluates the whole chain, materializing each cut
-as it computes through it. One driver action per ``check_every``
-iterations instead of one per iteration (measured at sf0.1/10 iters:
-74→64 Spark jobs, −8% interleaved warm median, full 64-bit rank
-patterns identical). The per-node L1 delta is computed as a column of
-the check round's cut; tests/test_graph.py pins the action shape by
+crossJoin — it never touches the driver; since r12 it is a semi-join of
+the ranks against the HOISTED, materialized dangling-node set (tiny —
+broadcast) instead of a per-iteration anti-join against the full
+has_out set. When the graph has NO dangling nodes (decided once up
+front — the dangling set is fixed across iterations) the mass is
+exactly 0.0 every round and the whole dangling leg is skipped,
+bit-identically. On that dangling-free path, under the localCheckpoint
+strategy, the per-iteration lineage cut is a LAZY localCheckpoint (r11,
+the connected-components treatment): between check rounds no consumer
+needs the intermediate ranks, so the cuts accumulate unevaluated and
+the check round's delta read — the window's ONE driver action —
+evaluates the whole chain, materializing each cut as it computes
+through it. One driver action per ``check_every`` iterations instead
+of one per iteration (measured at sf0.1/10 iters: 74→64 Spark jobs,
+−8% interleaved warm median, full 64-bit rank patterns identical).
+Dangling graphs and the persist/checkpoint strategies use EAGER
+per-iteration cuts (r12, ADVICE r11): lazy cuts would nest the
+unevaluated window into each iteration's dangling broadcast build, and
+a reliable checkpoint's write pass re-evaluates the plan after the
+action, splitting the delta read and the stored ranks across two
+evaluations. The per-node L1 delta is computed as a column of the
+check round's cut; tests/test_graph.py pins the action shape by
 counting first()/collect()/localCheckpoint calls and the eager/lazy
 split.
 """
@@ -39,7 +48,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pixie_spark.materialize import materialize
+from pixie_spark.materialize import _strategy, materialize
 
 
 def out_degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -92,31 +101,65 @@ def pagerank(
     # the dangling-node SET (nodes − has_out) is fixed across iterations;
     # when it is empty the dangling mass is exactly 0.0 every round, and
     # `x + 0.0` is an IEEE no-op for the non-negative inflow values, so
-    # the per-iteration anti-join + 1-row aggregate + broadcast crossJoin
-    # can be skipped outright with BIT-IDENTICAL ranks (r11: ~2-3 AQE
-    # stage-jobs saved per iteration on a dangling-free graph — the
-    # common shape for host link graphs, where every node in the edge
-    # list has out-links). has_out ⊆ nodes by construction, so one cheap
-    # count over the already-materialized frame decides the path.
+    # the per-iteration dangling leg can be skipped outright with
+    # BIT-IDENTICAL ranks (r11: ~2-3 AQE stage-jobs saved per iteration
+    # on a dangling-free graph — the common shape for host link graphs,
+    # where every node in the edge list has out-links). has_out ⊆ nodes
+    # by construction, so one cheap count over the already-materialized
+    # frame decides the path.
     n_dangling = n - has_out.count()
+    if n_dangling:
+        # r12 (VERDICT r11 #3): the dangling-node set is HOISTED and
+        # materialized once — per iteration the mass is a semi-join of
+        # the rank frame against this tiny broadcast frame, where the
+        # former per-iteration anti-join rebuilt a broadcast over the
+        # full has_out set every round. Summation semantics unchanged:
+        # the same rank rows survive the filter in the same partition
+        # order (anti vs semi is only the polarity of the same
+        # broadcast-hash lookup), so partial sums and their exchange
+        # merge are bit-identical — adjudicated with the C9 bit-pattern
+        # harness (see OPTIMIZATION_r12.md).
+        dangling_nodes = (
+            nodes.join(has_out, "node", "left_anti").transform(materialize)
+        )
+    # Lazy cuts are gated (r12, ADVICE r11) to the dangling-free path
+    # under the localCheckpoint strategy:
+    # - with dangling nodes, each iteration's mass aggregate reads the
+    #   PREVIOUS cut — under lazy cuts that nests every unevaluated
+    #   window frame into a BroadcastExchange relationFuture, which
+    #   must then compute the whole chain inside the broadcast build
+    #   (spark.sql.broadcastTimeout applies); eager cuts keep each
+    #   broadcast a cheap 1-row aggregate over materialized ranks.
+    # - under the persist/checkpoint strategies the per-iteration cut
+    #   escalates to a reliable checkpoint, whose write pass re-runs
+    #   the plan AFTER the evaluating action (two evaluations), so the
+    #   delta that gates convergence and the stored ranks could come
+    #   from different evaluations; eager cuts keep the two reads on
+    #   one evaluation (see materialize.py's eager=False contract).
+    lazy_cuts = n_dangling == 0 and _strategy(edges) == "localCheckpoint"
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).transform(materialize)
-    # Lazy-cut window (r11): between check rounds nothing reads the
-    # intermediate ranks, so each iteration's cut is marked lazily and
-    # the check round's delta read evaluates the whole window's chain in
-    # ONE driver action. Catalyst plans stay truncated either way (the
-    # lazy cut's frame is already a LogicalRDD), only the RDD lineage
-    # nests check_every deep until evaluated. The release= contract of
-    # materialize() is eager-only, so superseded frames are tracked and
-    # unpersisted manually AFTER the window action — a run holds at most
-    # check_every+1 narrow (node, rank) materializations instead of 2
-    # (each cut's blocks are stored as the action computes through it;
-    # unpersisting ancestors afterwards is safe because localCheckpoint
-    # truncates RDD lineage at each evaluated cut). Frames must be
-    # unpersisted via the object materialize() RETURNED — on check
-    # rounds `ranks` becomes a derived .drop('__delta') projection, and
-    # DataFrame.unpersist on a derived plan would not release the
-    # underlying persisted copy.
+    # Lazy-cut window (r11; r12 gates it via ``lazy_cuts`` above):
+    # between check rounds nothing reads the intermediate ranks, so each
+    # iteration's cut is marked lazily and the check round's delta read
+    # evaluates the whole window's chain in ONE driver action. Catalyst
+    # plans stay truncated either way (the lazy cut's frame is already a
+    # LogicalRDD), only the RDD lineage nests check_every deep until
+    # evaluated. The release= contract of materialize() is eager-only,
+    # so superseded frames are tracked and unpersisted manually AFTER
+    # the window action. Lineage safety: the window action checkpoints
+    # the TOPMOST marked cut (checkpointAllMarkedAncestors defaults to
+    # false — intermediate cuts stay cached with their lineage), and
+    # that topmost truncation is what severs the chain the released
+    # ancestors fed. Memory: unpersist() is a cacheManager-level no-op
+    # for localCheckpoint frames (their blocks are persisted on the
+    # internal RDD directly), so reclamation of superseded windows is
+    # ContextCleaner/GC-driven — the block manager can briefly hold
+    # more than the window's check_every+1 narrow (node, rank) frames.
+    # Frames must be unpersisted via the object materialize() RETURNED —
+    # on check rounds `ranks` becomes a derived .drop('__delta')
+    # projection, and DataFrame.unpersist on a derived plan would not
+    # release the underlying persisted copy.
     window_frames: list[DataFrame] = []
     prev_window_last = ranks
     for it in range(max_iter):
@@ -129,10 +172,13 @@ def pagerank(
         if n_dangling:
             # dangling mass as a 1-ROW FRAME, broadcast-crossJoined into
             # the update plan — no .first() round-trip; the scalar is
-            # computed inside the same job that materializes the new ranks
-            dangling = ranks.join(has_out, "node", "left_anti").agg(
-                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling")
-            )
+            # computed inside the same job that materializes the new
+            # ranks. `ranks` is always a MATERIALIZED cut on this path
+            # (eager cuts — see lazy_cuts above), so the broadcast build
+            # is a cheap aggregate over stored blocks.
+            dangling = ranks.join(
+                F.broadcast(dangling_nodes), "node", "left_semi"
+            ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling"))
             damp_term = F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col(
                 "__dangling"
             ) / F.lit(float(n))
@@ -156,16 +202,16 @@ def pagerank(
             updated = updated.crossJoin(F.broadcast(dangling))
         new_ranks = (
             updated.select("node", *cols)
-            # LAZY cut: no driver action here; truncation required —
-            # the Catalyst plan would otherwise nest one join tree per
-            # iteration. Evaluation is fused into the check round's
-            # delta read below.
-            .transform(materialize, eager=False, require_truncation=True)
+            # truncation required — the Catalyst plan would otherwise
+            # nest one join tree per iteration. On the lazy path the
+            # cut costs no driver action here; its evaluation is fused
+            # into the check round's delta read below.
+            .transform(materialize, eager=not lazy_cuts, require_truncation=True)
         )
         if check:
-            # the window's ONE driver action: evaluates (and stores)
-            # every lazy cut since the previous check round, then reads
-            # the L1 delta back
+            # the window's (on eager paths: the check round's) delta
+            # read; under lazy cuts this one action also evaluates and
+            # stores every cut since the previous check round
             delta = new_ranks.agg(F.sum("__delta")).first()[0]
             for fr in window_frames:
                 try:
@@ -182,7 +228,16 @@ def pagerank(
             if delta is not None and delta < tol:
                 break
         else:
-            window_frames.append(new_ranks)
+            if lazy_cuts:
+                window_frames.append(new_ranks)
+            else:
+                # eager path: the superseded cut is released as soon as
+                # the new one is stored (2 materializations held)
+                try:
+                    prev_window_last.unpersist()
+                except Exception:
+                    pass
+                prev_window_last = new_ranks
             ranks = new_ranks
     return ranks
 

@@ -432,13 +432,15 @@ def distinct_ngram_stats(
     win = Window.partitionBy("doc").orderBy("pos")
     # word rows with the slice column CARRIED THROUGH the explode — a
     # post-hoc (doc, slice) join would re-shuffle every gram row.
-    # NOTE (r11 optimization round, measured REJECTION): pre-partitioning
-    # by doc before the explode (the _word_rows by_key treatment) was
-    # tried and made this operator 8× SLOWER at sf0.1 (29–34 s vs 3.7 s)
-    # — the wide-buffer HLL partial aggregate (rsd 0.005 → 2¹⁶-register
-    # sketches) multiplies across pinned partitions, and AQE's coalesced
-    # layout is the right one for this aggregate. Left on the original
-    # AQE-managed plan deliberately.
+    # NOTE (r11 optimization round, measured REJECTION; re-adjudicated
+    # r12): pre-partitioning by doc before the explode (the _word_rows
+    # by_key treatment) made this operator SLOWER at sf0.1 under the
+    # wide-buffer rsd=0.005 sketches (r11: 29–34 s vs 3.7 s on a noisy
+    # box; r12 clean-box interleave: 4.3 vs 3.0 s — 32 concurrent tasks
+    # each walking a ~1.5 MB register set thrash the shared cache). At
+    # the r12 rsd=0.01 buffers the layouts are within noise of each
+    # other (1.33 pinned vs 1.22 AQE), so the plan keeps the
+    # AQE-managed layout deliberately.
     w = (
         df.select(F.col(id_col).alias("doc"), *slice_cols, F.col(text_col).alias("text"))
         .select("doc", *slice_cols, F.posexplode(F.split("text", r"\s+")).alias("pos", "word"))
@@ -468,9 +470,17 @@ def distinct_ngram_stats(
     )
     # exact=True is the oracle-parity switch (count_distinct shuffles
     # every gram id — fine at fixture scale, the HLL sketch is the
-    # production path; same convention as the quantiles gate row)
+    # production path; same convention as the quantiles gate row).
+    # rsd 0.005 → 0.01 (r12, measured): at 0.005 the HLL++ buffer is
+    # 2¹⁶ registers (~49 KB) per (slice, n) group and the per-gram
+    # register updates walk a multi-MB working set — the sketch update
+    # dominated the whole operator (interleaved A/B at sf0.1:
+    # 2.99 s → 1.22 s, −59%, at 0.01's 2¹⁴ registers). 1% relative
+    # error on a corpus-diversity RATIO is far inside the metric's
+    # decision margin (the gauge separates slices by 10s of percent),
+    # and the oracle-parity mode above is untouched.
     distinct_agg = (
-        F.count_distinct("sid") if exact else F.approx_count_distinct("sid", 0.005)
+        F.count_distinct("sid") if exact else F.approx_count_distinct("sid", 0.01)
     )
     out = rows.groupBy(*slice_cols, "n").agg(
         F.count(F.lit(1)).alias("total_ngrams"),

@@ -75,6 +75,42 @@ def test_connected_components_empty(spark):
     assert C.connected_components(df).collect() == []
 
 
+def test_cc_one_driver_action_per_round(spark, monkeypatch):
+    """r12 action shape (default localCheckpoint strategy): each CC
+    round issues exactly ONE driver action — the eager localCheckpoint
+    whose observe metrics carry the convergence checksum. No collect()
+    anywhere in the loop (the former shape re-scanned the cached blocks
+    with a separate checksum aggregate)."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    calls = {"collect": 0, "ckpt_eager": 0, "ckpt_lazy": 0}
+    orig_collect, orig_ckpt = DataFrame.collect, DataFrame.localCheckpoint
+
+    def counting_collect(self):
+        calls["collect"] += 1
+        return orig_collect(self)
+
+    def counting_ckpt(self, *a, **k):
+        eager = a[0] if a else k.get("eager", True)
+        calls["ckpt_eager" if eager else "ckpt_lazy"] += 1
+        return orig_ckpt(self, *a, **k)
+
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    monkeypatch.setattr(DataFrame, "localCheckpoint", counting_ckpt)
+
+    stats: dict = {}
+    df = spark.createDataFrame(GRAPHS["chain"], "doc_a long, doc_b long")
+    C.connected_components(df, stats=stats).collect()
+    rounds = stats["rounds"]
+    assert rounds >= 2
+    # one eager cut per round + the initial edge cut; every checksum
+    # rides an observe accumulator, so the only collect() is the
+    # caller's own result read above
+    assert calls["ckpt_eager"] == rounds + 1
+    assert calls["ckpt_lazy"] == 0
+    assert calls["collect"] == 1
+
+
 def test_duplicate_clusters_rollup(spark):
     df = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],

@@ -120,9 +120,11 @@ def test_no_per_iteration_driver_actions(spark, monkeypatch):
     iteration. The dangling scalar and the convergence delta are now
     folded into the rank-update plan (1-row broadcast crossJoin), and
     since r11 the per-iteration lineage cut is LAZY — its evaluation is
-    fused into the check round's delta read. Driver ACTIONS issued by
-    pagerank are therefore: bounded setup (node count) plus one cheap
-    aggregate per CHECK round — never per iteration.
+    fused into the check round's delta read. Since r12 (ADVICE r11) the
+    lazy window is gated to DANGLING-FREE graphs under localCheckpoint:
+    a dangling graph's per-iteration mass broadcast must read a
+    MATERIALIZED previous cut, so those graphs use eager cuts — but
+    first()/collect() stay per-CHECK-round on both paths.
     (Raw Spark job counts are not asserted: AQE materializes every
     shuffle stage as its own job, which says nothing about driver
     round-trips.)"""
@@ -153,6 +155,7 @@ def test_no_per_iteration_driver_actions(spark, monkeypatch):
     monkeypatch.setattr(DataFrame, "localCheckpoint", counting_ckpt)
 
     max_iter, check_every = 9, 3
+    # --- dangling graph (EDGES has the dangling node f): eager cuts ---
     pagerank(_edge_df(spark), max_iter=max_iter, check_every=check_every, tol=0.0)
     n_checks = max_iter // check_every  # 3 check rounds (incl. the last)
     # first(): ONLY the delta read-back on check rounds
@@ -160,8 +163,24 @@ def test_no_per_iteration_driver_actions(spark, monkeypatch):
     # collect(): only first()'s internal head(1)→collect — no other
     # collect anywhere (count() goes through the JVM, not collect)
     assert calls["collect"] == n_checks
+    # dangling path: every per-iteration cut is EAGER (the mass
+    # broadcast reads the previous cut); setup checkpoints are the 4
+    # shared ones (nodes, contrib, has_out, rank init) + the hoisted
+    # dangling-node set
+    assert calls["ckpt_lazy"] == 0
+    assert calls["ckpt_eager"] == max_iter + 5
+
+    # --- dangling-free graph: lazy window, evaluated per check round ---
+    for k in calls:
+        calls[k] = 0
+    no_dangling = [(u, v) for u, v in EDGES] + [("f", "a")]
+    pagerank(
+        _edge_df(spark, no_dangling),
+        max_iter=max_iter, check_every=check_every, tol=0.0,
+    )
+    assert calls["first"] == n_checks
+    assert calls["collect"] == n_checks
     # every per-iteration cut is LAZY (evaluated by the check round's
-    # delta read); only the 4 setup checkpoints (nodes, contrib,
-    # has_out, rank init) are eager
+    # delta read); only the 4 setup checkpoints are eager
     assert calls["ckpt_lazy"] == max_iter
     assert calls["ckpt_eager"] == 4
